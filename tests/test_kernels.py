@@ -1,0 +1,323 @@
+"""Unit tests for the pure-numpy sketch kernels (no Spark).
+
+Mirrors the reference's exact-oracle strategy (`--use-full-khash-sets`
+ground truth, /root/reference/README.md:116): every estimate is checked
+against the exact value within the algorithm's published bound
+(BASELINE.md §b), and every monoid sketch is checked for bit-identical
+merges under arbitrary partitioning/permutation (FIXTURES.md §5).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from dashing_spark.functions import (
+    HLL,
+    KLL,
+    KMV,
+    BBitMinHash,
+    BloomFilter,
+    CountMinSketch,
+    TDigest,
+    hashing,
+    simhash_batch,
+    sketch_from_bytes,
+)
+from dashing_spark.functions.bloom import bloom_jaccard
+from dashing_spark.functions.bbmh import bbmh_jaccard
+from dashing_spark.functions.hll import jaccard_index, set_triple
+from dashing_spark.functions.kmv import kmv_jaccard
+from dashing_spark.functions.simhash import hamming64
+
+
+def _hashes(n, start=0):
+    return hashing.hash_int_array(np.arange(start, start + n))
+
+
+# ---------------------------------------------------------------- hashing
+class TestHashing:
+    def test_deterministic_across_calls(self):
+        a = hashing.hash_str_array(["foo", "bar", "baz"])
+        b = hashing.hash_str_array(np.array(["foo", "bar", "baz"], dtype=object))
+        assert np.array_equal(a, b)
+        assert a.dtype == np.uint64
+        assert len(set(a.tolist())) == 3
+
+    def test_seed_gives_independent_family(self):
+        a = hashing.hash_str_array(["foo", "bar"], seed=1)
+        b = hashing.hash_str_array(["foo", "bar"], seed=2)
+        assert not np.array_equal(a, b)
+
+    def test_shingles_respect_doc_boundaries(self):
+        toks = np.array(list("abcdef"), dtype=object)
+        h = hashing.hash_str_array(toks)
+        sh, di = hashing.shingle_hashes(h, np.array([3, 3]), w=2)
+        # docs abc|def -> shingles ab bc | de ef (no "cd")
+        assert len(sh) == 4
+        assert di.tolist() == [0, 0, 1, 1]
+        # shingle hash of 'de' equals a fresh 2-shingle of the same tokens
+        h2 = hashing.hash_str_array(np.array(["d", "e"], dtype=object))
+        expect = hashing.combine64(h2[:1], h2[1:])[0]
+        assert sh[2] == expect
+
+    def test_shingles_order_sensitive(self):
+        h = hashing.hash_str_array(np.array(["a", "b"], dtype=object))
+        ab = hashing.combine64(h[:1], h[1:])[0]
+        ba = hashing.combine64(h[1:], h[:1])[0]
+        assert ab != ba
+
+
+# ---------------------------------------------------------------- HLL
+class TestHLL:
+    @pytest.mark.parametrize("estimator", ["original", "ertl_improved", "ertl_mle"])
+    @pytest.mark.parametrize("n", [0, 10, 1000, 200_000])
+    def test_estimate_within_bound(self, estimator, n):
+        p = 12
+        s = HLL.empty(p).update_hashes(_hashes(n))
+        est = s.estimate(estimator)
+        if n == 0:
+            assert est == 0.0
+        else:
+            bound = 3 * 1.04 / math.sqrt(1 << p) + 2.0 / n  # 3σ + tiny-n slack
+            assert abs(est - n) / n <= bound
+
+    def test_merge_bit_identical_any_partitioning(self, rng):
+        h = _hashes(50_000)
+        ref = HLL.empty(11).update_hashes(h)
+        for k in (2, 5, 16):
+            parts = np.array_split(h, k)
+            acc = HLL.empty(11)
+            for i in rng.permutation(k):
+                acc.merge(HLL.empty(11).update_hashes(parts[i]))
+            assert acc == ref
+
+    def test_merge_idempotent(self):
+        a = HLL.empty(10).update_hashes(_hashes(1000))
+        b = HLL.empty(10).update_hashes(_hashes(1000))
+        assert a.merge(b) == HLL.empty(10).update_hashes(_hashes(1000))
+
+    def test_merge_size_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            HLL.empty(10).merge(HLL.empty(11))
+
+    def test_fold_matches_direct_build(self):
+        h = _hashes(100_000)
+        folded = HLL.empty(14).update_hashes(h).fold(10)
+        direct = HLL.empty(10).update_hashes(h)
+        b = 3 * 1.04 / math.sqrt(1 << 10)
+        assert abs(folded.estimate() - direct.estimate()) / direct.estimate() <= 2 * b
+
+    def test_serde_roundtrip(self):
+        s = HLL.empty(12).update_hashes(_hashes(5000))
+        assert sketch_from_bytes(s.to_bytes()) == s
+
+    def test_jaccard_vs_exact(self):
+        n = 90_000
+        a = HLL.empty(12).update_hashes(_hashes(n))
+        b = HLL.empty(12).update_hashes(_hashes(n, start=n // 3))
+        true_ji = (n - n // 3) / (n + n // 3)
+        assert abs(jaccard_index(a, b) - true_ji) <= 0.05
+        t0, t1, t2 = set_triple(a, b)
+        assert abs(t2 - (n - n // 3)) / (n - n // 3) <= 0.15
+
+
+# ---------------------------------------------------------------- Bloom
+class TestBloom:
+    def test_no_false_negatives_and_fp_bound(self):
+        n = 30_000
+        bf = BloomFilter.empty(19, 4).update_hashes(_hashes(n))
+        assert bf.contains_hashes(_hashes(n)).all()
+        fresh = hashing.hash_int_array(np.arange(10**7, 10**7 + 20_000))
+        fp = bf.contains_hashes(fresh).mean()
+        k, m = 4, 1 << 19
+        bound = (1 - math.exp(-k * n / m)) ** k
+        assert fp <= 2 * bound + 0.001
+
+    def test_cardinality_estimate(self):
+        n = 40_000
+        bf = BloomFilter.empty(20, 4).update_hashes(_hashes(n))
+        assert abs(bf.estimate() - n) / n <= 0.02
+
+    def test_merge_bit_identical(self, rng):
+        h = _hashes(20_000)
+        ref = BloomFilter.empty(18).update_hashes(h)
+        parts = np.array_split(h, 7)
+        acc = BloomFilter.empty(18)
+        for i in rng.permutation(7):
+            acc.merge(BloomFilter.empty(18).update_hashes(parts[i]))
+        assert acc == ref
+        assert sketch_from_bytes(ref.to_bytes()) == ref
+
+    def test_bloom_jaccard(self):
+        a = BloomFilter.empty(20).update_hashes(_hashes(30_000))
+        b = BloomFilter.empty(20).update_hashes(_hashes(30_000, start=15_000))
+        assert abs(bloom_jaccard(a, b) - 1 / 3) <= 0.03
+
+
+# ---------------------------------------------------------------- CMS
+class TestCMS:
+    def test_point_query_bounds(self, rng):
+        items = rng.zipf(1.3, size=100_000)
+        items = items[items < 10**6]
+        h = hashing.hash_int_array(items)
+        cm = CountMinSketch.empty(14, 4).update_hashes(h)
+        true = np.bincount(items)
+        probe = np.flatnonzero(true)[:2000]
+        est = cm.query_hashes(hashing.hash_int_array(probe))
+        assert (est >= true[probe]).all()  # never underestimates
+        eps_n = math.e / (1 << 14) * cm.total()
+        # εN bound holds for ≥ 1-δ of queries; with depth 4, δ=e^-4
+        frac_bad = float((est - true[probe] > eps_n).mean())
+        assert frac_bad <= 0.02
+
+    def test_weighted_updates(self):
+        h = hashing.hash_int_array(np.array([1, 2, 1]))
+        cm = CountMinSketch.empty(10, 3).update_hashes(
+            h, weights=np.array([5, 7, 5])
+        )
+        q = cm.query_hashes(hashing.hash_int_array(np.array([1, 2])))
+        assert q[0] >= 10 and q[1] >= 7
+        assert cm.total() == 17
+
+    def test_merge_bit_identical(self, rng):
+        h = _hashes(50_000)
+        ref = CountMinSketch.empty(12, 4).update_hashes(h)
+        parts = np.array_split(h, 9)
+        acc = CountMinSketch.empty(12, 4)
+        for i in rng.permutation(9):
+            acc.merge(CountMinSketch.empty(12, 4).update_hashes(parts[i]))
+        assert acc == ref
+        assert sketch_from_bytes(ref.to_bytes()) == ref
+
+
+# ---------------------------------------------------------------- KMV
+class TestKMV:
+    def test_estimate(self):
+        n = 250_000
+        s = KMV.empty(2048).update_hashes(_hashes(n))
+        assert abs(s.estimate() - n) / n <= 3 / math.sqrt(2048)
+
+    def test_small_exact(self):
+        s = KMV.empty(1024).update_hashes(_hashes(500))
+        assert s.estimate() == 500.0
+
+    def test_merge_bit_identical(self, rng):
+        h = _hashes(100_000)
+        ref = KMV.empty(512).update_hashes(h)
+        parts = np.array_split(h, 5)
+        acc = KMV.empty(512)
+        for i in rng.permutation(5):
+            acc.merge(KMV.empty(512).update_hashes(parts[i]))
+        assert acc == ref
+        assert sketch_from_bytes(ref.to_bytes()) == ref
+
+    def test_jaccard(self):
+        a = KMV.empty(2048).update_hashes(_hashes(60_000))
+        b = KMV.empty(2048).update_hashes(_hashes(60_000, start=30_000))
+        assert abs(kmv_jaccard(a, b) - 1 / 3) <= 0.05
+
+
+# ---------------------------------------------------------------- BBMH
+class TestBBMH:
+    def test_jaccard_and_cardinality(self):
+        a = BBitMinHash.empty(10, 16).update_hashes(_hashes(60_000))
+        b = BBitMinHash.empty(10, 16).update_hashes(_hashes(60_000, start=30_000))
+        assert abs(bbmh_jaccard(a, b) - 1 / 3) <= 0.06
+        assert abs(a.estimate() - 60_000) / 60_000 <= 0.15
+
+    def test_merge_bit_identical(self, rng):
+        h = _hashes(30_000)
+        ref = BBitMinHash.empty(8, 8).update_hashes(h)
+        parts = np.array_split(h, 4)
+        acc = BBitMinHash.empty(8, 8)
+        for i in rng.permutation(4):
+            acc.merge(BBitMinHash.empty(8, 8).update_hashes(parts[i]))
+        assert acc == ref
+        assert sketch_from_bytes(ref.to_bytes()) == ref
+
+
+# ---------------------------------------------------------------- KLL
+class TestKLL:
+    def test_rank_error_bound(self, rng):
+        vals = np.concatenate(
+            [rng.lognormal(6, 1, 80_000), rng.uniform(10, 1e6, 20_000)]
+        )
+        s = KLL.empty(200)
+        for chunk in np.array_split(vals, 17):
+            s.update_batch(chunk)
+        for p in (0.01, 0.25, 0.5, 0.75, 0.99):
+            q = s.quantile(p)
+            assert abs((vals <= q).mean() - p) <= 0.02
+
+    def test_merge_preserves_bound(self, rng):
+        vals = rng.lognormal(6, 1, 60_000)
+        parts = np.array_split(vals, 6)
+        acc = KLL.empty(200)
+        for i in rng.permutation(6):
+            acc.merge(KLL.empty(200).update_batch(parts[i]))
+        assert acc.n == 60_000
+        for p in (0.1, 0.5, 0.9):
+            assert abs((vals <= acc.quantile(p)).mean() - p) <= 0.025
+
+    def test_serde(self, rng):
+        s = KLL.empty(128).update_batch(rng.normal(size=10_000))
+        t = sketch_from_bytes(s.to_bytes())
+        assert t.n == s.n
+        assert np.allclose(t.quantile([0.1, 0.5, 0.9]), s.quantile([0.1, 0.5, 0.9]))
+
+    def test_deterministic(self, rng):
+        vals = rng.normal(size=20_000)
+        a = KLL.empty(200).update_batch(vals)
+        b = KLL.empty(200).update_batch(vals)
+        assert a.to_bytes() == b.to_bytes()
+
+
+# ---------------------------------------------------------------- t-digest
+class TestTDigest:
+    def test_rank_error(self, rng):
+        vals = np.concatenate(
+            [rng.lognormal(6, 1, 80_000), rng.uniform(10, 1e6, 20_000)]
+        )
+        s = TDigest.empty(100)
+        for chunk in np.array_split(vals, 17):
+            s.update_batch(chunk)
+        for p in (0.01, 0.25, 0.5, 0.75, 0.99):
+            assert abs((vals <= s.quantile(p)).mean() - p) <= 0.01
+
+    def test_merge(self, rng):
+        vals = rng.lognormal(6, 1, 60_000)
+        parts = np.array_split(vals, 6)
+        acc = TDigest.empty(100)
+        for i in rng.permutation(6):
+            acc.merge(TDigest.empty(100).update_batch(parts[i]))
+        assert acc.n == 60_000
+        for p in (0.1, 0.5, 0.9):
+            assert abs((vals <= acc.quantile(p)).mean() - p) <= 0.02
+
+    def test_serde(self, rng):
+        s = TDigest.empty(100).update_batch(rng.normal(size=10_000))
+        t = sketch_from_bytes(s.to_bytes())
+        assert abs(t.quantile(0.5) - s.quantile(0.5)) < 1e-9
+
+
+# ---------------------------------------------------------------- SimHash
+class TestSimHash:
+    def test_similar_docs_low_hamming(self):
+        toks_a = np.array([f"w{i}" for i in range(100)], dtype=object)
+        toks_b = toks_a.copy()
+        toks_b[:5] = [f"x{i}" for i in range(5)]
+        toks_c = np.array([f"z{i}" for i in range(100)], dtype=object)
+        flat = hashing.hash_str_array(np.concatenate([toks_a, toks_b, toks_c]))
+        sh = simhash_batch(flat, np.repeat([0, 1, 2], 100), 3)
+        d_ab = hamming64(sh[:1], sh[1:2])[0]
+        d_ac = hamming64(sh[:1], sh[2:3])[0]
+        assert d_ab < 16 < d_ac
+
+    def test_order_independent(self, rng):
+        toks = np.array([f"w{i}" for i in range(200)], dtype=object)
+        h = hashing.hash_str_array(toks)
+        a = simhash_batch(h, np.zeros(200, dtype=np.int64), 1)
+        perm = rng.permutation(200)
+        b = simhash_batch(h[perm], np.zeros(200, dtype=np.int64), 1)
+        assert a[0] == b[0]
