@@ -108,6 +108,8 @@ class HLL:
         return np.bincount(self.regs, minlength=q + 2).astype(np.float64)
 
     def estimate(self, estimator: str = "ertl_mle") -> float:
+        if estimator == "default":
+            estimator = "ertl_mle"
         c = self.register_histogram()
         m = float(1 << self.p)
         q = 64 - self.p

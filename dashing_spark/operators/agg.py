@@ -1,0 +1,375 @@
+"""Two-stage distributed sketch aggregation — the engine's core operator.
+
+This is the Spark re-expression of the reference's build/union phases:
+per-thread partial sketches merged by a parallel tree
+(`fill_sketch` /root/reference/src/dashing.h:627-641, `union_core` +
+`par_reduce` /root/reference/src/union.cpp:10-58). Spark's native aggs
+get partial aggregation from Catalyst for free, but pandas grouped-agg
+UDFs do NOT (each group's rows all reach one task), so we implement the
+partial/final split explicitly:
+
+  stage 1 (map-side combine): ``mapInPandas`` — every input partition
+      emits AT MOST ONE ROW PER KEY, holding a serialized partial sketch.
+      All hashing/updating is whole-batch numpy on Arrow batches.
+  stage 2 (optional salt level): ``groupBy(key, part_id % salt)`` merge —
+      the explicit tree level that bounds fan-in per task under skew
+      (north rule; analogous to par_reduce's log2 tree).
+  stage 3: ``groupBy(key)`` merge -> final sketch row per key.
+
+Only sketch blobs cross the shuffle (p=14 HLL = 16 KiB), so at 10^12
+input rows the shuffle volume is O(#keys × #partitions), not O(rows).
+Monoid sketches (HLL/Bloom/CMS/KMV/BBMH) give bit-identical results for
+ANY partitioning / merge order, which the tests assert.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dashing_spark.functions import hashing
+from dashing_spark.functions.serde import sketch_from_bytes
+from dashing_spark.operators.ship import ensure_shipped
+
+SKETCH_COL = "sketch"
+_PART_COL = "__src_part"
+
+
+def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> list[T.StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[k] for k in key_cols]
+
+
+def _partial_schema(df: DataFrame, key_cols: Sequence[str]) -> T.StructType:
+    return T.StructType(
+        _key_schema(df, key_cols)
+        + [
+            T.StructField(_PART_COL, T.IntegerType(), False),
+            T.StructField(SKETCH_COL, T.BinaryType(), False),
+        ]
+    )
+
+
+def _result_schema(df: DataFrame, key_cols: Sequence[str]) -> T.StructType:
+    return T.StructType(
+        _key_schema(df, key_cols)
+        + [T.StructField(SKETCH_COL, T.BinaryType(), False)]
+    )
+
+
+def _emit_partials(acc: dict, key_cols: Sequence[str]) -> pd.DataFrame:
+    part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+    rows = {k: [] for k in key_cols}
+    blobs = []
+    for key, sk in acc.items():
+        for c, v in zip(key_cols, key):
+            rows[c].append(v)
+        blobs.append(sk.to_bytes())
+    out = pd.DataFrame(rows)
+    out[_PART_COL] = np.int32(part_id)
+    out[SKETCH_COL] = blobs
+    return out
+
+
+def _shingle_hash_df(
+    df: DataFrame, key_cols: Sequence[str], text_col: str, shingle_w: int, seed: int
+) -> DataFrame:
+    """Explode each row into its w-shingle hashes (one int64 `__ih` per
+    shingle occurrence) — pandas-side hashing, used by the weighted path."""
+    src = df.select(*list(key_cols), text_col)
+    schema = T.StructType(
+        _key_schema(src, key_cols) + [T.StructField("__ih", T.LongType(), False)]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            toks, lens = hashing.tokenize_flat(pdf[text_col])
+            th = hashing.hash_str_array(toks)
+            sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
+            out = pdf.iloc[doc_idx][list(key_cols)].reset_index(drop=True)
+            out["__ih"] = sh.view(np.int64)
+            yield out
+
+    return src.mapInPandas(fn, schema=schema)
+
+
+def sketch_tokens_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    make_sketch: Callable[[], object],
+    text_col: str = "text",
+    shingle_w: int = 1,
+    seed: int = 0,
+    salt: int | None = None,
+    weighted: bool = False,
+) -> DataFrame:
+    """One sketch per key over the w-shingle hashes of ``text_col``.
+
+    ``weighted=True`` feeds hash64(shingle, occurrence_index) instead —
+    the reference's multiset/weighted-Jaccard adapter (WeightedSketcher,
+    /root/reference/src/dashing.h:471-485): the i-th duplicate of a
+    shingle within its key group becomes a distinct item, so sketch
+    cardinalities estimate multiset sizes and JI becomes weighted
+    Jaccard. The reference numbers occurrences with a streaming CM
+    sketch per file (single-threaded); the distributed-exact equivalent
+    is a row_number window over (key, shingle) — one shuffle, then the
+    (shingle, occurrence) pair is hashed JVM-side and the normal
+    hash-column sketch path takes over.
+    """
+    ensure_shipped(df.sparkSession)
+    key_cols = list(key_cols)
+    if weighted:
+        from pyspark.sql import Window
+
+        if shingle_w == 1:
+            items = df.select(
+                *key_cols, F.explode(F.split(F.col(text_col), " ", -1)).alias("__item")
+            ).withColumn("__ih", F.xxhash64("__item"))
+        else:
+            items = _shingle_hash_df(df, key_cols, text_col, shingle_w, seed)
+        w = Window.partitionBy(*key_cols, "__ih").orderBy(
+            F.monotonically_increasing_id()
+        )
+        items = items.withColumn("__occ", F.row_number().over(w) - 1)
+        items = items.withColumn("__h", F.xxhash64("__ih", "__occ"))
+        return sketch_hash_col_by_key(items, key_cols, make_sketch, "__h", salt=salt)
+    src = df.select(*key_cols, text_col)
+    partial_schema = _partial_schema(src, key_cols)
+
+    def partial_fn(batches):
+        acc: dict[tuple, object] = {}
+        for pdf in batches:
+            toks, lens = hashing.tokenize_flat(pdf[text_col])
+            th = hashing.hash_str_array(toks)
+            sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
+            keys = list(zip(*(pdf[k] for k in key_cols)))
+            codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
+            if len(sh):
+                shingle_codes = codes[doc_idx]
+                order = np.argsort(shingle_codes, kind="stable")
+                bounds = np.searchsorted(
+                    shingle_codes[order], np.arange(len(uniq) + 1)
+                )
+            for ci, key in enumerate(uniq):
+                sk = acc.get(key)
+                if sk is None:
+                    sk = acc[key] = make_sketch()
+                if len(sh):
+                    seg = order[bounds[ci] : bounds[ci + 1]]
+                    if len(seg):
+                        sk.update_hashes(sh[seg])
+        yield _emit_partials(acc, key_cols)
+
+    partials = src.mapInPandas(partial_fn, schema=partial_schema)
+    return _merge_partials(partials, key_cols, salt)
+
+
+def sketch_numeric_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    make_sketch: Callable[[], object],
+    value_col: str,
+    salt: int | None = None,
+) -> DataFrame:
+    """One sketch per key over a numeric column (KLL / t-digest path)."""
+    ensure_shipped(df.sparkSession)
+    key_cols = list(key_cols)
+    src = df.select(*key_cols, value_col)
+    partial_schema = _partial_schema(src, key_cols)
+
+    def partial_fn(batches):
+        acc: dict[tuple, object] = {}
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            keys = list(zip(*(pdf[k] for k in key_cols)))
+            codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+            for ci, key in enumerate(uniq):
+                sk = acc.get(key)
+                if sk is None:
+                    sk = acc[key] = make_sketch()
+                seg = order[bounds[ci] : bounds[ci + 1]]
+                if len(seg):
+                    sk.update_batch(vals[seg])
+        yield _emit_partials(acc, key_cols)
+
+    partials = src.mapInPandas(partial_fn, schema=partial_schema)
+    return _merge_partials(partials, key_cols, salt)
+
+
+def sketch_hash_col_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    make_sketch: Callable[[], object],
+    hash_col: str,
+    weight_col: str | None = None,
+    salt: int | None = None,
+) -> DataFrame:
+    """One sketch per key over a precomputed int64 hash column (e.g.
+    ``F.xxhash64(...)`` kept JVM-side) with optional weights (CMS path)."""
+    ensure_shipped(df.sparkSession)
+    key_cols = list(key_cols)
+    cols = [*key_cols, hash_col] + ([weight_col] if weight_col else [])
+    src = df.select(*cols)
+    partial_schema = _partial_schema(src, key_cols)
+
+    def partial_fn(batches):
+        acc: dict[tuple, object] = {}
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            w = (
+                pdf[weight_col].to_numpy(dtype=np.int64)
+                if weight_col
+                else None
+            )
+            keys = list(zip(*(pdf[k] for k in key_cols)))
+            codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+            for ci, key in enumerate(uniq):
+                sk = acc.get(key)
+                if sk is None:
+                    sk = acc[key] = make_sketch()
+                seg = order[bounds[ci] : bounds[ci + 1]]
+                if len(seg):
+                    if w is not None:
+                        sk.update_hashes(h[seg], weights=w[seg])
+                    else:
+                        sk.update_hashes(h[seg])
+        yield _emit_partials(acc, key_cols)
+
+    partials = src.mapInPandas(partial_fn, schema=partial_schema)
+    return _merge_partials(partials, key_cols, salt)
+
+
+def _merge_rows(pdf: pd.DataFrame, key_cols: Sequence[str]) -> pd.DataFrame:
+    blobs = pdf[SKETCH_COL]
+    sk = sketch_from_bytes(blobs.iloc[0])
+    for b in blobs.iloc[1:]:
+        sk.merge(sketch_from_bytes(b))
+    out = pdf.iloc[[0]][list(key_cols)].copy()
+    out[SKETCH_COL] = [sk.to_bytes()]
+    return out
+
+
+def _merge_partials(
+    partials: DataFrame, key_cols: Sequence[str], salt: int | None
+) -> DataFrame:
+    result_schema = _result_schema(partials, key_cols)
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_rows(pdf, key_cols)
+
+    if salt and salt > 1:
+        # explicit tree level: cap fan-in per merge task (par_reduce
+        # analogue, /root/reference/src/union.cpp:10-24)
+        salted = partials.withColumn(
+            "__salt", F.pmod(F.col(_PART_COL), F.lit(salt)).cast("int")
+        )
+        salted_schema = T.StructType(
+            _key_schema(partials, key_cols)
+            + [
+                T.StructField("__salt", T.IntegerType(), False),
+                T.StructField(SKETCH_COL, T.BinaryType(), False),
+            ]
+        )
+
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = _merge_rows(pdf, key_cols)
+            out["__salt"] = pdf["__salt"].iloc[0]
+            return out[[*key_cols, "__salt", SKETCH_COL]]
+
+        partials = (
+            salted.groupBy(*key_cols, "__salt")
+            .applyInPandas(merge_salted, schema=salted_schema)
+        )
+    else:
+        partials = partials.drop(_PART_COL)
+
+    return partials.groupBy(*key_cols).applyInPandas(merge_fn, schema=result_schema)
+
+
+def union_all_sketches(sketches: DataFrame, sketch_col: str = SKETCH_COL) -> DataFrame:
+    """Merge every sketch in a table into ONE — `dashing union`
+    (/root/reference/src/union.cpp:32-58). Partition-level partial merge
+    (mapInPandas) then a single final merge, i.e. a two-level tree."""
+    ensure_shipped(sketches.sparkSession)
+    schema = T.StructType([T.StructField(sketch_col, T.BinaryType(), False)])
+
+    def partial(batches):
+        acc = None
+        for pdf in batches:
+            for b in pdf[sketch_col]:
+                if acc is None:
+                    acc = sketch_from_bytes(b)
+                else:
+                    acc.merge(sketch_from_bytes(b))
+        if acc is not None:
+            yield pd.DataFrame({sketch_col: [acc.to_bytes()]})
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = sketch_from_bytes(pdf[sketch_col].iloc[0])
+        for b in pdf[sketch_col].iloc[1:]:
+            acc.merge(sketch_from_bytes(b))
+        return pd.DataFrame({sketch_col: [acc.to_bytes()]})
+
+    partials = sketches.select(sketch_col).mapInPandas(partial, schema=schema)
+    return (
+        partials.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: final(pdf), schema=schema)
+    )
+
+
+def estimate_expr(estimator: str = "default"):
+    """pandas UDF: sketch blob -> cardinality/count estimate (double).
+    The reference's cardinality projection (src/dashing.h:488-495)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _est(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: float(sketch_from_bytes(b).estimate(estimator)))
+
+    return _est
+
+
+def quantile_expr(qs: Sequence[float]):
+    """pandas UDF: quantile-sketch blob -> array<double> of quantiles."""
+    qarr = list(qs)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _q(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: np.asarray(sketch_from_bytes(b).quantile(qarr), dtype=float).tolist()
+        )
+
+    return _q
+
+
+def fold_expr(p_new: int):
+    """pandas UDF: HLL blob -> HLL blob folded to precision p_new
+    (`dashing fold`, /root/reference/src/dashing.cpp:570-590)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _fold(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: sketch_from_bytes(b).fold(p_new).to_bytes())
+
+    return _fold
+
+
+def cms_query_expr(sketch_blob: bytes):
+    """pandas UDF over an int64 hash column: CM point query against a
+    broadcast-serialized CM sketch (the readfilt point-query shape,
+    /root/reference/src/readfilt.cpp:36-139)."""
+
+    @F.pandas_udf(T.LongType())
+    def _q(hashes: pd.Series) -> pd.Series:
+        cm = sketch_from_bytes(sketch_blob)
+        h = hashes.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(cm.query_hashes(h))
+
+    return _q

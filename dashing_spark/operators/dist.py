@@ -1,0 +1,243 @@
+"""Pairwise distance topologies — `dashing dist` / `-Q` / `--nearest-neighbors`.
+
+The reference's hand-rolled loops map onto Catalyst joins (SURVEY.md §2.5):
+
+- all-pairs symmetric (`dist_loop`, /root/reference/src/sketch_and_cmp.h:785-880)
+  -> self-join with ``a.key < b.key`` (the symmetry pruning Catalyst can't
+  infer, encoded as the join condition);
+- query×reference (`partdist_loop`, src/dashing.h:660-712) -> plain join of
+  two sketch tables, small side broadcast;
+- k-nearest-neighbor emission (`nndist_loop`, src/sketch_and_cmp.h:712-783,
+  lock-striped heaps) -> Window ``row_number() <= k`` per left key — the
+  heap micro-optimization is irrelevant under Spark's shuffle sort.
+
+The pair kernel is a vectorized pandas UDF: HLL blobs take the whole-batch
+register-matrix path (functions.compare.hll_triple_batch — zero per-row
+Python math); other sketch types fall back to a per-pair numpy loop.
+At 10^12-scale the sketch table has one row per *key* (e.g. per
+language/site/partition), so the O(n²) pair stage is over thousands of
+16 KiB blobs, not over documents — broadcast + block nested loop is the
+right physical plan, and we hint it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from dashing_spark.functions.compare import (
+    DISTANCE_MEASURES,
+    compare,
+    hll_triple_batch,
+    measure_from_triple_batch,
+    set_triple_any,
+    measure_from_triple,
+)
+from dashing_spark.functions.serde import sketch_from_bytes
+from dashing_spark.operators.agg import SKETCH_COL
+from dashing_spark.operators.ship import ensure_shipped
+
+_HLL_TYPE = 1
+
+
+def _measures_udf(measures: Sequence[str], ksinv: float, estimator: str):
+    measures = list(measures)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _cmp(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+        n = len(a_blobs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        first = a_blobs.iloc[0]
+        if first[4] == _HLL_TYPE:
+            p = first[5]
+            m = 1 << p
+            a_regs = np.frombuffer(
+                b"".join(bytes(x)[6 : 6 + m] for x in a_blobs), dtype=np.uint8
+            ).reshape(n, m)
+            b_regs = np.frombuffer(
+                b"".join(bytes(x)[6 : 6 + m] for x in b_blobs), dtype=np.uint8
+            ).reshape(n, m)
+            t0, t1, t2 = hll_triple_batch(a_regs, b_regs, p)
+            cols = [
+                measure_from_triple_batch(t0, t1, t2, ms, ksinv) for ms in measures
+            ]
+            stacked = np.stack(cols, axis=1)
+            return pd.Series(list(stacked))
+        out = []
+        for ab, bb in zip(a_blobs, b_blobs):
+            sa, sb = sketch_from_bytes(bytes(ab)), sketch_from_bytes(bytes(bb))
+            t0, t1, t2 = set_triple_any(sa, sb, estimator)
+            out.append([measure_from_triple(t0, t1, t2, ms, ksinv) for ms in measures])
+        return pd.Series(out)
+
+    return _cmp
+
+
+def _prefixed(df: DataFrame, key_cols: Sequence[str], prefix: str) -> DataFrame:
+    cols = [F.col(k).alias(f"{prefix}{k}") for k in key_cols]
+    return df.select(*cols, F.col(SKETCH_COL).alias(f"{prefix}{SKETCH_COL}"))
+
+
+def _attach_measures(
+    pairs: DataFrame,
+    measures: Sequence[str],
+    ksinv: float,
+    estimator: str,
+    a_col: str = f"a_{SKETCH_COL}",
+    b_col: str = f"b_{SKETCH_COL}",
+) -> DataFrame:
+    udf = _measures_udf(measures, ksinv, estimator)
+    pairs = pairs.withColumn("__m", udf(F.col(a_col), F.col(b_col)))
+    for i, ms in enumerate(measures):
+        pairs = pairs.withColumn(ms, F.col("__m").getItem(i))
+    return pairs.drop("__m", a_col, b_col)
+
+
+def all_pairs(
+    sketches: DataFrame,
+    key_cols: Sequence[str],
+    measures: Sequence[str] = ("ji",),
+    ksinv: float = 1.0,
+    estimator: str = "default",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Upper-triangular all-pairs comparison: rows with a_key < b_key —
+    the long-format equivalent of the packed UT float32 matrix
+    (/root/reference/distmat/distmat.h:151-183)."""
+    ensure_shipped(sketches.sparkSession)
+    key_cols = list(key_cols)
+    a = _prefixed(sketches, key_cols, "a_")
+    b = _prefixed(sketches, key_cols, "b_")
+    if broadcast:
+        b = F.broadcast(b)
+    cond = F.struct(*[F.col(f"a_{k}") for k in key_cols]) < F.struct(
+        *[F.col(f"b_{k}") for k in key_cols]
+    )
+    pairs = a.join(b, cond)
+    return _attach_measures(pairs, measures, ksinv, estimator)
+
+
+def query_reference(
+    queries: DataFrame,
+    references: DataFrame,
+    key_cols: Sequence[str],
+    measures: Sequence[str] = ("containment",),
+    ksinv: float = 1.0,
+    estimator: str = "default",
+) -> DataFrame:
+    """Rectangular |Q|×|R| comparison (`-Q` mode; containment family
+    requires it — src/sketch_and_cmp.h:792-796). Queries are the "A" side
+    of the triple, references the "B" side; reference table broadcast."""
+    ensure_shipped(queries.sparkSession)
+    key_cols = list(key_cols)
+    q = _prefixed(queries, key_cols, "a_")
+    r = F.broadcast(_prefixed(references, key_cols, "b_"))
+    pairs = q.crossJoin(r)
+    return _attach_measures(pairs, measures, ksinv, estimator)
+
+
+def nearest_neighbors(
+    sketches: DataFrame,
+    key_cols: Sequence[str],
+    n_neighbors: int,
+    measure: str = "ji",
+    ksinv: float = 1.0,
+    estimator: str = "default",
+) -> DataFrame:
+    """Top-k neighbors per key (`--nearest-neighbors`): symmetric pairs
+    mirrored to both directions, then Window row_number ≤ k ordered by
+    the measure's natural direction (emt2nntype, src/dashing.h:268-280)."""
+    key_cols = list(key_cols)
+    ut = all_pairs(sketches, key_cols, (measure,), ksinv, estimator)
+    swapped = ut.select(
+        *[F.col(f"b_{k}").alias(f"a_{k}") for k in key_cols],
+        *[F.col(f"a_{k}").alias(f"b_{k}") for k in key_cols],
+        F.col(measure),
+    )
+    both = ut.select(swapped.columns).unionByName(swapped)
+    direction = (
+        [F.col(measure).asc()] if measure in DISTANCE_MEASURES else [F.col(measure).desc()]
+    )
+    w = Window.partitionBy(*[f"a_{k}" for k in key_cols]).orderBy(
+        *direction, *[F.col(f"b_{k}").asc() for k in key_cols]
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_neighbors)
+    )
+
+
+def estimate_cardinalities(
+    sketches: DataFrame, key_cols: Sequence[str], estimator: str = "default"
+) -> DataFrame:
+    """`dashing card` — one cardinality estimate per sketch row
+    (size_sketch_and_emit, /root/reference/src/sketch_and_cmp.h:227-251)."""
+    from dashing_spark.operators.agg import estimate_expr
+
+    return sketches.select(
+        *key_cols, estimate_expr(estimator)(F.col(SKETCH_COL)).alias("cardinality")
+    )
+
+
+def exact_pair_measures(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    measures: Sequence[str] = ("ji",),
+    ksinv: float = 1.0,
+) -> DataFrame:
+    """Exact-oracle all-pairs measures from raw (key, item) rows — the
+    reference's `--use-full-khash-sets` ground-truth mode
+    (/root/reference/src/khset64.h:129-141) as a pure DataFrame plan:
+    distinct items per key, pairwise intersection via equi-join, set
+    triple by arithmetic. Stays entirely JVM-side."""
+    d = df.select(key_col, item_col).distinct()
+    sizes = d.groupBy(key_col).agg(F.count("*").alias("sz"))
+    a = d.select(F.col(key_col).alias("a_key"), F.col(item_col).alias("it"))
+    b = d.select(F.col(key_col).alias("b_key"), F.col(item_col).alias("it"))
+    inter = (
+        a.join(b, "it")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .groupBy("a_key", "b_key")
+        .agg(F.count("*").alias("t2"))
+    )
+    sz_a = sizes.select(F.col(key_col).alias("a_key"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(key_col).alias("b_key"), F.col("sz").alias("sz_b"))
+    # cross of all key pairs (a<b) keeps zero-intersection pairs too
+    pairs = (
+        sz_a.crossJoin(sz_b)
+        .filter(F.col("a_key") < F.col("b_key"))
+        .join(inter, ["a_key", "b_key"], "left")
+        .fillna({"t2": 0})
+    )
+    t0 = (F.col("sz_a") - F.col("t2")).cast("double")
+    t1 = (F.col("sz_b") - F.col("t2")).cast("double")
+    t2 = F.col("t2").cast("double")
+    exprs = {
+        "ji": t2 / (t0 + t1 + t2),
+        "sizes": t2,
+        "containment": t2 / (t0 + t2),
+        "symmetric_containment": t2 / (F.least(t0, t1) + t2),
+    }
+    ji = exprs["ji"]
+    exprs["mash_dist"] = F.when(
+        ji > 0, -F.log(F.lit(2.0) * ji / (F.lit(1.0) + ji)) * ksinv
+    ).otherwise(1.0)
+    exprs["full_mash_dist"] = F.when(
+        ji > 0, F.lit(1.0) - F.pow(F.lit(2.0) * ji / (F.lit(1.0) + ji), F.lit(ksinv))
+    ).otherwise(1.0)
+    c = exprs["containment"]
+    exprs["containment_dist"] = F.when(c > 0, -F.log(c) * ksinv).otherwise(1.0)
+    exprs["full_containment_dist"] = F.when(
+        c > 0, F.lit(1.0) - F.pow(c, F.lit(ksinv))
+    ).otherwise(1.0)
+    sci = exprs["symmetric_containment"]
+    exprs["symmetric_containment_dist"] = F.when(sci > 0, -F.log(sci) * ksinv).otherwise(1.0)
+    out = pairs.select(
+        "a_key", "b_key", *[exprs[ms].alias(ms) for ms in measures]
+    )
+    return out

@@ -1,0 +1,130 @@
+"""Frequency operators: heavy hitters, CM point queries, min-count filter.
+
+Reference semantics: the count-min filter gates sketch insertion at
+`if(cm.addh(kmer) >= mincount) sketch.addh(kmer)`
+(/root/reference/src/sketch_and_cmp.h:347); heavy-keeper/top-k is the
+HeavyKeeper alternative (src/dashing.h:131-136). In the DataFrame model
+the *candidate* top-k per group is a Window row_number (JVM-side,
+shuffle-sorted); the CM sketch supplies point-estimate verification and
+the scale path where exact counting of the long tail is too expensive.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from dashing_spark.functions import CountMinSketch
+from dashing_spark.functions.serde import sketch_from_bytes
+from dashing_spark.operators import agg
+from dashing_spark.operators.ship import ensure_shipped
+
+
+def token_counts(df: DataFrame, key_cols: Sequence[str], text_col: str = "text") -> DataFrame:
+    """Exact (key, token, cnt) counts — explode stays whole-stage-codegen."""
+    return (
+        df.select(*key_cols, F.explode(F.split(F.col(text_col), " ", -1)).alias("token"))
+        .groupBy(*key_cols, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def top_k_tokens(
+    df: DataFrame, key_cols: Sequence[str], k: int, text_col: str = "text"
+) -> DataFrame:
+    """Exact top-k tokens per key, deterministic tie-break (cnt desc,
+    token asc) — the reference's NN-heap shape as a Window."""
+    counts = token_counts(df, key_cols, text_col)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cms_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    text_col: str = "text",
+    lg_width: int = 16,
+    depth: int = 4,
+    salt: int | None = None,
+) -> DataFrame:
+    """One count-min sketch of the token stream per key."""
+    toks = df.select(
+        *key_cols, F.explode(F.split(F.col(text_col), " ", -1)).alias("token")
+    ).withColumn("__h", F.xxhash64("token"))
+    return agg.sketch_hash_col_by_key(
+        toks, key_cols, lambda: CountMinSketch.empty(lg_width, depth), "__h", salt=salt
+    )
+
+
+def cms_point_query(
+    candidates: DataFrame,
+    cms_sketches: DataFrame,
+    key_cols: Sequence[str],
+    token_col: str = "token",
+) -> DataFrame:
+    """Estimate each candidate token's count from its key's CM sketch.
+
+    Join is on the key (sketch side is tiny → broadcast); the per-batch
+    point queries are vectorized numpy. Returns candidates + `cm_est`.
+    """
+    ensure_shipped(candidates.sparkSession)
+    key_cols = list(key_cols)
+    joined = candidates.withColumn("__h", F.xxhash64(token_col)).join(
+        F.broadcast(cms_sketches), key_cols
+    )
+    schema = T.StructType(
+        [f for f in joined.schema.fields if f.name not in (agg.SKETCH_COL, "__h")]
+        + [T.StructField("cm_est", T.LongType(), False)]
+    )
+    out_cols = [f.name for f in schema.fields]
+
+    def fn(batches):
+        cache: dict[bytes, CountMinSketch] = {}
+        for pdf in batches:
+            ests = np.zeros(len(pdf), dtype=np.int64)
+            for blob, grp in pdf.groupby(agg.SKETCH_COL, sort=False):
+                cm = cache.get(blob)
+                if cm is None:
+                    cm = cache[blob] = sketch_from_bytes(blob)
+                h = grp["__h"].to_numpy(dtype=np.int64).view(np.uint64)
+                ests[grp.index.to_numpy()] = cm.query_hashes(h)
+            pdf = pdf.reset_index(drop=True)
+            ests_aligned = ests  # groupby preserved original positions via index
+            out = pdf.drop(columns=[agg.SKETCH_COL, "__h"])
+            out["cm_est"] = ests_aligned
+            yield out[out_cols]
+
+    return joined.mapInPandas(fn, schema=schema)
+
+
+def min_count_filter(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    min_count: int,
+    text_col: str = "text",
+    use_cms: bool = False,
+    lg_width: int = 20,
+    depth: int = 1,
+) -> DataFrame:
+    """(key, token) rows whose token frequency within the key ≥ min_count
+    — the reference's `--min-count` pre-filter (src/sketch_and_cmp.h:347).
+
+    Exact mode (default): groupBy count + HAVING, all JVM-side — at any
+    scale this is one shuffle on (key, token).
+    CMS mode: two-pass approximation (build CM per key, then filter by
+    point estimate ≥ min_count) — never drops a frequent token (CM never
+    underestimates), may keep rare collisions, matching the reference's
+    one-sided error.
+    """
+    counts = token_counts(df, key_cols, text_col)
+    if not use_cms:
+        return counts.filter(F.col("cnt") >= min_count)
+    sketches = cms_by_key(df, key_cols, text_col, lg_width, depth)
+    est = cms_point_query(counts.drop("cnt"), sketches, key_cols)
+    return est.filter(F.col("cm_est") >= min_count)

@@ -1,0 +1,123 @@
+"""Table loaders — parquet scans (Catalyst handles pushdown/pruning) and
+the deterministic synthetic `pages` generator from FIXTURES.md §1.
+
+At production scale these scans are Iceberg table reads; Iceberg jars are
+not in this image, so the reader falls back to plain parquet paths with
+the same DataFrame downstream (gate: `iceberg_available()`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    out = {}
+    for n in names:
+        df = load_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+def synth_pages(spark: SparkSession, n: int = 1000, n_sites: int = 50) -> DataFrame:
+    """Deterministic Common-Crawl-style `pages` table (FIXTURES.md §1,
+    BASELINE.json input_hint shape: url, warc_ts, html, text, lang).
+
+    Built from the `documents` analogue pattern entirely with JVM-side
+    expressions over `spark.range` — no Python in the generator, so it
+    scales to bench sizes and is byte-identical across runs/parallelism.
+    """
+    vocab = [
+        "the", "data", "web", "page", "crawl", "index", "search", "link",
+        "site", "query", "text", "word", "count", "hash", "merge", "spark",
+        "table", "row", "batch", "scan", "join", "sort", "key", "value",
+        "filter", "agg", "window", "stream", "cache", "shard", "node", "net",
+    ]
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")])
+    # skewed lang assignment: 60/20/10/7/3 (exercises salting)
+    df = spark.range(n).withColumn(
+        "lang",
+        F.when(F.pmod("id", F.lit(100)) < 60, "en")
+        .when(F.pmod("id", F.lit(100)) < 80, "de")
+        .when(F.pmod("id", F.lit(100)) < 90, "fr")
+        .when(F.pmod("id", F.lit(100)) < 97, "es")
+        .otherwise("zh"),
+    )
+    df = df.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"),
+            F.pmod("id", F.lit(n_sites)).cast("string"),
+            F.lit(".example/"),
+            F.col("id").cast("string"),
+        ),
+    )
+    df = df.withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id"))
+    )
+    # deterministic pseudo-text: len in [10, 90), token picked by a hash
+    # of (url, position) — pure column expressions, fully JVM-side
+    words = F.array(*[F.lit(w) for w in vocab])
+    doclen = (F.pmod(F.abs(F.xxhash64("url")), F.lit(80)) + F.lit(10)).cast("int")
+    df = df.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), doclen - 1),
+                lambda i: F.element_at(
+                    words,
+                    (F.pmod(F.abs(F.xxhash64(F.col("url"), i)), F.lit(len(vocab))) + 1).cast("int"),
+                ),
+            ),
+            " ",
+        ),
+    )
+    df = df.withColumn(
+        "html",
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "UTF-8",
+        ),
+    )
+    _ = langs  # documented layout; selection below fixes column order
+    return df.select("url", "warc_ts", "html", "text", "lang")
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """html -> text extraction as a pure deterministic JVM expression —
+    byte-identical per url across runs/parallelism (input_hint invariant).
+    """
+    return pages.withColumn(
+        "text_extracted",
+        F.regexp_replace(F.decode(F.col("html"), "UTF-8"), "<[^>]+>", ""),
+    )

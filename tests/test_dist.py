@@ -1,0 +1,85 @@
+"""Tests for pairwise distance operators vs the exact-set oracle
+(the reference's --use-full-khash-sets pattern, README.md:116)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dashing_spark.functions import HLL
+from dashing_spark.operators import agg, dist
+from dashing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def lang_tokens(spark):
+    docs = load_table(spark, SF, "documents")
+    return docs.select(
+        "lang", F.explode(F.split("text", " ", -1)).alias("token")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def sketches(spark):
+    docs = load_table(spark, SF, "documents")
+    return agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(14)).cache()
+
+
+class TestAllPairs:
+    def test_upper_triangular_shape(self, spark, sketches):
+        pairs = dist.all_pairs(sketches, ["lang"], measures=("ji",)).collect()
+        n = sketches.count()
+        assert len(pairs) == n * (n - 1) // 2
+        for r in pairs:
+            assert r["a_lang"] < r["b_lang"]
+
+    def test_sketch_ji_matches_exact(self, spark, sketches, lang_tokens):
+        exact = {
+            (r["a_key"], r["b_key"]): r["ji"]
+            for r in dist.exact_pair_measures(
+                lang_tokens, "lang", "token", ("ji",)
+            ).collect()
+        }
+        est = dist.all_pairs(sketches, ["lang"], measures=("ji",)).collect()
+        for r in est:
+            assert abs(r["ji"] - exact[(r["a_lang"], r["b_lang"])]) <= 0.05
+
+    def test_all_measures_computable(self, spark, sketches):
+        from dashing_spark.functions.compare import MEASURES
+
+        out = dist.all_pairs(
+            sketches, ["lang"], measures=MEASURES, ksinv=1 / 3
+        ).collect()
+        for r in out:
+            for ms in MEASURES:
+                assert r[ms] is not None and r[ms] == r[ms]  # not NaN
+
+    def test_query_reference_rectangular(self, spark, sketches):
+        q = sketches.filter(F.col("lang") == "en")
+        out = dist.query_reference(q, sketches, ["lang"], ("containment",)).collect()
+        assert len(out) == sketches.count()
+        # self-pair containment ~ 1
+        self_pair = [r for r in out if r["b_lang"] == "en"][0]
+        assert self_pair["containment"] >= 0.95
+
+    def test_nearest_neighbors(self, spark, sketches):
+        nn = dist.nearest_neighbors(sketches, ["lang"], 2, "ji").collect()
+        n = sketches.count()
+        assert len(nn) == n * 2
+        per_key = {}
+        for r in nn:
+            per_key.setdefault(r["a_lang"], []).append(r["rank"])
+        for ranks in per_key.values():
+            assert sorted(ranks) == [1, 2]
+
+    def test_cardinalities_op(self, spark, sketches, lang_tokens):
+        exact = {
+            r["lang"]: r["d"]
+            for r in lang_tokens.groupBy("lang")
+            .agg(F.countDistinct("token").alias("d"))
+            .collect()
+        }
+        out = dist.estimate_cardinalities(sketches, ["lang"]).collect()
+        for r in out:
+            e = exact[r["lang"]]
+            assert abs(r["cardinality"] - e) <= max(0.03 * e, 2.0)

@@ -1,0 +1,150 @@
+"""Spark-layer tests for the two-stage sketch aggregation driver.
+
+Covers FIXTURES.md §5 properties: bit-identical sketches under any
+repartitioning/salt, estimates within bound vs exact JVM-side
+countDistinct, union/fold semantics, and the byte-identical-text
+determinism invariant from BASELINE.json's input_hint.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dashing_spark.functions import HLL, KLL, BloomFilter, CountMinSketch, TDigest
+from dashing_spark.functions.serde import sketch_from_bytes
+from dashing_spark.operators import agg
+from dashing_spark.sources.tables import extract_text, load_table, synth_pages
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def _exact_distinct(docs):
+    return {
+        r["lang"]: r["d"]
+        for r in docs.select(
+            "lang", F.explode(F.split("text", " ", -1)).alias("t")
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("t").alias("d"))
+        .collect()
+    }
+
+
+class TestTwoStageAgg:
+    def test_hll_within_bound(self, spark, docs):
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(12), salt=2)
+        est = {
+            r["lang"]: r["e"]
+            for r in sk.select(
+                "lang", agg.estimate_expr("ertl_mle")("sketch").alias("e")
+            ).collect()
+        }
+        exact = _exact_distinct(docs)
+        bound = 3 * 1.04 / math.sqrt(1 << 12)
+        for lang, d in exact.items():
+            assert abs(est[lang] - d) <= max(bound * d, 2.0)
+
+    def test_bit_identical_across_partitioning_and_salt(self, spark, docs):
+        variants = [
+            (docs.repartition(3), None),
+            (docs.repartition(11), 2),
+            (docs.coalesce(1), 8),
+        ]
+        results = []
+        for df, salt in variants:
+            sk = agg.sketch_tokens_by_key(df, ["lang"], lambda: HLL.empty(11), salt=salt)
+            results.append({r["lang"]: bytes(r["sketch"]) for r in sk.collect()})
+        assert results[0] == results[1] == results[2]
+
+    def test_multiple_sketch_types(self, spark, docs):
+        for make in (
+            lambda: BloomFilter.empty(16, 4),
+            lambda: CountMinSketch.empty(12, 4),
+        ):
+            a = agg.sketch_tokens_by_key(docs.repartition(4), ["lang"], make)
+            b = agg.sketch_tokens_by_key(docs.repartition(9), ["lang"], make, salt=3)
+            assert {r["lang"]: bytes(r["sketch"]) for r in a.collect()} == {
+                r["lang"]: bytes(r["sketch"]) for r in b.collect()
+            }
+
+    def test_union_matches_global_sketch(self, spark, docs):
+        per_lang = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(12))
+        u = agg.union_all_sketches(per_lang).collect()[0]["sketch"]
+        glob = agg.sketch_tokens_by_key(
+            docs.withColumn("g", F.lit(1)), ["g"], lambda: HLL.empty(12)
+        ).collect()[0]["sketch"]
+        assert bytes(u) == bytes(glob)  # monoid: same registers either way
+
+    def test_fold_expr(self, spark, docs):
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(14))
+        folded = sk.select("lang", agg.fold_expr(10)("sketch").alias("sketch"))
+        for r in folded.collect():
+            s = sketch_from_bytes(bytes(r["sketch"]))
+            assert s.p == 10
+
+    def test_numeric_sketches(self, spark, docs):
+        for make in (lambda: KLL.empty(200), lambda: TDigest.empty(100)):
+            sk = agg.sketch_numeric_by_key(docs, ["lang"], make, "n_chars")
+            qs = sk.select(
+                "lang", agg.quantile_expr([0.5])("sketch").alias("q")
+            ).collect()
+            exact_med = {
+                r["lang"]: r["m"]
+                for r in docs.groupBy("lang")
+                .agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
+                .collect()
+            }
+            for r in qs:
+                assert abs(r["q"][0] - exact_med[r["lang"]]) / exact_med[r["lang"]] <= 0.15
+
+    def test_weighted_sketch_multiset_semantics(self, spark, docs):
+        """Weighted sketch cardinality ≈ total token count (multiset size)."""
+        sk = agg.sketch_tokens_by_key(
+            docs, ["lang"], lambda: HLL.empty(14), weighted=True
+        )
+        est = {
+            r["lang"]: r["e"]
+            for r in sk.select(
+                "lang", agg.estimate_expr()("sketch").alias("e")
+            ).collect()
+        }
+        totals = {
+            r["lang"]: r["n"]
+            for r in docs.select(
+                "lang", F.explode(F.split("text", " ", -1)).alias("t")
+            )
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for lang, n in totals.items():
+            assert abs(est[lang] - n) / n <= 3 * 1.04 / math.sqrt(1 << 14) + 0.01
+
+
+class TestSynthPages:
+    def test_deterministic_text_per_url(self, spark):
+        a = synth_pages(spark, 500).select("url", "text")
+        b = synth_pages(spark, 500).repartition(7).select("url", "text")
+        diff = a.join(b.withColumnRenamed("text", "t2"), "url").filter(
+            F.col("text") != F.col("t2")
+        )
+        assert diff.count() == 0
+
+    def test_extract_text_roundtrip(self, spark):
+        pages = synth_pages(spark, 200)
+        ext = extract_text(pages)
+        bad = ext.filter(F.col("text_extracted") != F.col("text"))
+        assert bad.count() == 0
+
+    def test_schema(self, spark):
+        pages = synth_pages(spark, 10)
+        assert [f.name for f in pages.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang",
+        ]
+        assert pages.count() == 10
