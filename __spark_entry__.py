@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dashing_spark.functions import HLL, KLL, TDigest
-from dashing_spark.operators import agg, dist, freq
+from dashing_spark.operators import agg, dedup, dist, freq, multimodal, similarity, text
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 P_HLL = 14
 _HLL_RSE3 = 3 * 1.04 / math.sqrt(1 << P_HLL)  # 3σ relative error bound
@@ -303,6 +307,157 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup queries (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    digests = docs.select("lang", F.md5("text").alias("digest"))
+    return digests.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("digest").alias("n_distinct_digests"),
+    )
+
+
+def q_dedup_tokenset_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs with identical distinct-token sets (order/multiplicity-
+    insensitive duplicates — the fixture has real clusters of these)."""
+    docs = _docs(spark, sf_dir)
+    key = F.sort_array(F.array_distinct(F.split(F.col("text"), " ", -1)))
+    per_doc = docs.select("lang", key.alias("ts"))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("ts").alias("n_tokensets"),
+    )
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup mining, exact-verified: pairs with token-set
+    JI ≥ 0.9. b=32/r=4 ⇒ miss prob at the threshold ≈ 1e-15, so the
+    result matches the exact all-pairs oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(docs, "doc_id", threshold=0.9)
+    return pairs.select("a_id", "b_id", F.round("ji", 9).alias("ji"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard ≥ 0.6, blocked by lang."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", n=3, threshold=0.6, block_cols=("lang",)
+    )
+    return pairs.select("a_id", "b_id", F.round("ji", 9).alias("ji"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3). Not SQL-expressible —
+    driver records the weaker rows-only check; invariants are pytest-
+    gated (test_pipeline_ops.py)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search queries
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk_exact(emb, queries_df, k=3)
+    return out.select("q_id", "n_id", F.round("cos", 5).alias("cos"), "rank")
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine pairs ≥ 0.4 (the verify baseline the
+    LSH-bucketed variant is measured against in tests)."""
+    emb = _embeddings(spark, sf_dir)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a_id") < F.col("b_id"))
+    from dashing_spark.operators.similarity import _cos_expr
+
+    pairs = pairs.withColumn("cos", _cos_expr(F.col("av"), F.col("bv")))
+    return (
+        pairs.filter(F.col("cos") >= 0.4)
+        .select("a_id", "b_id", F.round("cos", 5).alias("cos"))
+    )
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (recall tested vs brute force in
+    pytest; no SQL oracle — approximate by design)."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.lsh_cosine_topk(emb, k=3, n_planes=3, n_tables=10)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis queries
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return text.token_stats(docs, ["lang"]).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "avg_tokens_per_doc",
+        F.round("avg_ttr", 5).alias("avg_ttr"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    scored = text.quality_score(docs)
+    return scored.select(
+        "doc_id", "n_tokens", "digit_ratio", "stopword_ratio", "quality"
+    )
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pred = text.lang_id_predict(docs)
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = text.md5_fingerprints(docs, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return fp.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+    )
+
+
+def q_winnowing_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (rows-only: custom hashing)."""
+    docs = _docs(spark, sf_dir)
+    fp = text.winnowing_fingerprints(docs, "doc_id")
+    joined = fp.join(docs.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("fingerprints")).alias("total_fps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing query
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    media = multimodal.media_from_documents(docs)
+    return multimodal.payload_stats(media)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -326,6 +481,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mash_containment_pairs": q_mash_containment_pairs,
         "topk_neighbors_lang": q_topk_neighbors_lang,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+        "dedup_exact_by_lang": q_dedup_exact_by_lang,
+        "dedup_tokenset_by_lang": q_dedup_tokenset_by_lang,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "quality_scores": q_quality_scores,
+        "lang_id_confusion": q_lang_id_confusion,
+        "fingerprint_stats": q_fingerprint_stats,
+        "winnowing_fp_stats": q_winnowing_fp_stats,
+        "multimodal_payload_stats": q_multimodal_payload_stats,
     }
 
 
@@ -471,5 +640,148 @@ def oracle_sql() -> dict[str, str]:
                    true AS whll_ok
             FROM m JOIN tot ta ON ta.lang = m.a_key
                    JOIN tot tb ON tb.lang = m.b_key
+        """,
+        "dedup_exact_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct_digests
+            FROM documents GROUP BY lang
+        """,
+        "dedup_tokenset_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT CAST(list_sort(list_distinct(
+                       string_split(text, ' '))) AS VARCHAR)) AS n_tokensets
+            FROM documents GROUP BY lang
+        """,
+        "minhash_lsh_dedup": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS it
+                FROM documents
+            ),
+            sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+            i AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS t2
+                FROM toks a JOIN toks b ON a.it = b.it AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id, b_id,
+                   round(CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2), 9) AS ji
+            FROM i JOIN sz sa ON sa.doc_id = i.a_id
+                   JOIN sz sb ON sb.doc_id = i.b_id
+            WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.9
+        """,
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+                SELECT doc_id, lang,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(text) - 2, 0) + 1),
+                           i -> substring(text, i::INT, 3)))) AS it
+                FROM documents
+            ),
+            sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
+            i AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS t2
+                FROM g a JOIN g b
+                  ON a.it = b.it AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id, b_id,
+                   round(CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2), 9) AS ji
+            FROM i JOIN sz sa ON sa.doc_id = i.a_id
+                   JOIN sz sb ON sb.doc_id = i.b_id
+            WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.6
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 20),
+            r AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv
+                  FROM embeddings),
+            p AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS cos
+                  FROM q CROSS JOIN r WHERE q_id != n_id),
+            t AS (SELECT q_id, n_id, cos,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY cos DESC, n_id ASC) AS rank
+                  FROM p)
+            SELECT q_id, n_id, round(cos, 5) AS cos, rank
+            FROM t WHERE rank <= 3
+        """,
+        "embedding_near_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(a.v, b.v), 5) AS cos
+            FROM e a CROSS JOIN e b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "token_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   round(avg(n_tok), 6) AS avg_tokens_per_doc,
+                   round(round(avg(CAST(n_uniq AS DOUBLE) / n_tok), 6), 5)
+                       AS avg_ttr
+            FROM (SELECT lang,
+                         len(string_split(text, ' ')) AS n_tok,
+                         len(list_distinct(string_split(text, ' '))) AS n_uniq
+                  FROM documents)
+            GROUP BY lang
+        """,
+        "quality_scores": """
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS nc,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       round((length(text) - length(regexp_replace(
+                           text, '[0-9]', '', 'g'))) * 1.0 / length(text), 6)
+                           AS digit_ratio,
+                       round(len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','of','and'], t)))
+                           * 1.0 / len(string_split(text, ' ')), 6)
+                           AS stopword_ratio
+                FROM documents WHERE doc_id < 20
+            )
+            SELECT doc_id, n_tokens, digit_ratio, stopword_ratio,
+                   round(
+                       greatest(least(1.0 - abs(ln(nc + 1.0) - 5.5) / 5.5,
+                                      1.0), 0.0) * 0.5
+                       + greatest(1.0 - digit_ratio * 10, 0.0) * 0.25
+                       + least(stopword_ratio * 5, 1.0) * 0.25, 6) AS quality
+            FROM f
+        """,
+        "lang_id_confusion": """
+            WITH t AS (SELECT doc_id, lang,
+                              list_distinct(string_split(text, ' ')) AS toks
+                       FROM documents),
+            s AS (
+                SELECT doc_id, lang, 'de' AS cand,
+                       len(list_intersect(toks, ['data','table','window','batch'])) AS sc FROM t
+                UNION ALL
+                SELECT doc_id, lang, 'en',
+                       len(list_intersect(toks, ['the','a','value','row'])) FROM t
+                UNION ALL
+                SELECT doc_id, lang, 'es',
+                       len(list_intersect(toks, ['hash','filter','scan','stream'])) FROM t
+                UNION ALL
+                SELECT doc_id, lang, 'fr',
+                       len(list_intersect(toks, ['query','merge','sort','line'])) FROM t
+                UNION ALL
+                SELECT doc_id, lang, 'zh',
+                       len(list_intersect(toks, ['spark','join','key','agg'])) FROM t
+            ),
+            p AS (SELECT doc_id, lang, cand,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY sc DESC, cand ASC) AS rn
+                  FROM s)
+            SELECT lang, cand AS pred_lang, count(*) AS n
+            FROM p WHERE rn = 1 GROUP BY lang, cand
+        """,
+        "fingerprint_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_fingerprints
+            FROM documents GROUP BY lang
+        """,
+        "multimodal_payload_stats": """
+            SELECT 'image' AS kind, count(*) AS n_items,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+            FROM documents
         """,
     }

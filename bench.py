@@ -1,0 +1,177 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "docs_per_sec": ...}
+
+The headline metric mirrors BASELINE.json: documents/sec sketch-build
+throughput (per-lang HLL over the documents table), plus the operator
+suite's per-query wall times. Run `python bench/scaling.py` for the
+N-vs-4N parallelism scaling report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("dashing_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, CPUS)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dashing_spark.functions import HLL, KLL, CountMinSketch
+    from dashing_spark.operators import agg, dedup, dist, freq, similarity, text
+
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    lineitem = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    n_docs = docs.count()  # also warms the JVM/parquet footer cache
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: flagship sketch build — per-lang HLL p=14 over documents
+    run(
+        "q1_hll_sketch_build_lang",
+        lambda: agg.sketch_tokens_by_key(
+            docs, ["lang"], lambda: HLL.empty(14), salt=8
+        ).count(),
+    )
+    # q2: per-source sketch build (more keys)
+    run(
+        "q2_hll_sketch_build_source",
+        lambda: agg.sketch_tokens_by_key(
+            docs, ["source"], lambda: HLL.empty(14), salt=8
+        ).count(),
+    )
+    # q3: union of per-lang sketches + estimate
+    sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(14)).cache()
+    sk.count()
+    run(
+        "q3_union_estimate",
+        lambda: agg.union_all_sketches(sk)
+        .select(agg.estimate_expr()("sketch"))
+        .collect(),
+    )
+    # q4: all-pairs distance matrix over per-source sketches (190 pairs)
+    sks = agg.sketch_tokens_by_key(docs, ["source"], lambda: HLL.empty(14)).cache()
+    sks.count()
+    run(
+        "q4_all_pairs_dist",
+        lambda: dist.all_pairs(
+            sks, ["source"], measures=("ji", "mash_dist", "containment"), ksinv=1 / 3
+        ).count(),
+    )
+    # q5: CMS heavy hitters per lang
+    run(
+        "q5_cms_heavy_hitters",
+        lambda: freq.cms_point_query(
+            freq.top_k_tokens(docs, ["lang"], 10),
+            freq.cms_by_key(docs, ["lang"], lg_width=16, depth=4),
+            ["lang"],
+        ).count(),
+    )
+    # q6: KLL doc-length quantiles per lang
+    run(
+        "q6_kll_quantiles",
+        lambda: agg.sketch_numeric_by_key(docs, ["lang"], lambda: KLL.empty(200), "n_chars")
+        .select(agg.quantile_expr([0.25, 0.5, 0.75, 0.95])("sketch"))
+        .collect(),
+    )
+    # q7: MinHash-LSH near-dup mining (candidates + exact verify)
+    run(
+        "q7_minhash_lsh_dedup",
+        lambda: dedup.minhash_lsh_dedup(docs, "doc_id", threshold=0.9).count(),
+    )
+    # q8: ANN cosine top-k, blocked numpy path, 100 queries
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 100).collect()
+    ]
+    run(
+        "q8_ann_cosine_topk",
+        lambda: similarity.cosine_topk_blocked(emb, qrows, k=10).count(),
+    )
+    # q9: HLL over a precomputed hash column (TPC-H lineitem, JVM hashing)
+    run(
+        "q9_hll_lineitem_partkeys",
+        lambda: agg.sketch_hash_col_by_key(
+            lineitem.withColumn("__h", F.xxhash64("l_partkey")),
+            ["l_returnflag"],
+            lambda: HLL.empty(14),
+            "__h",
+            salt=8,
+        ).count(),
+    )
+    # q10: CMS over events values by type + KLL quantiles
+    run(
+        "q10_events_sketches",
+        lambda: agg.sketch_numeric_by_key(
+            events, ["event_type"], lambda: KLL.empty(200), "value"
+        ).count(),
+    )
+    # q11: text analysis pass (token stats + lang id + quality)
+    run(
+        "q11_text_analysis",
+        lambda: (
+            text.token_stats(docs, ["lang"]).count(),
+            text.lang_id_predict(docs).groupBy("pred_lang").count().count(),
+        ),
+    )
+    # q12: simhash near-dup pairs
+    run(
+        "q12_simhash_near_dups",
+        lambda: dedup.simhash_near_dups(docs, "doc_id", max_hamming=3).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    sketch_docs_per_sec = round(n_docs / timings["q1_hll_sketch_build_lang"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "dashing_spark operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+                "docs_per_sec_sketch_build": sketch_docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

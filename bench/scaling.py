@@ -1,0 +1,123 @@
+"""N-vs-4N parallelism scaling report (north rule).
+
+No real cluster exists in this sandbox, so per BASELINE.md §c the
+two-cluster-size criterion is evidenced by running the identical
+sketch-build job at local[N] and local[4N] on the same input and
+reporting throughput at both plus efficiency = (T_N/T_4N)/4
+(equivalently throughput_4N / (4·throughput_N)).
+
+Usage: python bench/scaling.py [--n 8] [--sf /root/testdata/sf0.1]
+Writes/updates BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = r"""
+import os, sys, time, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from dashing_spark.functions import HLL
+from dashing_spark.operators import agg
+from dashing_spark.sources.tables import synth_pages
+
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+    .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "40g")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+# compute-bound input: JVM-generated pages table, cached in memory so we
+# measure sketch-build compute scaling, not disk or generation
+pages = synth_pages(spark, n_docs).repartition(max(128, cpus * 8)).cache()
+n = pages.count()
+best = None
+for _ in range(reps):
+    t0 = time.time()
+    agg.sketch_tokens_by_key(pages, ["lang"], lambda: HLL.empty(14), salt=8).count()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"cpus": cpus, "sec": round(best, 3),
+                   "docs": n, "docs_per_sec": round(n / best, 1)}}))
+spark.stop()
+"""
+
+
+def run_job(cpus: int, n_docs: int, reps: int = 3) -> dict:
+    script = JOB.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), str(n_docs), str(reps)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n = 8
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for a in sys.argv[1:]:
+        if a.startswith("--n="):
+            n = int(a.split("=")[1])
+        if a.startswith("--sf="):
+            sf = a.split("=")[1]
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
+    lo = run_job(n, n_docs)
+    hi = run_job(4 * n, n_docs)
+    eff = (lo["sec"] / hi["sec"]) / 4.0
+    report = {
+        "job": "per-lang HLL sketch build over JVM-synthesized pages (cached)",
+        "sf": f"synth_pages n={n_docs}",
+        "N_cpus": lo["cpus"],
+        "N_sec": lo["sec"],
+        "N_docs_per_sec": lo["docs_per_sec"],
+        "4N_cpus": hi["cpus"],
+        "4N_sec": hi["sec"],
+        "4N_docs_per_sec": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "target": ">=0.8",
+        "pass": eff >= 0.8,
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(report))
+    md = os.path.join(REPO, "BENCH.md")
+    lines = [
+        "# BENCH — measured throughput & scaling",
+        "",
+        "## N vs 4N parallelism scaling (north rule, BASELINE.md §c)",
+        "",
+        "Same job, same input, two parallelism levels (no real cluster in",
+        "this sandbox — local[N] thread-executors stand in for executors):",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| job | {report['job']} |",
+        f"| input | synth_pages ({lo['docs']} docs, cached in memory) |",
+        f"| local[{lo['cpus']}] wall | {lo['sec']} s ({lo['docs_per_sec']} docs/s) |",
+        f"| local[{hi['cpus']}] wall | {hi['sec']} s ({hi['docs_per_sec']} docs/s) |",
+        f"| scaling efficiency (T_N/T_4N)/4 | **{report['scaling_efficiency']}** |",
+        f"| target | ≥ 0.8 → {'PASS' if report['pass'] else 'FAIL'} |",
+        f"| measured | {report['ts']} |",
+        "",
+        "Latest full-suite bench (per-query seconds): see BENCH JSON emitted",
+        "by `python bench.py` (driver records it as BENCH_r{N}.json).",
+        "",
+    ]
+    with open(md, "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

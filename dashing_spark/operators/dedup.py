@@ -1,0 +1,307 @@
+"""Deduplication operators for training-data pipelines.
+
+No direct dashing counterpart (its unit of comparison is whole files);
+these generalize its MinHash machinery (RANGE_MINHASH / BB_MINHASH,
+/root/reference/src/dashing.h:42,:466-470) to per-document near-duplicate
+mining at web scale:
+
+- exact dedup: md5/xxhash group — one shuffle on the digest;
+- token-set dedup: group by the sorted distinct token array;
+- MinHash + LSH: per-doc signatures (vectorized numpy), banded bucket
+  join for candidates, exact verify on candidates only;
+- SimHash: 64-bit fingerprints, 4×16-bit band join (guarantees recall
+  for Hamming ≤ 3), JVM-side `bit_count(a ^ b)` verify;
+- n-gram Jaccard: exact shingle-set join with length/lang blocking.
+
+Scale notes: candidate generation never materializes the O(n²) pair
+space — LSH buckets and band joins bound it; the verify joins are
+equi-joins on candidate ids (semi-join pruned).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dashing_spark.functions import hashing
+from dashing_spark.functions.simhash import simhash_batch
+from dashing_spark.operators.ship import ensure_shipped
+
+
+# ---------------------------------------------------------------- exact
+def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Group byte-identical documents: (digest, n_docs, min_id keeper)."""
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def tokenset_dup_clusters(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Group documents with identical *distinct token sets* (order/
+    multiplicity-insensitive duplicates)."""
+    key = F.sort_array(F.array_distinct(F.split(F.col(text_col), " ", -1)))
+    return (
+        df.select(id_col, key.alias("tokenset"))
+        .groupBy("tokenset")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 128,
+    shingle_w: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-document MinHash signature (array<long>, length n_hashes).
+
+    Whole-batch numpy: one token-hash pass, then per-permutation rehash
+    + segmented min (np.minimum.reduceat over document boundaries).
+    """
+    ensure_shipped(df.sparkSession)
+    src = df.select(id_col, text_col)
+    id_field = [f for f in src.schema.fields if f.name == id_col][0]
+    schema = T.StructType(
+        [id_field, T.StructField("signature", T.ArrayType(T.LongType()), False)]
+    )
+    seeds = hashing.hash_int_array(
+        np.arange(1, n_hashes + 1, dtype=np.uint64), seed=seed or 0x5EED
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            toks, lens = hashing.tokenize_flat(pdf[text_col])
+            th = hashing.hash_str_array(toks)
+            sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w)
+            ndocs = len(pdf)
+            sig = np.full((ndocs, len(seeds)), np.iinfo(np.uint64).max, dtype=np.uint64)
+            if len(sh):
+                # docs with ≥1 shingle, in doc_idx order
+                starts = np.searchsorted(doc_idx, np.arange(ndocs))
+                present = np.flatnonzero(np.diff(np.append(starts, len(sh))) > 0)
+                for j, s in enumerate(seeds):
+                    with np.errstate(over="ignore"):
+                        rh = hashing.splitmix64(sh ^ s)
+                    mins = np.minimum.reduceat(rh, starts[present])
+                    sig[present, j] = mins
+            out = pdf[[id_col]].copy()
+            out["signature"] = list(sig.view(np.int64))
+            yield out
+
+    return src.mapInPandas(fn, schema=schema)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 32
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of their signature become a
+    candidate pair. Pure DataFrame plan: explode band hashes, self-join
+    on (band, band_hash), a<b, distinct."""
+    n_hashes = len(signatures.select("signature").first()["signature"])
+    rows_per_band = n_hashes // bands
+    band_exprs = [
+        F.xxhash64(
+            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band", "bhash")
+    )
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def exact_ji_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_w: int = 1,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (verify stage).
+
+    Per-doc distinct item *arrays* are joined onto the pair rows and
+    intersected JVM-side (`array_intersect`): cost is O(pairs × set
+    size) with two equi-joins — no token-level join, whose output is
+    O(pairs × intersection) rows and melts down when candidates are
+    dense (e.g. near-dup-heavy corpora). Only candidate docs build
+    arrays (semi-join pruning)."""
+    cand_ids = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    docs = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+    if shingle_w == 1:
+        item_arr = F.array_distinct(F.split(F.col(text_col), " ", -1))
+    else:
+        toks = F.split(F.col(text_col), " ", -1)
+        item_arr = F.array_distinct(
+            F.when(
+                F.size(toks) >= shingle_w,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - shingle_w),
+                    lambda i: F.array_join(F.slice(toks, i + 1, shingle_w), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    sets = docs.select(F.col(id_col).alias("id"), item_arr.alias("items"))
+    out = (
+        pairs.join(
+            sets.select(F.col("id").alias("a_id"), F.col("items").alias("a_items")),
+            "a_id",
+        )
+        .join(
+            sets.select(F.col("id").alias("b_id"), F.col("items").alias("b_items")),
+            "b_id",
+        )
+        .withColumn("t2", F.size(F.array_intersect("a_items", "b_items")))
+        .withColumn(
+            "ji",
+            F.col("t2").cast("double")
+            / (F.size("a_items") + F.size("b_items") - F.col("t2")),
+        )
+    )
+    return out.select("a_id", "b_id", "ji")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    n_hashes: int = 128,
+    bands: int = 32,
+    shingle_w: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs with exact JI ≥ threshold, found via
+    MinHash-LSH candidates + exact verify. With b=32, r=4 the miss
+    probability at JI=0.9 is (1-0.9^4)^32 ≈ 1e-15 — effectively exact."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_w)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    ji = exact_ji_for_pairs(df, cands, id_col, text_col, shingle_w)
+    return ji.filter(F.col("ji") >= threshold)
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text", seed: int = 0
+) -> DataFrame:
+    """64-bit SimHash per document (pandas-side, whole-batch numpy)."""
+    ensure_shipped(df.sparkSession)
+    src = df.select(id_col, text_col)
+    id_field = [f for f in src.schema.fields if f.name == id_col][0]
+    schema = T.StructType([id_field, T.StructField("simhash", T.LongType(), False)])
+
+    def fn(batches):
+        for pdf in batches:
+            toks, lens = hashing.tokenize_flat(pdf[text_col])
+            th = hashing.hash_str_array(toks, seed=seed)
+            doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            sh = simhash_batch(th, doc_idx, len(pdf))
+            out = pdf[[id_col]].copy()
+            out["simhash"] = sh.view(np.int64)
+            yield out
+
+    return src.mapInPandas(fn, schema=schema)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming. Candidates by
+    4×16-bit band equality (pigeonhole: any pair within Hamming ≤ 3
+    shares at least one exact 16-bit band); verify with JVM
+    bit_count(a^b) — no Python in the pair stage."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"__c{b}")
+        for b in range(4)
+    ]
+    banded = fps.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(F.array(*bands)).alias("band", "chunk")
+    )
+    a = banded.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "band", "chunk"
+    )
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- n-gram
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact character-n-gram Jaccard ≥ threshold between documents —
+    JVM-side shingling + equi-join on grams; optional blocking columns
+    (e.g. lang) bound the pair space at scale."""
+    items = df.select(
+        F.col(id_col).alias("id"),
+        *block_cols,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN length({text_col}) >= {n} THEN "
+                    f"transform(sequence(1, length({text_col}) - {n} + 1),"
+                    f" i -> substring({text_col}, i, {n})) "
+                    f"ELSE array() END"
+                )
+            )
+        ).alias("it"),
+    )
+    sizes = items.groupBy("id").agg(F.count("*").alias("sz"))
+    join_keys = ["it", *[c for c in block_cols]]
+    a = items.select(F.col("id").alias("a_id"), *join_keys)
+    b = items.select(F.col("id").alias("b_id"), *join_keys)
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("t2"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+        .join(sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+        .withColumn(
+            "ji", F.col("t2").cast("double") / (F.col("sa") + F.col("sb") - F.col("t2"))
+        )
+    )
+    return out.filter(F.col("ji") >= threshold).select("a_id", "b_id", "ji")

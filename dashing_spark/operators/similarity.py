@@ -1,0 +1,241 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline addition (no dashing counterpart — its nearest
+neighbors run over sketch distances, /root/reference/src/sketch_and_cmp.h:712-783;
+here the vectors are dense embeddings).
+
+Two paths:
+- ``cosine_topk_exact``: brute-force via JVM expressions (zip_with +
+  aggregate) — the exact baseline, oracle-comparable;
+- ``cosine_topk_blocked``: the scale path — queries broadcast as a numpy
+  matrix, one matmul per Arrow batch of references, per-partition
+  partial top-k, final top-k by Window. O(#refs × #queries) FLOPs but
+  only O(#queries × k) rows per partition cross the shuffle;
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — candidates
+  share a signature bucket; recall measured against brute force in
+  tests rather than guaranteed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from dashing_spark.functions import hashing
+from dashing_spark.operators.ship import ensure_shipped
+
+
+def _cos_expr(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def cosine_topk_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (JVM-side arithmetic).
+    Excludes self-pairs; deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    r = embeddings.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    )
+    pairs = q.crossJoin(F.broadcast(r)).filter(F.col("q_id") != F.col("n_id"))
+    pairs = pairs.withColumn("cos", _cos_expr(F.col("q_vec"), F.col("n_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def cosine_topk_blocked(
+    embeddings: DataFrame,
+    query_rows: list[tuple],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: queries as a driver-side (q, d) matrix broadcast into
+    a mapInPandas matmul; partial top-k per partition, exact final top-k.
+
+    query_rows: list of (query_id, vector) — the small side (e.g. a
+    probe batch); references stream through Arrow batches.
+    """
+    ensure_shipped(embeddings.sparkSession)
+    q_ids = np.array([r[0] for r in query_rows], dtype=np.int64)
+    q_mat = np.asarray([r[1] for r in query_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType(), False),
+            T.StructField("n_id", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            r_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            r_mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            r_mat = r_mat / np.linalg.norm(r_mat, axis=1, keepdims=True)
+            sims = q_mat @ r_mat.T  # (q, batch)
+            kk = min(k + 1, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(len(q_ids)), kk)
+            ni = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi],
+                    "n_id": r_ids[ni],
+                    "cos": sims[qi, ni],
+                }
+            )
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+    partial = partial.filter(F.col("q_id") != F.col("n_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: one (table, bucket) row per
+    vector per table. Recall for a pair with bit-agreement prob p is
+    1-(1-p^n_planes)^n_tables — tables trade shuffle volume for recall
+    (Indyk & Motwani / Charikar)."""
+    ensure_shipped(embeddings.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("table", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches):
+        rng = np.random.default_rng(seed)
+        planes = None
+        for pdf in batches:
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if planes is None:
+                planes = rng.standard_normal((mat.shape[1], n_tables * n_planes))
+            bits = (mat @ planes) > 0  # (n, tables*planes)
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy(np.int64)
+            weights = (1 << np.arange(n_planes, dtype=np.int64))
+            out_ids = np.repeat(ids, n_tables)
+            out_tab = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            buckets = (
+                bits.reshape(n, n_tables, n_planes).astype(np.int64) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "table": out_tab,
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only vectors sharing a bucket in any
+    table. Shuffle is a hash partition on (table, bucket); candidate
+    pairs deduped before the cosine. Recall vs brute force is the test
+    gate, n_tables the recall/cost dial."""
+    sig = hyperplane_signatures(
+        embeddings, n_planes, n_tables, seed, id_col, vec_col
+    )
+    a = sig.select(F.col(id_col).alias("q_id"), "table", "bucket")
+    b = sig.select(F.col(id_col).alias("n_id"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pairs = (
+        cand.join(e.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_vec")), "q_id")
+        .join(e.select(F.col(id_col).alias("n_id"), F.col("v").alias("n_vec")), "n_id")
+        .withColumn("cos", _cos_expr(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via
+    multi-table LSH bucketing + exact verify on the candidate pairs.
+    For true near-dups (cos→1) per-table collision prob → 1, so recall
+    is high even with one table; extra tables cover the 0.9s."""
+    sig = hyperplane_signatures(
+        embeddings, n_planes, n_tables, seed, id_col, vec_col
+    )
+    a = sig.select(F.col(id_col).alias("a_id"), "table", "bucket")
+    b = sig.select(F.col(id_col).alias("b_id"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pairs = (
+        cand.join(e.select(F.col(id_col).alias("a_id"), F.col("v").alias("a_vec")), "a_id")
+        .join(e.select(F.col(id_col).alias("b_id"), F.col("v").alias("b_vec")), "b_id")
+        .withColumn("cos", _cos_expr(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.select("a_id", "b_id", "cos")

@@ -1,0 +1,157 @@
+"""Text-analysis operators: token stats, quality scoring, language-ID,
+document fingerprinting. All hot paths are JVM expressions (whole-stage
+codegen); only the winnowing fingerprint needs a pandas batch kernel.
+Training-data-pipeline additions (no dashing counterpart)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dashing_spark.functions import hashing
+from dashing_spark.operators.ship import ensure_shipped
+
+#: marker tokens per language for the n-gram/stopword language-ID
+#: heuristic (deterministic, SQL-expressible so oracles can replicate)
+LANG_MARKERS = {
+    "en": ["the", "a", "value", "row"],
+    "de": ["data", "table", "window", "batch"],
+    "fr": ["query", "merge", "sort", "line"],
+    "es": ["hash", "filter", "scan", "stream"],
+    "zh": ["spark", "join", "key", "agg"],
+}
+
+
+def token_stats(df: DataFrame, key_cols, text_col: str = "text") -> DataFrame:
+    """Per-key token statistics — one pass, all codegen."""
+    toks = F.split(F.col(text_col), " ", -1)
+    per_doc = df.select(
+        *key_cols,
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return per_doc.groupBy(*key_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens_per_doc"),
+        F.round(F.avg(F.col("n_uniq") / F.col("n_tok")), 6).alias("avg_ttr"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token count, mean token
+    length, digit/punct ratios, stopword ratio — deterministic
+    arithmetic, replicable in ANSI SQL."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n_chars = F.length(text_col)
+    n_tok = F.size(toks)
+    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    )
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars.cast("long"),
+            "n_tokens": n_tok.cast("long"),
+            "mean_tok_len": F.round((n_chars - (n_tok - 1)) / n_tok, 6),
+            "digit_ratio": F.round(digits / n_chars, 6),
+            "stopword_ratio": F.round(stop / n_tok, 6),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: rewards mid-length docs and a sane
+    stopword ratio, penalizes digit soup. Weights are arbitrary but
+    deterministic (the shape a C4/Gopher-rule filter takes)."""
+    feat = quality_features(df, text_col)
+    ln = F.log(F.col("n_chars_q") + F.lit(1.0))
+    len_term = F.lit(1.0) - F.abs(ln - F.lit(5.5)) / F.lit(5.5)
+    score = (
+        F.greatest(F.least(len_term, F.lit(1.0)), F.lit(0.0)) * 0.5
+        + F.greatest(F.lit(1.0) - F.col("digit_ratio") * 10, F.lit(0.0)) * 0.25
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.25
+    )
+    return feat.withColumn("quality", F.round(score, 6))
+
+
+def lang_id_predict(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language-ID: score = |distinct tokens ∩ markers| per
+    language, argmax with deterministic tie-break on language name."""
+    toks = F.array_distinct(F.split(F.col(text_col), " ", -1))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(m) for m in ms]))
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ms in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # max by (score desc, lang asc): sort ascending by (-score, lang), take first
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["score"] > b["score"], -1)
+        .when(a["score"] < b["score"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return df.withColumn("pred_lang", best["lang"])
+
+
+def md5_fingerprints(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Whole-document digest fingerprint (JVM md5)."""
+    return df.select(
+        id_col, F.md5(F.col(text_col)).alias("fingerprint")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): k-token
+    rolling hashes, minimum per sliding window, distinct mins kept.
+    Returns (id, fingerprints array<long>) — robust to local edits."""
+    ensure_shipped(df.sparkSession)
+    src = df.select(id_col, text_col)
+    id_field = [f for f in src.schema.fields if f.name == id_col][0]
+    schema = T.StructType(
+        [id_field, T.StructField("fingerprints", T.ArrayType(T.LongType()), False)]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            toks, lens = hashing.tokenize_flat(pdf[text_col])
+            th = hashing.hash_str_array(toks)
+            sh, doc_idx = hashing.shingle_hashes(th, lens, w=k)
+            fps = []
+            if len(sh):
+                order = np.argsort(doc_idx, kind="stable")
+                bounds = np.searchsorted(doc_idx[order], np.arange(len(pdf) + 1))
+            for d in range(len(pdf)):
+                if len(sh) == 0:
+                    fps.append([])
+                    continue
+                seg = sh[order[bounds[d] : bounds[d + 1]]]
+                if len(seg) == 0:
+                    fps.append([])
+                    continue
+                if len(seg) <= window:
+                    mins = np.array([seg.min()])
+                else:
+                    view = np.lib.stride_tricks.sliding_window_view(seg, window)
+                    mins = np.unique(view.min(axis=1))
+                fps.append(np.sort(mins).view(np.int64).tolist())
+            out = pdf[[id_col]].copy()
+            out["fingerprints"] = fps
+            yield out
+
+    return src.mapInPandas(fn, schema=schema)

@@ -1,0 +1,214 @@
+"""Tests for training-data pipeline operators: dedup, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dashing_spark.operators import dedup, multimodal, similarity, text
+from dashing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+class TestDedup:
+    def test_minhash_lsh_recall_vs_exact(self, spark, docs):
+        found = {
+            (r["a_id"], r["b_id"])
+            for r in dedup.minhash_lsh_dedup(docs, "doc_id", threshold=0.9).collect()
+        }
+        # exact all-pairs oracle
+        items = docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(F.split("text", " ", -1))).alias("it"),
+        )
+        sizes = items.groupBy("id").agg(F.count("*").alias("sz"))
+        inter = (
+            items.select(F.col("id").alias("a_id"), "it")
+            .join(items.select(F.col("id").alias("b_id"), "it"), "it")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("t2"))
+        )
+        exact = (
+            inter.join(sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+            .join(sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+            .withColumn("ji", F.col("t2") / (F.col("sa") + F.col("sb") - F.col("t2")))
+            .filter(F.col("ji") >= 0.9)
+        )
+        truth = {(r["a_id"], r["b_id"]) for r in exact.collect()}
+        assert found == truth  # verify stage ⇒ no false positives; LSH ⇒ recall 1 here
+
+    def test_signatures_deterministic(self, spark, docs):
+        a = {
+            r["doc_id"]: tuple(r["signature"])
+            for r in dedup.minhash_signatures(docs, "doc_id").collect()
+        }
+        b = {
+            r["doc_id"]: tuple(r["signature"])
+            for r in dedup.minhash_signatures(docs.repartition(7), "doc_id").collect()
+        }
+        assert a == b
+
+    def test_signature_similarity_estimates_ji(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    " ".join(f"w{i}" for i in range(100)),
+                    " ".join(f"w{i}" for i in range(50, 150)),
+                ],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        sigs = {r["doc_id"]: np.array(r["signature"]) for r in
+                dedup.minhash_signatures(df, "doc_id", n_hashes=256).collect()}
+        est = (sigs[1] == sigs[2]).mean()
+        assert abs(est - 1 / 3) <= 0.12
+
+    def test_simhash_near_dups_symmetric_and_verified(self, spark, docs):
+        out = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3).collect()
+        for r in out:
+            assert r["a_id"] < r["b_id"]
+            assert 0 <= r["hamming"] <= 3
+
+    def test_ngram_pairs_blocked_by_lang(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", n=3, threshold=0.6, block_cols=("lang",)
+        )
+        langs = docs.select("doc_id", "lang")
+        joined = (
+            pairs.join(langs.withColumnRenamed("doc_id", "a_id")
+                       .withColumnRenamed("lang", "a_lang"), "a_id")
+            .join(langs.withColumnRenamed("doc_id", "b_id")
+                  .withColumnRenamed("lang", "b_lang"), "b_id")
+        )
+        assert joined.filter(F.col("a_lang") != F.col("b_lang")).count() == 0
+        assert pairs.filter((F.col("ji") < 0.6) | (F.col("ji") > 1.0)).count() == 0
+
+    def test_exact_and_tokenset_clusters(self, spark, docs):
+        ex = dedup.exact_dup_clusters(docs, "doc_id")
+        assert ex.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+        ts = dedup.tokenset_dup_clusters(docs, "doc_id")
+        assert ts.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+
+class TestSimilarity:
+    def test_blocked_matches_exact(self, spark, emb):
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["q_id"], r["rank"]): r["n_id"]
+            for r in similarity.cosine_topk_exact(emb, queries, k=3).collect()
+        }
+        qrows = [(r["vec_id"], r["embedding"]) for r in queries.collect()]
+        blocked = {
+            (r["q_id"], r["rank"]): r["n_id"]
+            for r in similarity.cosine_topk_blocked(emb.repartition(5), qrows, k=3).collect()
+        }
+        assert blocked == exact
+
+    def test_lsh_recall_reasonable(self, spark, emb):
+        exact = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.cosine_topk_exact(emb, emb, k=3).collect()
+        }
+        approx = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.lsh_cosine_topk(emb, k=3, n_planes=3, n_tables=10).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6  # 3 planes x 10 tables on near-orthogonal vectors
+
+    def test_embedding_near_dups_within_bucket_verified(self, spark, emb):
+        out = similarity.embedding_near_dups(emb, threshold=0.3, n_planes=4, n_tables=6).collect()
+        for r in out:
+            assert r["cos"] >= 0.3
+            assert r["a_id"] < r["b_id"]
+
+
+class TestText:
+    def test_lang_id_deterministic_and_total(self, spark, docs):
+        pred = text.lang_id_predict(docs)
+        assert pred.filter(F.col("pred_lang").isNull()).count() == 0
+        a = pred.groupBy("pred_lang").count().collect()
+        b = text.lang_id_predict(docs.repartition(9)).groupBy("pred_lang").count().collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_quality_bounds(self, spark, docs):
+        q = text.quality_score(docs)
+        bad = q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+        assert bad == 0
+
+    def test_winnowing_robust_to_local_edit(self, spark):
+        import pandas as pd
+
+        base = " ".join(f"tok{i}" for i in range(200))
+        edited = base.replace("tok100", "CHANGED")
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": [base, edited]})
+        )
+        fps = {
+            r["doc_id"]: set(r["fingerprints"])
+            for r in text.winnowing_fingerprints(df, "doc_id").collect()
+        }
+        overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+        assert overlap >= 0.8  # one token edit perturbs few fingerprints
+
+    def test_token_stats_shape(self, spark, docs):
+        out = text.token_stats(docs, ["lang"]).collect()
+        assert {r["lang"] for r in out} == {"en", "de", "fr", "es", "zh"}
+        for r in out:
+            assert r["total_tokens"] >= r["n_docs"] * 10
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self, spark, docs):
+        media = multimodal.media_from_documents(docs)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_features(media)
+
+    def test_fake_decode_plumbing(self, spark, docs):
+        media = multimodal.media_from_documents(docs)
+        feats = multimodal.decode_features(media, dim=16, deterministic_fake=True)
+        rows = feats.collect()
+        assert len(rows) == docs.count()
+        for r in rows[:10]:
+            v = np.array(r["features"])
+            assert v.shape == (16,)
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        # deterministic across partitionings
+        again = multimodal.decode_features(
+            multimodal.media_from_documents(docs.repartition(7)),
+            dim=16,
+            deterministic_fake=True,
+        ).collect()
+        assert {r["media_id"]: tuple(r["features"]) for r in rows} == {
+            r["media_id"]: tuple(r["features"]) for r in again
+        }
+
+    def test_frame_sample_shape(self, spark, docs):
+        media = multimodal.media_from_documents(docs.limit(20))
+        frames = multimodal.frame_sample(media, n_frames=4, frame_bytes=16).collect()
+        assert len(frames) == 20 * 4
+        for r in frames:
+            assert 0 <= r["frame_idx"] < 4
+            assert len(bytes(r["frame"])) <= 16
+
+    def test_payload_stats(self, spark, docs):
+        media = multimodal.media_from_documents(docs)
+        out = multimodal.payload_stats(media).collect()[0]
+        assert out["n_items"] == docs.count()
+        assert out["total_bytes"] > 0

@@ -1,0 +1,73 @@
+"""Physical-plan invariants — the scale-design contract.
+
+These assert properties of the *plan*, not the result: column pruning
+reaches the parquet scan, the two-stage agg shuffles only sketch blobs
+(exactly two exchanges), and the pair stage broadcasts the sketch table.
+A regression here is a 100×-scale performance bug even when results stay
+correct.
+"""
+
+import pytest
+
+from dashing_spark.functions import HLL
+from dashing_spark.operators import agg, dist
+from dashing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPlanInvariants:
+    def test_scan_prunes_to_needed_columns(self, spark, docs):
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+        plan = _plan(sk)
+        read_schemas = [
+            line for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        assert read_schemas, f"no ReadSchema in plan:\n{plan}"
+        # the 5-column table must be scanned as (text, lang) only
+        for rs in read_schemas:
+            assert "doc_id" not in rs
+            assert "n_chars" not in rs
+            assert "source" not in rs
+            assert "text" in rs and "lang" in rs
+
+    def test_two_stage_agg_shuffle_count(self, spark, docs):
+        # unsalted: exactly ONE exchange (partials -> final merge)
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+        assert _plan(sk).count("Exchange hashpartitioning") == 1
+        # salted: exactly TWO (tree level + final)
+        sk2 = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10), salt=4)
+        assert _plan(sk2).count("Exchange hashpartitioning") == 2
+
+    def test_raw_rows_never_shuffle(self, spark, docs):
+        """The exchange inputs must be post-partial (sketch column
+        present) — the document text column never crosses a shuffle."""
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10), salt=2)
+        plan = _plan(sk)
+        before_first_exchange = plan.split("Exchange hashpartitioning")[-1]
+        # below (upstream of) the first exchange sits the MapInPandas partial
+        assert "MapInPandas" in before_first_exchange
+
+    def test_all_pairs_broadcasts_sketch_table(self, spark, docs):
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+        pairs = dist.all_pairs(sk, ["lang"], measures=("ji",))
+        assert "BroadcastNestedLoopJoin" in _plan(pairs) or "BroadcastExchange" in _plan(pairs)
+
+    def test_symmetry_pruning_in_join_condition(self, spark, docs):
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+        pairs = dist.all_pairs(sk, ["lang"], measures=("ji",))
+        n = sk.count()
+        assert pairs.count() == n * (n - 1) // 2

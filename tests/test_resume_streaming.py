@@ -1,0 +1,149 @@
+"""Tests for checkpointed resume (plans.pipeline) and incremental
+streaming sketch maintenance (streaming.incremental)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dashing_spark.functions import HLL
+from dashing_spark.operators import agg
+from dashing_spark.params import SketchParams
+from dashing_spark.plans.pipeline import (
+    build_or_resume_sketch_table,
+    params_fingerprint,
+    partition_lineage,
+)
+from dashing_spark.sources.tables import load_table
+from dashing_spark.streaming.incremental import (
+    estimate_state,
+    incremental_sketch_query,
+    merge_sketch_states,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+class TestCheckpointResume:
+    def test_build_then_resume(self, spark, docs, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        params = SketchParams(p=12)
+        sk1, m1 = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(12), ckpt, params=params, salt=2
+        )
+        assert not m1.resumed
+        assert m1.rows_in == docs.count()
+        assert m1.keys_out == 5
+        assert m1.partial_sketches >= 5
+        assert m1.merges >= 0
+        assert os.path.exists(m1.checkpoint)
+        first = {r["lang"]: bytes(r["sketch"]) for r in sk1.collect()}
+
+        sk2, m2 = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(12), ckpt, params=params
+        )
+        assert m2.resumed
+        assert {r["lang"]: bytes(r["sketch"]) for r in sk2.collect()} == first
+
+    def test_different_params_different_snapshot(self, spark, docs, tmp_path):
+        ckpt = str(tmp_path / "ckpt2")
+        _, m1 = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(12), ckpt, params=SketchParams(p=12)
+        )
+        _, m2 = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(10), ckpt, params=SketchParams(p=10)
+        )
+        assert not m2.resumed
+        assert m1.checkpoint != m2.checkpoint
+        assert params_fingerprint(SketchParams(p=12), ["lang"]) != params_fingerprint(
+            SketchParams(p=10), ["lang"]
+        )
+
+    def test_metrics_json_written(self, spark, docs, tmp_path):
+        ckpt = str(tmp_path / "ckpt3")
+        _, m = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(10), ckpt, params=SketchParams(p=10)
+        )
+        fp = params_fingerprint(SketchParams(p=10), ["lang"])
+        path = os.path.join(ckpt, f"metrics_{fp}.json")
+        assert os.path.exists(path)
+        import json
+
+        loaded = json.loads(open(path).read())
+        assert loaded["rows_in"] == docs.count()
+
+    def test_lineage_covers_all_rows(self, spark, docs):
+        lin = partition_lineage(docs.repartition(6), ["text"])
+        rows = lin.collect()
+        assert sum(r["n_rows"] for r in rows) == docs.count()
+        assert len(rows) == 6
+
+    def test_checkpoint_matches_direct_build(self, spark, docs, tmp_path):
+        ckpt = str(tmp_path / "ckpt4")
+        sk, _ = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(12), ckpt, params=SketchParams(p=12)
+        )
+        direct = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(12))
+        assert {r["lang"]: bytes(r["sketch"]) for r in sk.collect()} == {
+            r["lang"]: bytes(r["sketch"]) for r in direct.collect()
+        }
+
+
+class TestStreaming:
+    def test_incremental_equals_batch(self, spark, docs, tmp_path):
+        src_dir = str(tmp_path / "stream_src")
+        docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        state_dir = str(tmp_path / "state")
+        q = incremental_sketch_query(
+            stream,
+            ["lang"],
+            lambda: HLL.empty(12),
+            state_dir,
+            str(tmp_path / "stream_ckpt"),
+        )
+        q.awaitTermination(120)
+        final = {
+            r["lang"]: bytes(r["sketch"])
+            for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+        }
+        batch = {
+            r["lang"]: bytes(r["sketch"])
+            for r in agg.sketch_tokens_by_key(
+                docs, ["lang"], lambda: HLL.empty(12)
+            ).collect()
+        }
+        assert final == batch  # monoid ⇒ micro-batching invisible
+
+        est = estimate_state(spark, state_dir, ["lang"])
+        exact = {
+            r["lang"]: r["d"]
+            for r in docs.select("lang", F.explode(F.split("text", " ", -1)).alias("t"))
+            .groupBy("lang")
+            .agg(F.countDistinct("t").alias("d"))
+            .collect()
+        }
+        for r in est.collect():
+            assert abs(r["estimate"] - exact[r["lang"]]) <= max(
+                0.05 * exact[r["lang"]], 2.0
+            )
+
+    def test_merge_sketch_states(self, spark, docs):
+        half1 = docs.filter(F.col("doc_id") % 2 == 0)
+        half2 = docs.filter(F.col("doc_id") % 2 == 1)
+        a = agg.sketch_tokens_by_key(half1, ["lang"], lambda: HLL.empty(11))
+        b = agg.sketch_tokens_by_key(half2, ["lang"], lambda: HLL.empty(11))
+        merged = merge_sketch_states(a, b, ["lang"])
+        full = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(11))
+        assert {r["lang"]: bytes(r["sketch"]) for r in merged.collect()} == {
+            r["lang"]: bytes(r["sketch"]) for r in full.collect()
+        }
