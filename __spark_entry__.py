@@ -306,6 +306,40 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readfilt analogue: per-doc containment vs the 'en' reference
+    sketch; exact containment computed JVM-side, sketch scores
+    bound-checked (mean abs err ≤ 0.1)."""
+    from dashing_spark.operators import filter as flt
+
+    docs = _docs(spark, sf_dir)
+    ref_sk = agg.sketch_tokens_by_key(
+        docs.filter(F.col("lang") == "en"), ["lang"], lambda: HLL.empty(10)
+    )
+    ref_blob = bytes(ref_sk.collect()[0]["sketch"])
+    scored = flt.containment_scores(docs, ref_blob, p=10)
+    en_tokens = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(F.split("text", " ", -1)).alias("t"))
+        .agg(F.array_sort(F.collect_set("t")).alias("ref_set"))
+    )
+    exact = (
+        scored.crossJoin(F.broadcast(en_tokens))
+        .withColumn("toks", F.array_distinct(F.split("text", " ", -1)))
+        .withColumn(
+            "c_exact",
+            F.size(F.array_intersect("toks", "ref_set")) / F.size("toks"),
+        )
+    )
+    return exact.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("c_exact") >= 0.9, 1).otherwise(0)).alias("n_pass_exact"),
+        (F.avg(F.abs(F.col("containment") - F.col("c_exact"))) <= 0.1).alias(
+            "sketch_ci_ok"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup queries (training-data pipeline)
 # ---------------------------------------------------------------------------
@@ -457,6 +491,73 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(media)
 
 
+def q_crmh_weighted_ji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting-range-minhash histogram intersection vs exact weighted
+    JI (dashing's CRMH similarity, src/dashing.h:142-144). With k=2048 ≫
+    vocab the bottom-k covers the universe, so the estimate is exact."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dashing_spark.functions import CountingKMV, sketch_from_bytes
+    from dashing_spark.functions.crmh import crmh_histogram_intersection
+
+    docs = _docs(spark, sf_dir)
+    toks = _lang_tokens(docs).withColumn("__h", F.xxhash64("token"))
+    sk = agg.sketch_hash_col_by_key(
+        toks, ["lang"], lambda: CountingKMV.empty(2048), "__h"
+    )
+    c = freq.token_counts(docs, ["lang"])
+    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    a = c.select(F.col("lang").alias("a_key"), "token", F.col("cnt").alias("ca"))
+    b = c.select(F.col("lang").alias("b_key"), "token", F.col("cnt").alias("cb"))
+    smin = (
+        a.join(b, "token")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .groupBy("a_key", "b_key")
+        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
+    )
+    ta = tot.select(F.col("lang").alias("a_key"), F.col("n").alias("na"))
+    tb = tot.select(F.col("lang").alias("b_key"), F.col("n").alias("nb"))
+    exact = (
+        smin.join(ta, "a_key").join(tb, "b_key")
+        .withColumn(
+            "wji",
+            F.col("smin").cast("double") / (F.col("na") + F.col("nb") - F.col("smin")),
+        )
+    )
+    blobs = {r["lang"]: bytes(r["sketch"]) for r in sk.collect()}
+
+    @F.udf(T.DoubleType())
+    def crmh_sim(a_key, b_key):  # 10 pairs — driver-side blobs, tiny
+        return float(
+            crmh_histogram_intersection(
+                sketch_from_bytes(blobs[a_key]), sketch_from_bytes(blobs[b_key])
+            )
+        )
+
+    out = exact.withColumn("crmh", crmh_sim(F.col("a_key"), F.col("b_key")))
+    return out.select(
+        "a_key",
+        "b_key",
+        F.round("wji", 9).alias("wji"),
+        (F.abs(F.col("crmh") - F.col("wji")) <= 0.05).alias("crmh_ok"),
+    )
+
+
+def q_multi_k_mash_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mkdist analogue: mash_dist at k ∈ {2,3,4} per lang pair, per-pair
+    OLS slope vs 1/k (covar_pop/var_pop, all JVM aggregates)."""
+    docs = _docs(spark, sf_dir)
+    mk = dist.multi_k_measures(_lang_tokens(docs), "lang", "token", ks=(2, 3, 4))
+    slopes = dist.mash_slope(mk)
+    return slopes.select(
+        "a_key",
+        "b_key",
+        F.round("slope", 6).alias("slope"),
+        F.round("mean_measure", 6).alias("mean_mash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -481,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mash_containment_pairs": q_mash_containment_pairs,
         "topk_neighbors_lang": q_topk_neighbors_lang,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+        "containment_filter": q_containment_filter,
+        "crmh_weighted_ji_pairs": q_crmh_weighted_ji_pairs,
+        "multi_k_mash_slope": q_multi_k_mash_slope,
         "dedup_exact_by_lang": q_dedup_exact_by_lang,
         "dedup_tokenset_by_lang": q_dedup_tokenset_by_lang,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -640,6 +744,69 @@ def oracle_sql() -> dict[str, str]:
                    true AS whll_ok
             FROM m JOIN tot ta ON ta.lang = m.a_key
                    JOIN tot tb ON tb.lang = m.b_key
+        """,
+        "crmh_weighted_ji_pairs": f"""
+            WITH c AS (SELECT lang, token, count(*) AS cnt
+                       FROM ({_TOKS}) GROUP BY lang, token),
+            tot AS (SELECT lang, sum(cnt) AS n FROM c GROUP BY lang),
+            m AS (
+                SELECT a.lang AS a_key, b.lang AS b_key,
+                       sum(least(a.cnt, b.cnt)) AS smin
+                FROM c a JOIN c b ON a.token = b.token AND a.lang < b.lang
+                GROUP BY 1, 2
+            )
+            SELECT m.a_key, m.b_key,
+                   round(CAST(m.smin AS DOUBLE) / (ta.n + tb.n - m.smin), 9)
+                       AS wji,
+                   true AS crmh_ok
+            FROM m JOIN tot ta ON ta.lang = m.a_key
+                   JOIN tot tb ON tb.lang = m.b_key
+        """,
+        "multi_k_mash_slope": f"""
+            WITH toks AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
+            sizes AS (SELECT lang, count(*) AS sz FROM toks GROUP BY lang),
+            inter AS (
+                SELECT a.lang AS a_key, b.lang AS b_key, count(*) AS t2
+                FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
+                GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT s1.lang AS a_key, s2.lang AS b_key,
+                       CAST(COALESCE(i.t2, 0) AS DOUBLE)
+                       / (s1.sz + s2.sz - COALESCE(i.t2, 0)) AS ji
+                FROM sizes s1 JOIN sizes s2 ON s1.lang < s2.lang
+                LEFT JOIN inter i ON i.a_key = s1.lang AND i.b_key = s2.lang
+            ),
+            mk AS (
+                SELECT a_key, b_key, k,
+                       CASE WHEN ji > 0 THEN -ln(2*ji/(1+ji)) / k
+                            ELSE 1.0 END AS mash
+                FROM m CROSS JOIN (SELECT * FROM (VALUES (2), (3), (4)) t(k))
+            )
+            SELECT a_key, b_key,
+                   round(covar_pop(mash, 1.0/k) / var_pop(1.0/k), 6) AS slope,
+                   round(avg(mash), 6) AS mean_mash
+            FROM mk GROUP BY a_key, b_key
+        """,
+        "containment_filter": """
+            WITH ref AS (
+                SELECT list(DISTINCT token) AS ref_set
+                FROM (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents WHERE lang = 'en')
+            ),
+            perdoc AS (
+                SELECT d.lang,
+                       len(list_intersect(
+                           list_distinct(string_split(d.text, ' ')), r.ref_set))
+                       * 1.0 / len(list_distinct(string_split(d.text, ' ')))
+                           AS c_exact
+                FROM documents d CROSS JOIN ref r
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN c_exact >= 0.9 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pass_exact,
+                   true AS sketch_ci_ok
+            FROM perdoc GROUP BY lang
         """,
         "dedup_exact_by_lang": """
             SELECT lang, count(*) AS n_docs,

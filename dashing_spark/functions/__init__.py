@@ -14,6 +14,7 @@ from dashing_spark.functions.bbmh import BBitMinHash
 from dashing_spark.functions.simhash import simhash_batch
 from dashing_spark.functions.kll import KLL
 from dashing_spark.functions.tdigest import TDigest
+from dashing_spark.functions.crmh import CountingKMV
 from dashing_spark.functions.serde import sketch_from_bytes
 
 __all__ = [
@@ -26,5 +27,6 @@ __all__ = [
     "simhash_batch",
     "KLL",
     "TDigest",
+    "CountingKMV",
     "sketch_from_bytes",
 ]

@@ -79,6 +79,108 @@ def tokenize_flat(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return flat, lengths
 
 
+# precomputed powers of an odd 64-bit multiplier for the byte-polynomial
+_POLY_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+_POW_TABLE = np.empty(256, dtype=np.uint64)
+_POW_TABLE[0] = np.uint64(1)
+with np.errstate(over="ignore"):
+    for _i in range(1, 256):
+        _POW_TABLE[_i] = _POW_TABLE[_i - 1] * _POLY_P
+
+
+def hash_tokens_arrow(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize + hash a pyarrow StringArray directly from its buffers.
+
+    Returns (token_hashes uint64, tokens_per_doc int64). Tokens are the
+    single-space-separated segments of each string (split(' ')
+    semantics). The entire kernel is numpy over the Arrow data buffer —
+    NO Python string objects and NO JVM string garbage, which is what
+    keeps the hot path memory-bandwidth-flat at high core counts.
+
+    Token hash = splitmix64(polyhash(bytes) ^ splitmix64(len)), where
+    polyhash = Σ (byte+1)·P^pos (wrapping uint64). Deterministic across
+    runs/platforms. Caveat vs split(' '): a trailing space's empty token
+    and the single empty token of an empty string are not emitted; with
+    set/sketch semantics this only drops the empty-string item.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        parts = [hash_tokens_arrow(c, seed) for c in arr.chunks]
+        if not parts:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    b = data[lo:hi]
+    total = hi - lo
+    doc_lens_bytes = np.diff(offs)
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+    is_space = b == 32
+    # token starts: doc starts + byte-after-space. Avoid materializing a
+    # per-byte doc_id (8 B/byte of traffic): doc starts are just the
+    # offsets, and per-byte ops stay int8/bool.
+    starts = np.zeros(total, dtype=bool)
+    starts[1:] = is_space[:-1]
+    doc_start = offs[:-1] - lo
+    starts[doc_start[doc_start < total]] = True  # idempotent for empty docs
+    start_pos = np.flatnonzero(starts)
+    token_ids = np.cumsum(starts.astype(np.int64))
+    token_ids -= 1
+    pos_in_tok = np.arange(total, dtype=np.int64)
+    pos_in_tok -= start_pos[token_ids]
+    np.clip(pos_in_tok, 0, 255, out=pos_in_tok)
+    with np.errstate(over="ignore"):
+        contrib = _POW_TABLE[pos_in_tok]
+        contrib *= b.astype(np.uint64) + np.uint64(1)
+        contrib[is_space] = np.uint64(0)
+        # segmented sums via cumsum-difference (reduceat is ~100ns per
+        # segment — a Python-C loop — while cumsum+gather is vectorized;
+        # wrapping uint64 arithmetic keeps the differences exact)
+        end_idx = np.empty(len(start_pos), dtype=np.int64)
+        end_idx[:-1] = start_pos[1:] - 1
+        end_idx[-1] = total - 1
+        csum = np.cumsum(contrib)
+        sums = csum[end_idx]
+        nz = start_pos > 0
+        sums[nz] -= csum[start_pos[nz] - 1]
+        clen = np.cumsum((~is_space).view(np.uint8).astype(np.int64))
+        tok_lens = clen[end_idx]
+        tok_lens[nz] -= clen[start_pos[nz] - 1]
+        h = splitmix64(sums ^ splitmix64(tok_lens.astype(np.uint64)))
+        if seed:
+            h = splitmix64(h ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    # tokens per doc = token starts within [offs[i], offs[i+1])
+    counts = np.diff(np.searchsorted(start_pos, offs - lo)).astype(np.int64)
+    return h, counts
+
+
+def flatten_hash_arrays(arrays) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a pandas Series of int64 hash arrays (Arrow list<long>)
+    into (flat uint64, doc_lengths). The fast path used when token
+    hashing ran JVM-side (xxhash64 in codegen) — no Python string
+    objects are ever created."""
+    lengths = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+    if lengths.sum() == 0:
+        return np.empty(0, dtype=np.uint64), lengths
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrays])
+    return flat.view(np.uint64), lengths
+
+
 def shingle_hashes(
     token_hashes: np.ndarray,
     doc_lengths: np.ndarray,

@@ -16,6 +16,7 @@ from dashing_spark.functions.kmv import KMV
 from dashing_spark.functions.bbmh import BBitMinHash
 from dashing_spark.functions.kll import KLL
 from dashing_spark.functions.tdigest import TDigest
+from dashing_spark.functions.crmh import CountingKMV
 
 _MAGIC = b"DSH1"
 
@@ -27,6 +28,7 @@ _REGISTRY = {
     5: BBitMinHash,
     6: KLL,
     7: TDigest,
+    8: CountingKMV,
 }
 
 

@@ -39,6 +39,19 @@ SKETCH_COL = "sketch"
 _PART_COL = "__src_part"
 
 
+def token_hashes_col(text_col: str, seed: int = 0):
+    """array<long> of 64-bit token hashes, computed ENTIRELY JVM-side
+    (split + xxhash64 inside whole-stage codegen). Python/Arrow only
+    ever sees int64 arrays — no per-token Python string objects, which
+    is the difference between allocator-bound and memory-bandwidth-bound
+    scaling at high core counts."""
+    if seed:
+        return F.expr(
+            f"transform(split({text_col}, ' ', -1), t -> xxhash64(t, {int(seed)}L))"
+        )
+    return F.expr(f"transform(split({text_col}, ' ', -1), t -> xxhash64(t))")
+
+
 def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> list[T.StructField]:
     by_name = {f.name: f for f in df.schema.fields}
     return [by_name[k] for k in key_cols]
@@ -106,8 +119,18 @@ def sketch_tokens_by_key(
     seed: int = 0,
     salt: int | None = None,
     weighted: bool = False,
+    hasher: str = "arrow",
 ) -> DataFrame:
     """One sketch per key over the w-shingle hashes of ``text_col``.
+
+    ``hasher="arrow"`` (default): tokens are hashed by the numpy
+    byte-polynomial kernel directly over Arrow string buffers — zero
+    allocation churn on both sides, best parallel scaling.
+    ``hasher="jvm"``: split+xxhash64 in whole-stage codegen, int64
+    arrays through Arrow — faster single-core on string-heavy rows at
+    the cost of JVM allocation/GC pressure at high core counts.
+    Both are deterministic; sketches from different hashers are not
+    comparable with each other.
 
     ``weighted=True`` feeds hash64(shingle, occurrence_index) instead —
     the reference's multiset/weighted-Jaccard adapter (WeightedSketcher,
@@ -137,16 +160,33 @@ def sketch_tokens_by_key(
         items = items.withColumn("__occ", F.row_number().over(w) - 1)
         items = items.withColumn("__h", F.xxhash64("__ih", "__occ"))
         return sketch_hash_col_by_key(items, key_cols, make_sketch, "__h", salt=salt)
-    src = df.select(*key_cols, text_col)
-    partial_schema = _partial_schema(src, key_cols)
+    # the hot path: raw text ships as Arrow string buffers; tokenizing,
+    # hashing, shingling and sketch updates are whole-batch numpy over
+    # those buffers (hash_tokens_arrow) — no JVM string garbage and no
+    # Python string objects, so throughput scales with cores instead of
+    # being capped by allocator/GC contention
+    if hasher == "jvm":
+        src = df.select(*key_cols, token_hashes_col(text_col).alias("__th"))
+    else:
+        src = df.select(*key_cols, text_col)
+    partial_schema = _partial_schema(src.select(*key_cols), key_cols)
+    n_keys = len(key_cols)
 
     def partial_fn(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(partial_schema)
         acc: dict[tuple, object] = {}
-        for pdf in batches:
-            toks, lens = hashing.tokenize_flat(pdf[text_col])
-            th = hashing.hash_str_array(toks)
+        for rb in batches:
+            if hasher == "jvm":
+                col = rb.column(n_keys)
+                th = col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+                lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
+            else:
+                th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
             sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
-            keys = list(zip(*(pdf[k] for k in key_cols)))
+            keys = list(zip(*(rb.column(i).to_pylist() for i in range(n_keys))))
             codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
             if len(sh):
                 shingle_codes = codes[doc_idx]
@@ -162,9 +202,13 @@ def sketch_tokens_by_key(
                     seg = order[bounds[ci] : bounds[ci + 1]]
                     if len(seg):
                         sk.update_hashes(sh[seg])
-        yield _emit_partials(acc, key_cols)
+        yield pa.RecordBatch.from_pandas(
+            _emit_partials(acc, key_cols),
+            schema=arrow_schema,
+            preserve_index=False,
+        )
 
-    partials = src.mapInPandas(partial_fn, schema=partial_schema)
+    partials = src.mapInArrow(partial_fn, schema=partial_schema)
     return _merge_partials(partials, key_cols, salt)
 
 

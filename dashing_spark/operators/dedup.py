@@ -68,9 +68,11 @@ def minhash_signatures(
     Whole-batch numpy: one token-hash pass, then per-permutation rehash
     + segmented min (np.minimum.reduceat over document boundaries).
     """
+    from dashing_spark.operators.agg import token_hashes_col
+
     ensure_shipped(df.sparkSession)
-    src = df.select(id_col, text_col)
-    id_field = [f for f in src.schema.fields if f.name == id_col][0]
+    src = df.select(id_col, token_hashes_col(text_col).alias("__th"))
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
     schema = T.StructType(
         [id_field, T.StructField("signature", T.ArrayType(T.LongType()), False)]
     )
@@ -80,8 +82,7 @@ def minhash_signatures(
 
     def fn(batches):
         for pdf in batches:
-            toks, lens = hashing.tokenize_flat(pdf[text_col])
-            th = hashing.hash_str_array(toks)
+            th, lens = hashing.flatten_hash_arrays(pdf["__th"])
             sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w)
             ndocs = len(pdf)
             sig = np.full((ndocs, len(seeds)), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -205,15 +206,16 @@ def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str = "text", seed: int = 0
 ) -> DataFrame:
     """64-bit SimHash per document (pandas-side, whole-batch numpy)."""
+    from dashing_spark.operators.agg import token_hashes_col
+
     ensure_shipped(df.sparkSession)
-    src = df.select(id_col, text_col)
-    id_field = [f for f in src.schema.fields if f.name == id_col][0]
+    src = df.select(id_col, token_hashes_col(text_col, seed=seed).alias("__th"))
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
     schema = T.StructType([id_field, T.StructField("simhash", T.LongType(), False)])
 
     def fn(batches):
         for pdf in batches:
-            toks, lens = hashing.tokenize_flat(pdf[text_col])
-            th = hashing.hash_str_array(toks, seed=seed)
+            th, lens = hashing.flatten_hash_arrays(pdf["__th"])
             doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
             sh = simhash_batch(th, doc_idx, len(pdf))
             out = pdf[[id_col]].copy()

@@ -183,6 +183,49 @@ def estimate_cardinalities(
     )
 
 
+def multi_k_measures(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    ks: Sequence[int],
+    measure: str = "mash_dist",
+) -> DataFrame:
+    """`mkdist` sweep (/root/reference/src/mkdistmain.cpp:12-142): the
+    same pairwise DAG per k (here: the distance transform at each k-mer
+    scale), unioned long-format with a `k` column. The reference shells
+    out one subprocess per k; Spark just unions the plans."""
+    parts = []
+    for k in ks:
+        m = exact_pair_measures(df, key_col, item_col, (measure,), ksinv=1.0 / k)
+        parts.append(m.withColumn("k", F.lit(int(k))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def flatten_multi_k(pairs_mk: DataFrame, measure: str, ks: Sequence[int]) -> DataFrame:
+    """`flatten_all` (/root/reference/src/flatten_all.cpp:5-52): stack
+    per-k values into one row per pair (pivot on k)."""
+    return (
+        pairs_mk.groupBy("a_key", "b_key")
+        .pivot("k", [int(k) for k in ks])
+        .agg(F.first(measure))
+    )
+
+
+def mash_slope(pairs_mk: DataFrame, measure: str = "mash_dist") -> DataFrame:
+    """Per-pair OLS slope of measure against 1/k — the generic core of
+    mkdist's per-pair Jukes–Cantor fit (mkmat2jcdistmat,
+    /root/reference/src/background.cpp:102-175), domain model excluded:
+    slope = covar_pop(measure, 1/k) / var_pop(1/k), pure built-in aggs."""
+    withx = pairs_mk.withColumn("invk", F.lit(1.0) / F.col("k"))
+    return withx.groupBy("a_key", "b_key").agg(
+        (F.covar_pop(measure, "invk") / F.var_pop("invk")).alias("slope"),
+        F.avg(measure).alias("mean_measure"),
+    )
+
+
 def exact_pair_measures(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,95 @@
+"""Stream filtering by containment — the `readfilt` analogue.
+
+Reference: the separate readfilt binary builds a tiny HLL per read,
+computes containment against a reference sketch via the joint estimator,
+and emits the read iff ci ≥ cutoff (/root/reference/src/readfilt.cpp:36-139,
+ci = shared/(onlyQ+shared) at :118-121). Spark shape: the reference
+sketch is a broadcast blob; each Arrow batch builds per-row tiny HLLs in
+numpy and filters — the one "streaming point-query" operator in the
+reference, usable verbatim under Structured Streaming (stateless map).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dashing_spark.functions import hashing
+from dashing_spark.functions.hll import HLL
+from dashing_spark.operators.ship import ensure_shipped
+
+
+def containment_scores(
+    df: DataFrame,
+    reference_blob: bytes,
+    text_col: str = "text",
+    p: int = 10,
+    shingle_w: int = 1,
+) -> DataFrame:
+    """Append `containment`: est |doc ∩ ref| / |doc| per row.
+
+    Per-row HLLs at precision p are built whole-batch (np.maximum.at on a
+    (rows, m) register matrix); containment comes from the inclusion–
+    exclusion triple against the broadcast reference registers.
+    """
+    ensure_shipped(df.sparkSession)
+    ref = HLL.from_bytes(bytes(reference_blob))
+    if ref.p != p:
+        ref = ref.fold(p) if ref.p > p else ref
+        if ref.p != p:
+            raise ValueError("reference sketch precision below requested p")
+    ref_regs = ref.regs
+    ref_card = ref.estimate("ertl_improved")
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("containment", T.DoubleType(), False)]
+    )
+    cols = [f.name for f in df.schema.fields]
+    text_idx = cols.index(text_col)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from dashing_spark.functions.compare import hll_estimate_batch
+        from dashing_spark.functions.hll import _bit_length_u64
+
+        m = 1 << p
+        for rb in batches:
+            n = rb.num_rows
+            # same byte-level tokenizer/hasher as the sketch builder, so
+            # doc hashes live in the reference sketch's hash family
+            th, lens = hashing.hash_tokens_arrow(rb.column(text_idx))
+            sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w)
+            regs = np.zeros((n, m), dtype=np.uint8)
+            if len(sh):
+                idx = (sh >> np.uint64(64 - p)).astype(np.int64)
+                rest = sh << np.uint64(p)
+                rank = np.minimum(
+                    np.uint8(64 - p + 1), (65 - _bit_length_u64(rest)).astype(np.uint8)
+                )
+                flat = doc_idx * m + idx
+                np.maximum.at(regs.reshape(-1), flat, rank)
+            doc_card = hll_estimate_batch(regs, p)
+            union = np.maximum(regs, ref_regs[None, :])
+            union_card = hll_estimate_batch(union, p)
+            inter = np.maximum(0.0, doc_card + ref_card - union_card)
+            ci = np.where(doc_card > 0, inter / np.maximum(doc_card, 1e-12), 0.0)
+            out = rb.to_pandas()
+            out["containment"] = np.clip(ci, 0.0, 1.0)
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return df.mapInArrow(fn, schema=out_schema)
+
+
+def filter_by_containment(
+    df: DataFrame,
+    reference_blob: bytes,
+    cutoff: float = 0.5,
+    text_col: str = "text",
+    p: int = 10,
+    shingle_w: int = 1,
+) -> DataFrame:
+    """Keep rows whose containment in the reference ≥ cutoff (readfilt)."""
+    scored = containment_scores(df, reference_blob, text_col, p, shingle_w)
+    return scored.filter(F.col("containment") >= cutoff)

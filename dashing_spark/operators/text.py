@@ -120,17 +120,18 @@ def winnowing_fingerprints(
     """Winnowing document fingerprints (Schleimer et al. 2003): k-token
     rolling hashes, minimum per sliding window, distinct mins kept.
     Returns (id, fingerprints array<long>) — robust to local edits."""
+    from dashing_spark.operators.agg import token_hashes_col
+
     ensure_shipped(df.sparkSession)
-    src = df.select(id_col, text_col)
-    id_field = [f for f in src.schema.fields if f.name == id_col][0]
+    src = df.select(id_col, token_hashes_col(text_col).alias("__th"))
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
     schema = T.StructType(
         [id_field, T.StructField("fingerprints", T.ArrayType(T.LongType()), False)]
     )
 
     def fn(batches):
         for pdf in batches:
-            toks, lens = hashing.tokenize_flat(pdf[text_col])
-            th = hashing.hash_str_array(toks)
+            th, lens = hashing.flatten_hash_arrays(pdf["__th"])
             sh, doc_idx = hashing.shingle_hashes(th, lens, w=k)
             fps = []
             if len(sh):

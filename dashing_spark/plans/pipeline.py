@@ -145,18 +145,22 @@ def _counted_partials(src, key_cols, make_sketch, text_col, params, acc_rows, ac
     from dashing_spark.operators.ship import ensure_shipped
 
     ensure_shipped(src.sparkSession)
-    partial_schema = _partial_schema(src, key_cols)
+    partial_schema = _partial_schema(src.select(*key_cols), key_cols)
     shingle_w, seed = params.shingle_w, params.seed
+    n_keys = len(key_cols)
 
     def partial_fn(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(partial_schema)
         acc: dict[tuple, object] = {}
         n = 0
-        for pdf in batches:
-            n += len(pdf)
-            toks, lens = hashing.tokenize_flat(pdf[text_col])
-            th = hashing.hash_str_array(toks)
+        for rb in batches:
+            n += rb.num_rows
+            th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
             sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
-            keys = list(zip(*(pdf[k] for k in key_cols)))
+            keys = list(zip(*(rb.column(i).to_pylist() for i in range(n_keys))))
             codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
             if len(sh):
                 shingle_codes = codes[doc_idx]
@@ -172,9 +176,11 @@ def _counted_partials(src, key_cols, make_sketch, text_col, params, acc_rows, ac
                         sk.update_hashes(sh[seg])
         acc_rows.add(n)
         acc_partials.add(len(acc))
-        yield _emit_partials(acc, key_cols)
+        yield pa.RecordBatch.from_pandas(
+            _emit_partials(acc, key_cols), schema=arrow_schema, preserve_index=False
+        )
 
-    return src.mapInPandas(partial_fn, schema=partial_schema)
+    return src.mapInArrow(partial_fn, schema=partial_schema)
 
 
 def _counted_merge(partials, key_cols, salt, acc_merges):

@@ -1,0 +1,116 @@
+"""Emission formats — the reference's distance-matrix sinks (§2.1).
+
+dashing emits UT-TSV (default), PHYLIP upper-triangular, full TSV,
+and a packed binary matrix (`EmissionFormat`,
+/root/reference/src/enums.h:25-34; emitters src/sketch_and_cmp.h:798-879;
+binary header = 1 magic byte + u64 nelem, documented at
+src/dashing.cpp:95-99; `printmat` reader src/dashing.cpp:425-452).
+
+In the Spark engine the *native* output is the long-format pair
+DataFrame (write it with `df.write.parquet` at scale); these emitters
+exist for parity/interop and are small-n by construction (a dense n×n
+matrix only makes sense when it fits somewhere), so they collect to the
+driver deliberately.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_BINARY_MAGIC = b"\xde"  # 1-byte magic, as in the reference's format
+
+
+def pairs_to_squareform(
+    pairs: DataFrame, measure: str, keys: list[str] | None = None, diag: float = 1.0
+) -> pd.DataFrame:
+    """Long-format (a_key, b_key, measure) -> dense symmetric matrix
+    (pandas). Small-n utility; mirrors the in-memory DistanceMatrix."""
+    pdf = pairs.select("a_key", "b_key", measure).toPandas()
+    if keys is None:
+        keys = sorted(set(pdf["a_key"]) | set(pdf["b_key"]))
+    idx = {k: i for i, k in enumerate(keys)}
+    n = len(keys)
+    m = np.full((n, n), diag, dtype=np.float32)
+    for a, b, v in pdf.itertuples(index=False):
+        m[idx[a], idx[b]] = v
+        m[idx[b], idx[a]] = v
+    return pd.DataFrame(m, index=keys, columns=keys)
+
+
+def write_ut_tsv(pairs: DataFrame, measure: str, path: str, diag_token: str = "-") -> None:
+    """Upper-triangular TSV, dashing's default emission: header row of
+    labels, each row = label + '-' padding + UT values."""
+    mat = pairs_to_squareform(pairs, measure)
+    keys = list(mat.index)
+    with open(path, "w") as f:
+        f.write("##Names\t" + "\t".join(keys) + "\n")
+        for i, k in enumerate(keys):
+            cells = [diag_token] * (i + 1) + [
+                f"{mat.iloc[i, j]:.6f}" for j in range(i + 1, len(keys))
+            ]
+            f.write(k + "\t" + "\t".join(cells) + "\n")
+
+
+def write_phylip(pairs: DataFrame, measure: str, path: str) -> None:
+    """PHYLIP upper-triangular distance matrix (`-U` in the reference)."""
+    mat = pairs_to_squareform(pairs, measure, diag=0.0)
+    keys = list(mat.index)
+    with open(path, "w") as f:
+        f.write(f"{len(keys)}\n")
+        for i, k in enumerate(keys):
+            vals = [f"{mat.iloc[i, j]:.6f}" for j in range(i + 1, len(keys))]
+            f.write("\t".join([k] + vals) + "\n")
+
+
+def write_packed_binary(pairs: DataFrame, measure: str, path: str) -> list[str]:
+    """Packed UT float32 matrix: 1 magic byte + u64 nelem + n(n-1)/2
+    float32 (row-major upper triangle) — the reference's `-b` format.
+    Returns the key order (labels ship separately, like .labels.gz)."""
+    mat = pairs_to_squareform(pairs, measure)
+    keys = list(mat.index)
+    n = len(keys)
+    tri = np.concatenate(
+        [mat.values[i, i + 1 :] for i in range(n)]
+        or [np.empty(0, dtype=np.float32)]
+    ).astype("<f4")
+    with open(path, "wb") as f:
+        f.write(_BINARY_MAGIC)
+        f.write(struct.pack("<Q", len(tri)))
+        f.write(tri.tobytes())
+    return keys
+
+
+def read_packed_binary(path: str, keys: list[str]) -> pd.DataFrame:
+    """`printmat`: packed binary -> human-readable square DataFrame."""
+    with open(path, "rb") as f:
+        magic = f.read(1)
+        if magic != _BINARY_MAGIC:
+            raise ValueError("bad magic byte in packed matrix")
+        (nelem,) = struct.unpack("<Q", f.read(8))
+        tri = np.frombuffer(f.read(8 * 0 + 4 * nelem), dtype="<f4")
+    n = len(keys)
+    if nelem != n * (n - 1) // 2:
+        raise ValueError(f"nelem {nelem} inconsistent with {n} keys")
+    m = np.ones((n, n), dtype=np.float32)
+    k = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            m[i, j] = m[j, i] = tri[k]
+            k += 1
+    return pd.DataFrame(m, index=keys, columns=keys)
+
+
+def view_registers(sketch_blob: bytes) -> np.ndarray:
+    """`dashing view` (/root/reference/src/dashing.cpp:559-563): dump a
+    sketch blob's register array for debugging."""
+    from dashing_spark.functions.serde import sketch_from_bytes
+
+    sk = sketch_from_bytes(bytes(sketch_blob))
+    for attr in ("regs", "mins", "words", "counts"):
+        if hasattr(sk, attr):
+            return getattr(sk, attr)
+    raise TypeError(f"{type(sk).__name__} has no register array to view")

@@ -18,6 +18,9 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
+    # other modules may have cached this table; a matching logical plan
+    # would substitute InMemoryRelation for the FileScan we assert on
+    spark.catalog.clearCache()
     return load_table(spark, SF, "documents")
 
 
@@ -58,8 +61,12 @@ class TestPlanInvariants:
         sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10), salt=2)
         plan = _plan(sk)
         before_first_exchange = plan.split("Exchange hashpartitioning")[-1]
-        # below (upstream of) the first exchange sits the MapInPandas partial
-        assert "MapInPandas" in before_first_exchange
+        # below (upstream of) the first exchange sits the Arrow partial stage
+        assert (
+            "MapInArrow" in before_first_exchange
+            or "MapInPandas" in before_first_exchange
+            or "PythonMapInArrow" in before_first_exchange
+        )
 
     def test_all_pairs_broadcasts_sketch_table(self, spark, docs):
         sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))

@@ -1,0 +1,110 @@
+"""Tests for emission-format sinks (§2.1) and the readfilt containment
+filter."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dashing_spark.functions import HLL
+from dashing_spark.operators import agg, dist
+from dashing_spark.operators.filter import containment_scores, filter_by_containment
+from dashing_spark.sources import sinks
+from dashing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def pairs(spark, docs):
+    lt = docs.select("lang", F.explode(F.split("text", " ", -1)).alias("token"))
+    return dist.exact_pair_measures(lt, "lang", "token", ("ji",)).cache()
+
+
+class TestSinks:
+    def test_squareform_symmetric(self, spark, pairs):
+        m = sinks.pairs_to_squareform(pairs, "ji")
+        assert m.shape == (5, 5)
+        assert np.allclose(m.values, m.values.T)
+        assert np.allclose(np.diag(m.values), 1.0)
+
+    def test_ut_tsv(self, spark, pairs, tmp_path):
+        path = str(tmp_path / "m.tsv")
+        sinks.write_ut_tsv(pairs, "ji", path)
+        lines = open(path).read().splitlines()
+        assert lines[0].startswith("##Names\t")
+        assert len(lines) == 6  # header + 5 rows
+        assert lines[1].split("\t")[1] == "-"  # diagonal token
+
+    def test_phylip(self, spark, pairs, tmp_path):
+        path = str(tmp_path / "m.phy")
+        sinks.write_phylip(pairs, "ji", path)
+        lines = open(path).read().splitlines()
+        assert lines[0] == "5"
+        assert len(lines) == 6
+
+    def test_packed_binary_roundtrip(self, spark, pairs, tmp_path):
+        path = str(tmp_path / "m.bin")
+        keys = sinks.write_packed_binary(pairs, "ji", path)
+        back = sinks.read_packed_binary(path, keys)
+        orig = sinks.pairs_to_squareform(pairs, "ji", keys=keys)
+        assert np.allclose(back.values, orig.values, atol=1e-6)
+
+    def test_printmat_rejects_bad_magic(self, tmp_path):
+        path = str(tmp_path / "bad.bin")
+        open(path, "wb").write(b"\x00" + b"\x00" * 16)
+        with pytest.raises(ValueError, match="magic"):
+            sinks.read_packed_binary(path, ["a", "b"])
+
+    def test_view_registers(self, spark, docs):
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+        blob = sk.collect()[0]["sketch"]
+        regs = sinks.view_registers(blob)
+        assert regs.shape == (1024,)
+        assert regs.max() > 0
+
+
+class TestContainmentFilter:
+    def test_scores_match_exact(self, spark, docs):
+        ref_sk = agg.sketch_tokens_by_key(
+            docs.filter(F.col("lang") == "en"), ["lang"], lambda: HLL.empty(10)
+        )
+        blob = bytes(ref_sk.collect()[0]["sketch"])
+        scored = containment_scores(docs, blob, p=10)
+        en_tokens = set(
+            r["t"]
+            for r in docs.filter(F.col("lang") == "en")
+            .select(F.explode(F.split("text", " ", -1)).alias("t"))
+            .distinct()
+            .collect()
+        )
+        rows = scored.select("doc_id", "text", "containment").collect()
+        errs = []
+        for r in rows:
+            toks = set(r["text"].split(" "))
+            exact = len(toks & en_tokens) / len(toks)
+            errs.append(abs(r["containment"] - exact))
+        assert np.mean(errs) <= 0.1
+        assert np.max(errs) <= 0.3
+
+    def test_filter_keeps_high_containment(self, spark, docs):
+        ref_sk = agg.sketch_tokens_by_key(
+            docs.filter(F.col("lang") == "en"), ["lang"], lambda: HLL.empty(10)
+        )
+        blob = bytes(ref_sk.collect()[0]["sketch"])
+        kept = filter_by_containment(docs, blob, cutoff=0.5, p=10)
+        assert 0 < kept.count() <= docs.count()
+        assert kept.filter(F.col("containment") < 0.5).count() == 0
+
+    def test_fold_mismatched_reference(self, spark, docs):
+        """Reference at higher precision is folded automatically."""
+        ref_sk = agg.sketch_tokens_by_key(
+            docs.filter(F.col("lang") == "en"), ["lang"], lambda: HLL.empty(14)
+        )
+        blob = bytes(ref_sk.collect()[0]["sketch"])
+        scored = containment_scores(docs, blob, p=10)
+        assert scored.count() == docs.count()
