@@ -491,6 +491,63 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(media)
 
 
+def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via HLL over a JVM-hashed int64
+    column — the non-text input shape (events stream table)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = ev.withColumn("__h", F.xxhash64("user_id"))
+    sk = agg.sketch_hash_col_by_key(src, ["event_type"], lambda: HLL.empty(P_HLL), "__h")
+    est = sk.select("event_type", agg.estimate_expr("ertl_mle")("sketch").alias("est"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_users", _hll_ok(F.col("est"), F.col("exact_users"))
+    )
+
+
+def q_kll_event_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles over the events value column per event type."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sk = agg.sketch_numeric_by_key(ev, ["event_type"], lambda: KLL.empty(200), "value")
+    qhat = sk.select(
+        "event_type",
+        F.posexplode(agg.quantile_expr(list(QUANTILE_PS))("sketch")).alias("pi", "qhat"),
+    )
+    ps = F.array(*[F.lit(p) for p in QUANTILE_PS])
+    qhat = qhat.withColumn("p", F.element_at(ps, F.col("pi") + 1)).drop("pi")
+    ranks = (
+        ev.join(qhat, "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.when(F.col("value") < F.col("qhat"), 1).otherwise(0))
+             / F.count("*")).alias("rank_lt"),
+            (F.sum(F.when(F.col("value") <= F.col("qhat"), 1).otherwise(0))
+             / F.count("*")).alias("rank_le"),
+        )
+    )
+    ok = (F.col("p") >= F.col("rank_lt") - RANK_EPS) & (
+        F.col("p") <= F.col("rank_le") + RANK_EPS
+    )
+    return ranks.select("event_type", "p", "n_events", ok.alias("kll_ok"))
+
+
+def q_hll_card_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch_by_seq analogue: one sketch per document (doc_id < 50)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    sk = agg.sketch_tokens_by_key(docs, ["doc_id"], lambda: HLL.empty(12))
+    est = sk.select("doc_id", agg.estimate_expr("ertl_mle")("sketch").alias("est"))
+    exact = (
+        docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("t").alias("exact_distinct"))
+    )
+    return est.join(exact, "doc_id").select(
+        "doc_id", "exact_distinct", _hll_ok(F.col("est"), F.col("exact_distinct"))
+    )
+
+
 def q_crmh_weighted_ji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counting-range-minhash histogram intersection vs exact weighted
     JI (dashing's CRMH similarity, src/dashing.h:142-144). With k=2048 ≫
@@ -583,6 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_neighbors_lang": q_topk_neighbors_lang,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "containment_filter": q_containment_filter,
+        "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
+        "kll_event_values_by_type": q_kll_event_values_by_type,
+        "hll_card_by_doc": q_hll_card_by_doc,
         "crmh_weighted_ji_pairs": q_crmh_weighted_ji_pairs,
         "multi_k_mash_slope": q_multi_k_mash_slope,
         "dedup_exact_by_lang": q_dedup_exact_by_lang,
@@ -744,6 +804,23 @@ def oracle_sql() -> dict[str, str]:
                    true AS whll_ok
             FROM m JOIN tot ta ON ta.lang = m.a_key
                    JOIN tot tb ON tb.lang = m.b_key
+        """,
+        "hll_distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   true AS hll_ok
+            FROM events GROUP BY event_type
+        """,
+        "kll_event_values_by_type": f"""
+            SELECT event_type, p, count(*) AS n_events, true AS kll_ok
+            FROM events CROSS JOIN ({_QP_VALUES})
+            GROUP BY event_type, p
+        """,
+        "hll_card_by_doc": """
+            SELECT doc_id, count(DISTINCT token) AS exact_distinct,
+                   true AS hll_ok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE doc_id < 50)
+            GROUP BY doc_id
         """,
         "crmh_weighted_ji_pairs": f"""
             WITH c AS (SELECT lang, token, count(*) AS cnt

@@ -15,6 +15,7 @@ from dashing_spark.functions.simhash import simhash_batch
 from dashing_spark.functions.kll import KLL
 from dashing_spark.functions.tdigest import TDigest
 from dashing_spark.functions.crmh import CountingKMV
+from dashing_spark.functions.hmh import HyperMinHash
 from dashing_spark.functions.serde import sketch_from_bytes
 
 __all__ = [
@@ -28,5 +29,6 @@ __all__ = [
     "KLL",
     "TDigest",
     "CountingKMV",
+    "HyperMinHash",
     "sketch_from_bytes",
 ]

@@ -17,6 +17,7 @@ from dashing_spark.functions.bbmh import BBitMinHash
 from dashing_spark.functions.kll import KLL
 from dashing_spark.functions.tdigest import TDigest
 from dashing_spark.functions.crmh import CountingKMV
+from dashing_spark.functions.hmh import HyperMinHash
 
 _MAGIC = b"DSH1"
 
@@ -29,6 +30,7 @@ _REGISTRY = {
     6: KLL,
     7: TDigest,
     8: CountingKMV,
+    9: HyperMinHash,
 }
 
 

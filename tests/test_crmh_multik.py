@@ -78,3 +78,71 @@ class TestMultiK:
         for r in slopes:
             base = by_pair[(r["a_key"], r["b_key"])]["mash_dist"] * 2
             assert r["slope"] == pytest.approx(base, rel=1e-6)
+
+
+class TestHyperMinHash:
+    def test_cardinality_within_bound(self):
+        import math
+
+        from dashing_spark.functions import HyperMinHash, hashing
+
+        for n in (1000, 200_000):
+            s = HyperMinHash.empty(12, 6).update_hashes(
+                hashing.hash_int_array(np.arange(n))
+            )
+            assert abs(s.estimate() - n) / n <= 3 * 1.04 / math.sqrt(1 << 12)
+
+    def test_jaccard_accuracy(self):
+        from dashing_spark.functions import HyperMinHash, hashing
+        from dashing_spark.functions.hmh import hmh_jaccard
+
+        n = 100_000
+        for shift in (n // 10, n // 3, n // 2):
+            A = hashing.hash_int_array(np.arange(n))
+            B = hashing.hash_int_array(np.arange(shift, n + shift))
+            sa = HyperMinHash.empty(12, 6).update_hashes(A)
+            sb = HyperMinHash.empty(12, 6).update_hashes(B)
+            true = (n - shift) / (n + shift)
+            assert abs(hmh_jaccard(sa, sb) - true) <= 0.05
+
+    def test_merge_bit_identical(self, rng):
+        from dashing_spark.functions import HyperMinHash, hashing, sketch_from_bytes
+
+        h = hashing.hash_int_array(np.arange(60_000))
+        ref = HyperMinHash.empty(11, 5).update_hashes(h)
+        parts = np.array_split(h, 8)
+        acc = HyperMinHash.empty(11, 5)
+        for i in rng.permutation(8):
+            acc.merge(HyperMinHash.empty(11, 5).update_hashes(parts[i]))
+        assert acc == ref
+        assert sketch_from_bytes(ref.to_bytes()) == ref
+
+    def test_spark_two_stage(self, spark):
+        from pyspark.sql import functions as F
+
+        from dashing_spark.functions import HyperMinHash
+        from dashing_spark.operators import agg, dist
+        from dashing_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF, "documents")
+        sk = agg.sketch_tokens_by_key(
+            docs, ["lang"], lambda: HyperMinHash.empty(12, 6), salt=2
+        )
+        est = {
+            r["lang"]: r["e"]
+            for r in sk.select("lang", agg.estimate_expr()("sketch").alias("e")).collect()
+        }
+        exact = {
+            r["lang"]: r["d"]
+            for r in docs.select("lang", F.explode(F.split("text", " ", -1)).alias("t"))
+            .groupBy("lang")
+            .agg(F.countDistinct("t").alias("d"))
+            .collect()
+        }
+        for lang, d in exact.items():
+            assert abs(est[lang] - d) <= max(0.05 * d, 2.0)
+        # pair kernel falls back to set_triple_any for HMH blobs
+        pairs = dist.all_pairs(sk, ["lang"], measures=("ji",)).collect()
+        assert len(pairs) == 10
+        for r in pairs:
+            assert 0.0 <= r["ji"] <= 1.0
