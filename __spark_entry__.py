@@ -421,6 +421,13 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (scale path; approximate by design —
+    recall vs brute force is pytest-gated, no SQL oracle)."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.ivf_topk(emb, k=3, n_centroids=16, nprobe=4)
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (recall tested vs brute force in
     pytest; no SQL oracle — approximate by design)."""
@@ -653,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_scores": q_quality_scores,
         "lang_id_confusion": q_lang_id_confusion,

@@ -205,6 +205,120 @@ def lsh_cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_cap: int = 10_000,
+    iters: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: spherical k-means on a driver-side
+    sample (numpy, deterministic seed). The centroid matrix is tiny
+    (n_centroids × dim) and broadcasts into the assignment kernel."""
+    # deterministic sample: smallest ids (limit() order depends on
+    # partitioning, which would make the quantizer nondeterministic)
+    id_cols = [c for c in embeddings.columns if c != vec_col][:1]
+    sample = (
+        embeddings.select(*id_cols, vec_col)
+        .orderBy(*id_cols)
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids (one row per
+    (vector, list) membership). Blocked matmul per Arrow batch."""
+    ensure_shipped(embeddings.sparkSession)
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(np.int64)
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cent.T
+            k = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, k),
+                    "list_id": top.astype(np.int32).ravel(),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate self-top-k: queries probe their `nprobe` nearest
+    inverted lists; candidates share a list; exact cosine + Window
+    top-k on candidates only. Shuffle is a hash partition on list_id —
+    the standard coarse-quantizer ANN shape (vs. the data-independent
+    LSH variant). Recall measured against brute force in tests."""
+    cent = train_ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
+    # reference vectors live in exactly their nearest list; queries probe nprobe
+    ref = ivf_assignments(embeddings, cent, nprobe=1, id_col=id_col, vec_col=vec_col)
+    qry = ivf_assignments(embeddings, cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+    cand = (
+        qry.select(F.col(id_col).alias("q_id"), "list_id")
+        .join(ref.select(F.col(id_col).alias("n_id"), "list_id"), "list_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pairs = (
+        cand.join(e.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_vec")), "q_id")
+        .join(e.select(F.col(id_col).alias("n_id"), F.col("v").alias("n_vec")), "n_id")
+        .withColumn("cos", _cos_expr(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.98,

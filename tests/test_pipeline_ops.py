@@ -212,3 +212,29 @@ class TestMultimodal:
         out = multimodal.payload_stats(media).collect()[0]
         assert out["n_items"] == docs.count()
         assert out["total_bytes"] > 0
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, spark, emb):
+        exact = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.cosine_topk_exact(emb, emb, k=3).collect()
+        }
+        approx = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.ivf_topk(emb, k=3, n_centroids=16, nprobe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.4  # near-random 64-dim vectors; see BENCH notes
+
+    def test_ivf_deterministic(self, spark, emb):
+        a = sorted(map(tuple, similarity.ivf_topk(emb, k=2, n_centroids=8, nprobe=2).collect()))
+        b = sorted(map(tuple, similarity.ivf_topk(
+            emb.repartition(7), k=2, n_centroids=8, nprobe=2).collect()))
+        assert a == b
+
+    def test_assignments_cover_all_vectors(self, spark, emb):
+        cent = similarity.train_ivf_centroids(emb, n_centroids=8)
+        assert cent.shape[1] == 64
+        asg = similarity.ivf_assignments(emb, cent, nprobe=1)
+        assert asg.select("vec_id").distinct().count() == emb.count()
