@@ -223,7 +223,6 @@ def q_jaccard_pairs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full measure family from exact set triples (result_cmp semantics)."""
     docs = _docs(spark, sf_dir)
-    ksinv = 1.0 / 3.0  # k=3 shingle convention for the distance transforms
     exact = dist.exact_pair_measures(
         _lang_tokens(docs),
         "lang",
@@ -235,7 +234,7 @@ def q_mash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_dist",
             "symmetric_containment",
         ),
-        ksinv=ksinv,
+        k=3.0,  # k=3 shingle convention; divide-by-k matches the oracle SQL
     )
     return exact.select(
         "a_key",
@@ -245,6 +244,59 @@ def q_mash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment", 6).alias("containment"),
         F.round("containment_dist", 6).alias("containment_dist"),
         F.round("symmetric_containment", 6).alias("symmetric_containment"),
+    )
+
+
+def _sketch_ji_pairs(
+    spark: SparkSession, sf_dir: str, make_sketch, ok_name: str, tol: float
+) -> DataFrame:
+    """Shared shape for the non-HLL minhash-family pair queries: exact JI
+    (hash-gated) + sketch-estimate bound boolean, mirroring
+    jaccard_pairs_lang. Covers the reference's `dist` sketch-type modes
+    (/root/reference/src/dashing.h:42,466-470,495)."""
+    docs = _docs(spark, sf_dir)
+    exact = dist.exact_pair_measures(_lang_tokens(docs), "lang", "token", ("ji",))
+    sk = agg.sketch_tokens_by_key(docs, ["lang"], make_sketch)
+    est = dist.all_pairs(sk, ["lang"], measures=("ji",)).select(
+        F.col("a_lang").alias("a_key"),
+        F.col("b_lang").alias("b_key"),
+        F.col("ji").alias("ji_est"),
+    )
+    out = exact.join(est, ["a_key", "b_key"])
+    return out.select(
+        "a_key",
+        "b_key",
+        F.round("ji", 9).alias("ji"),
+        (F.abs(F.col("ji_est") - F.col("ji")) <= tol).alias(ok_name),
+    )
+
+
+def q_kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`--use-range-minhash` dist mode (bottom-k KMV). σ(JI) ≈
+    sqrt(J(1-J)/k) ≤ 0.016 at k=1024; bound at 0.05 ≈ 3σ+slack."""
+    from dashing_spark.functions.kmv import KMV
+
+    return _sketch_ji_pairs(spark, sf_dir, lambda: KMV.empty(1024), "kmv_ji_ok", 0.05)
+
+
+def q_bbmh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`--use-bb-minhash` dist mode (b-bit one-permutation minhash,
+    r=4096 buckets, b=16). σ(JI) ≈ sqrt(J(1-J)/r) ≤ 0.008; bound 0.08
+    covers the one-permutation empty-bucket bias at small sets."""
+    from dashing_spark.functions.bbmh import BBitMinHash
+
+    return _sketch_ji_pairs(
+        spark, sf_dir, lambda: BBitMinHash.empty(12, 16), "bbmh_ji_ok", 0.08
+    )
+
+
+def q_hmh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperMinHash dist mode (p=12 buckets, b=10 fractional bits):
+    minhash-style collision JI with HLL-sized registers."""
+    from dashing_spark.functions.hmh import HyperMinHash
+
+    return _sketch_ji_pairs(
+        spark, sf_dir, lambda: HyperMinHash.empty(12, 10), "hmh_ji_ok", 0.08
     )
 
 
@@ -750,6 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_count_tokens_by_lang": q_min_count_tokens_by_lang,
         "jaccard_pairs_lang": q_jaccard_pairs_lang,
         "mash_containment_pairs": q_mash_containment_pairs,
+        "kmv_jaccard_pairs": q_kmv_jaccard_pairs,
+        "bbmh_jaccard_pairs": q_bbmh_jaccard_pairs,
+        "hmh_jaccard_pairs": q_hmh_jaccard_pairs,
         "topk_neighbors_lang": q_topk_neighbors_lang,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "containment_filter": q_containment_filter,
@@ -781,6 +836,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = "SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents"
 _QP_VALUES = "SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(p)"
+
+
+def _ji_pairs_oracle(ok_name: str) -> str:
+    """Exact per-lang-pair JI, shared by every minhash-family dist query."""
+    return f"""
+        WITH toks AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
+        sizes AS (SELECT lang, count(*) AS sz FROM toks GROUP BY lang),
+        inter AS (
+            SELECT a.lang AS a_key, b.lang AS b_key, count(*) AS t2
+            FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT s1.lang AS a_key, s2.lang AS b_key,
+               round(CAST(COALESCE(i.t2, 0) AS DOUBLE)
+                     / (s1.sz + s2.sz - COALESCE(i.t2, 0)), 9) AS ji,
+               true AS {ok_name}
+        FROM sizes s1 JOIN sizes s2 ON s1.lang < s2.lang
+        LEFT JOIN inter i ON i.a_key = s1.lang AND i.b_key = s2.lang
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -878,6 +952,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sci, 6) AS symmetric_containment
             FROM m
         """,
+        "kmv_jaccard_pairs": _ji_pairs_oracle("kmv_ji_ok"),
+        "bbmh_jaccard_pairs": _ji_pairs_oracle("bbmh_ji_ok"),
+        "hmh_jaccard_pairs": _ji_pairs_oracle("hmh_ji_ok"),
         "topk_neighbors_lang": f"""
             WITH toks AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
             sizes AS (SELECT lang, count(*) AS sz FROM toks GROUP BY lang),

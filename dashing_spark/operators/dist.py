@@ -196,7 +196,7 @@ def multi_k_measures(
     out one subprocess per k; Spark just unions the plans."""
     parts = []
     for k in ks:
-        m = exact_pair_measures(df, key_col, item_col, (measure,), ksinv=1.0 / k)
+        m = exact_pair_measures(df, key_col, item_col, (measure,), k=float(k))
         parts.append(m.withColumn("k", F.lit(int(k))))
     out = parts[0]
     for p in parts[1:]:
@@ -231,13 +231,17 @@ def exact_pair_measures(
     key_col: str,
     item_col: str,
     measures: Sequence[str] = ("ji",),
-    ksinv: float = 1.0,
+    k: float = 1.0,
 ) -> DataFrame:
     """Exact-oracle all-pairs measures from raw (key, item) rows — the
     reference's `--use-full-khash-sets` ground-truth mode
     (/root/reference/src/khset64.h:129-141) as a pure DataFrame plan:
     distinct items per key, pairwise intersection via equi-join, set
-    triple by arithmetic. Stays entirely JVM-side."""
+    triple by arithmetic. Stays entirely JVM-side.
+
+    ``k`` is the shingle (k-mer) width. The Mash-family transforms divide
+    by ``k`` (never multiply by a pre-rounded 1/k) so the arithmetic is
+    bit-identical to an ANSI-SQL oracle writing ``-ln(...) / k``."""
     d = df.select(key_col, item_col).distinct()
     sizes = d.groupBy(key_col).agg(F.count("*").alias("sz"))
     a = d.select(F.col(key_col).alias("a_key"), F.col(item_col).alias("it"))
@@ -267,19 +271,21 @@ def exact_pair_measures(
         "symmetric_containment": t2 / (F.least(t0, t1) + t2),
     }
     ji = exprs["ji"]
+    kk = F.lit(float(k))
+    ksinv = 1.0 / float(k)  # for pow() exponents: same IEEE double as SQL 1.0/k
     exprs["mash_dist"] = F.when(
-        ji > 0, -F.log(F.lit(2.0) * ji / (F.lit(1.0) + ji)) * ksinv
+        ji > 0, -F.log(F.lit(2.0) * ji / (F.lit(1.0) + ji)) / kk
     ).otherwise(1.0)
     exprs["full_mash_dist"] = F.when(
         ji > 0, F.lit(1.0) - F.pow(F.lit(2.0) * ji / (F.lit(1.0) + ji), F.lit(ksinv))
     ).otherwise(1.0)
     c = exprs["containment"]
-    exprs["containment_dist"] = F.when(c > 0, -F.log(c) * ksinv).otherwise(1.0)
+    exprs["containment_dist"] = F.when(c > 0, -F.log(c) / kk).otherwise(1.0)
     exprs["full_containment_dist"] = F.when(
         c > 0, F.lit(1.0) - F.pow(c, F.lit(ksinv))
     ).otherwise(1.0)
     sci = exprs["symmetric_containment"]
-    exprs["symmetric_containment_dist"] = F.when(sci > 0, -F.log(sci) * ksinv).otherwise(1.0)
+    exprs["symmetric_containment_dist"] = F.when(sci > 0, -F.log(sci) / kk).otherwise(1.0)
     out = pairs.select(
         "a_key", "b_key", *[exprs[ms].alias(ms) for ms in measures]
     )

@@ -54,12 +54,16 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
             if a[c].dtype.kind == "f":
-                eq = np.allclose(av.astype(float), bv.astype(float), atol=1e-6, equal_nan=True)
+                # STRICT: the driver hashes rounded values, so any post-round
+                # difference — even one ulp straddling a rounding boundary —
+                # is a hash mismatch. Require bit-exact equality post-round.
+                af, bf = av.astype(float), bv.astype(float)
+                eq = ((af == bf) | (np.isnan(af) & np.isnan(bf))).all()
             else:
                 eq = (av == bv).all()
             if not eq:
                 bad = (
-                    np.flatnonzero(~np.isclose(av.astype(float), bv.astype(float), atol=1e-6))
+                    np.flatnonzero(av.astype(float) != bv.astype(float))
                     if a[c].dtype.kind == "f"
                     else np.flatnonzero(av != bv)
                 )[:5]
