@@ -300,6 +300,52 @@ def q_hmh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_panel_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query×reference panel (`-Q` mode, rectangular containment —
+    /root/reference/src/dashing.h:660-712, src/sketch_and_cmp.h:792-796)
+    using the Ertl joint-MLE triple estimator (ERTL_JOINT_MLE,
+    src/distmain.cpp:59-62). Queries: per-returnflag orderkey sets;
+    references: per-linestatus orderkey sets."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    qrows = li.select(
+        F.col("l_returnflag").alias("key"), F.xxhash64("l_orderkey").alias("__h")
+    )
+    rrows = li.select(
+        F.col("l_linestatus").alias("key"), F.xxhash64("l_orderkey").alias("__h")
+    )
+    qsk = agg.sketch_hash_col_by_key(qrows, ["key"], lambda: HLL.empty(P_HLL), "__h")
+    rsk = agg.sketch_hash_col_by_key(rrows, ["key"], lambda: HLL.empty(P_HLL), "__h")
+    est = dist.query_reference(
+        qsk, rsk, ["key"], measures=("containment",), estimator="ertl_joint_mle"
+    ).select("a_key", "b_key", F.col("containment").alias("ci_est"))
+    qd = li.select(
+        F.col("l_returnflag").alias("a_key"), F.col("l_orderkey").alias("k")
+    ).distinct()
+    rd = li.select(
+        F.col("l_linestatus").alias("b_key"), F.col("l_orderkey").alias("k")
+    ).distinct()
+    sz = qd.groupBy("a_key").agg(F.count("*").alias("sz"))
+    inter = qd.join(rd, "k").groupBy("a_key", "b_key").agg(F.count("*").alias("t2"))
+    allp = qd.select("a_key").distinct().crossJoin(rd.select("b_key").distinct())
+    ex = (
+        allp.join(sz, "a_key")
+        .join(inter, ["a_key", "b_key"], "left")
+        .fillna({"t2": 0})
+        .select(
+            "a_key",
+            "b_key",
+            (F.col("t2").cast("double") / F.col("sz")).alias("ci"),
+        )
+    )
+    out = ex.join(est, ["a_key", "b_key"])
+    return out.select(
+        "a_key",
+        "b_key",
+        F.round("ci", 9).alias("containment"),
+        (F.abs(F.col("ci_est") - F.col("ci")) <= 0.02).alias("joint_ok"),
+    )
+
+
 def q_topk_neighbors_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """--nearest-neighbors 2 on exact JI (deterministic tie-break)."""
     docs = _docs(spark, sf_dir)
@@ -805,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard_pairs": q_kmv_jaccard_pairs,
         "bbmh_jaccard_pairs": q_bbmh_jaccard_pairs,
         "hmh_jaccard_pairs": q_hmh_jaccard_pairs,
+        "panel_containment": q_panel_containment,
         "topk_neighbors_lang": q_topk_neighbors_lang,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
         "containment_filter": q_containment_filter,
@@ -955,6 +1002,23 @@ def oracle_sql() -> dict[str, str]:
         "kmv_jaccard_pairs": _ji_pairs_oracle("kmv_ji_ok"),
         "bbmh_jaccard_pairs": _ji_pairs_oracle("bbmh_ji_ok"),
         "hmh_jaccard_pairs": _ji_pairs_oracle("hmh_ji_ok"),
+        "panel_containment": """
+            WITH qd AS (SELECT DISTINCT l_returnflag AS a_key, l_orderkey AS k
+                        FROM lineitem),
+            rd AS (SELECT DISTINCT l_linestatus AS b_key, l_orderkey AS k
+                   FROM lineitem),
+            sz AS (SELECT a_key, count(*) AS c FROM qd GROUP BY 1),
+            i AS (SELECT qd.a_key, rd.b_key, count(*) AS t2
+                  FROM qd JOIN rd USING(k) GROUP BY 1, 2)
+            SELECT ak.a_key, bk.b_key,
+                   round(CAST(COALESCE(i.t2, 0) AS DOUBLE) / sz.c, 9)
+                       AS containment,
+                   true AS joint_ok
+            FROM (SELECT DISTINCT a_key FROM qd) ak
+            CROSS JOIN (SELECT DISTINCT b_key FROM rd) bk
+            JOIN sz ON sz.a_key = ak.a_key
+            LEFT JOIN i ON i.a_key = ak.a_key AND i.b_key = bk.b_key
+        """,
         "topk_neighbors_lang": f"""
             WITH toks AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
             sizes AS (SELECT lang, count(*) AS sz FROM toks GROUP BY lang),

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from dashing_spark.functions.compare import (
     DISTANCE_MEASURES,
     compare,
+    hll_joint_triple_batch,
     hll_triple_batch,
     measure_from_triple_batch,
     set_triple_any,
@@ -52,7 +53,15 @@ def _measures_udf(measures: Sequence[str], ksinv: float, estimator: str):
         if n == 0:
             return pd.Series([], dtype=object)
         first = a_blobs.iloc[0]
-        if first[4] == _HLL_TYPE:
+        # the batch fast path requires every blob in the batch to share the
+        # first blob's (type, precision) header; mixed batches (multi-p
+        # tables, heterogeneous sketch columns) take the per-pair fallback
+        homogeneous = all(
+            x is not None and x[4] == first[4] and x[5] == first[5]
+            for blobs in (a_blobs, b_blobs)
+            for x in blobs
+        )
+        if homogeneous and first[4] == _HLL_TYPE:
             p = first[5]
             m = 1 << p
             a_regs = np.frombuffer(
@@ -61,7 +70,10 @@ def _measures_udf(measures: Sequence[str], ksinv: float, estimator: str):
             b_regs = np.frombuffer(
                 b"".join(bytes(x)[6 : 6 + m] for x in b_blobs), dtype=np.uint8
             ).reshape(n, m)
-            t0, t1, t2 = hll_triple_batch(a_regs, b_regs, p)
+            if estimator in ("ertl_joint_mle", "ertl_joint"):
+                t0, t1, t2 = hll_joint_triple_batch(a_regs, b_regs, p)
+            else:
+                t0, t1, t2 = hll_triple_batch(a_regs, b_regs, p)
             cols = [
                 measure_from_triple_batch(t0, t1, t2, ms, ksinv) for ms in measures
             ]
