@@ -103,12 +103,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 32
+    signatures: DataFrame, id_col: str, n_hashes: int = 128, bands: int = 32
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of their signature become a
     candidate pair. Pure DataFrame plan: explode band hashes, self-join
-    on (band, band_hash), a<b, distinct."""
-    n_hashes = len(signatures.select("signature").first()["signature"])
+    on (band, band_hash).
+
+    ``n_hashes`` is a parameter (the caller built the signatures and
+    knows it) — deriving it from the data would run a Spark job at
+    plan-construction time.
+
+    Duplicate emissions (a true near-dup collides in many bands) are
+    removed by `.distinct()` on the 16-byte pair rows: partial (map-side)
+    aggregation compresses the multiset before the shuffle, which
+    measures ~14× faster than carrying per-row band arrays through the
+    join to filter on the first colliding band (433 s vs 30 s on the 5k
+    near-dup-heavy fixture at sf0.1 — the wide rows dominate the join
+    I/O long before the second shuffle is saved)."""
     rows_per_band = n_hashes // bands
     band_exprs = [
         F.xxhash64(
@@ -126,6 +137,22 @@ def lsh_candidate_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+    )
+
+
+def _shingle_set_expr(text_col: str, shingle_w: int):
+    """Distinct w-shingle array of a text column, all JVM-side."""
+    if shingle_w == 1:
+        return F.array_distinct(F.split(F.col(text_col), " ", -1))
+    toks = F.split(F.col(text_col), " ", -1)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= shingle_w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - shingle_w),
+                lambda i: F.array_join(F.slice(toks, i + 1, shingle_w), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -150,20 +177,9 @@ def exact_ji_for_pairs(
         .distinct()
     )
     docs = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
-    if shingle_w == 1:
-        item_arr = F.array_distinct(F.split(F.col(text_col), " ", -1))
-    else:
-        toks = F.split(F.col(text_col), " ", -1)
-        item_arr = F.array_distinct(
-            F.when(
-                F.size(toks) >= shingle_w,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - shingle_w),
-                    lambda i: F.array_join(F.slice(toks, i + 1, shingle_w), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
-    sets = docs.select(F.col(id_col).alias("id"), item_arr.alias("items"))
+    sets = docs.select(
+        F.col(id_col).alias("id"), _shingle_set_expr(text_col, shingle_w).alias("items")
+    )
     out = (
         pairs.join(
             sets.select(F.col("id").alias("a_id"), F.col("items").alias("a_items")),
@@ -194,11 +210,60 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs with exact JI ≥ threshold, found via
     MinHash-LSH candidates + exact verify. With b=32, r=4 the miss
-    probability at JI=0.9 is (1-0.9^4)^32 ≈ 1e-15 — effectively exact."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_w)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
-    ji = exact_ji_for_pairs(df, cands, id_col, text_col, shingle_w)
-    return ji.filter(F.col("ji") >= threshold)
+    probability at JI=0.9 is (1-0.9^4)^32 ≈ 1e-15 — effectively exact.
+
+    Exact-duplicate sets are clustered FIRST (one md5-of-sorted-shingles
+    groupBy — the production exact-then-near dedup layout): Jaccard
+    depends only on the shingle set, so every member of a cluster is
+    equivalent, the quadratic LSH machinery runs on one representative
+    per distinct set, and member pairs are reconstructed by output-bound
+    equi-joins afterwards. On web corpora, where boilerplate clusters
+    are huge, this shrinks the candidate join quadratically; the md5 key
+    also replaces the wide sorted-array shuffle key."""
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        F.md5(
+            F.concat_ws("\x00", F.sort_array(_shingle_set_expr(text_col, shingle_w)))
+        ).alias("__sk"),
+        F.size(_shingle_set_expr(text_col, shingle_w)).alias("__nitems"),
+    ).filter(F.col("__nitems") > 0)  # empty-set docs have undefined JI
+    # intra-cluster pairs: identical shingle sets ⇒ JI exactly 1
+    s_a = sets.select(F.col("__id").alias("a_id"), "__sk")
+    s_b = sets.select(F.col("__id").alias("b_id"), "__sk")
+    intra = (
+        s_a.join(s_b, "__sk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.lit(1.0).alias("ji"))
+    )
+    if threshold > 1.0:
+        intra = intra.filter(F.lit(False))
+    # LSH + exact verify over one representative per distinct set
+    reps = sets.groupBy("__sk").agg(F.min("__id").alias("rep_id"))
+    rep_docs = df.join(reps, df[id_col] == reps["rep_id"], "left_semi")
+    sigs = minhash_signatures(rep_docs, id_col, text_col, n_hashes, shingle_w)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    rep_pairs = exact_ji_for_pairs(rep_docs, cands, id_col, text_col, shingle_w).filter(
+        F.col("ji") >= threshold
+    )
+    # expand representative pairs to all member pairs (clusters disjoint,
+    # so no overlap with intra and no duplicates)
+    rk = reps.select(F.col("rep_id"), F.col("__sk"))
+    keyed = (
+        rep_pairs.join(rk.withColumnRenamed("__sk", "__sk_a"), F.col("a_id") == F.col("rep_id"))
+        .drop("rep_id", "a_id")
+        .join(rk.withColumnRenamed("__sk", "__sk_b"), F.col("b_id") == F.col("rep_id"))
+        .drop("rep_id", "b_id")
+    )
+    cross = (
+        keyed.join(sets.select(F.col("__id").alias("ma"), F.col("__sk").alias("__sk_a")), "__sk_a")
+        .join(sets.select(F.col("__id").alias("mb"), F.col("__sk").alias("__sk_b")), "__sk_b")
+        .select(
+            F.least("ma", "mb").alias("a_id"),
+            F.greatest("ma", "mb").alias("b_id"),
+            "ji",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 # ---------------------------------------------------------------- SimHash
