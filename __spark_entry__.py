@@ -483,11 +483,42 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3). Not SQL-expressible —
-    driver records the weaker rows-only check; invariants are pytest-
-    gated (test_pipeline_ops.py)."""
+    """SimHash banded candidates vs the O(n²) brute-force oracle: the
+    Manku multi-block banding must reproduce the exact Hamming ≤ 3 pair
+    set, and every byte-identical (md5-equal, Hamming 0) pair — which
+    DuckDB can count independently — must be covered."""
     docs = _docs(spark, sf_dir)
-    return dedup.simhash_near_dups(docs, "doc_id", max_hamming=3)
+    banded = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3).select(
+        "a_id", "b_id"
+    )
+    brute = dedup.simhash_bruteforce_pairs(docs, "doc_id", max_hamming=3).select(
+        "a_id", "b_id"
+    )
+    nb = banded.agg(F.count("*").alias("n_banded"))
+    nf = brute.agg(F.count("*").alias("n_brute"))
+    nc = banded.join(brute, ["a_id", "b_id"]).agg(F.count("*").alias("n_common"))
+    md5s = docs.select(F.col("doc_id").alias("id"), F.md5("text").alias("dg"))
+    ex = (
+        md5s.alias("x")
+        .join(
+            md5s.alias("y"),
+            (F.col("x.dg") == F.col("y.dg")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+    )
+    ne = ex.agg(F.count("*").alias("n_exact_dup_pairs"))
+    nec = ex.join(banded, ["a_id", "b_id"]).agg(F.count("*").alias("n_exact_covered"))
+    row = ne.crossJoin(nec).crossJoin(nb).crossJoin(nf).crossJoin(nc)
+    return row.select(
+        "n_exact_dup_pairs",
+        (
+            (F.col("n_banded") == F.col("n_common"))
+            & (F.col("n_brute") == F.col("n_common"))
+        ).alias("banding_matches_bruteforce"),
+        (F.col("n_exact_covered") == F.col("n_exact_dup_pairs")).alias(
+            "exact_pairs_covered"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1211,6 +1242,13 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN sz sa ON sa.doc_id = i.a_id
                    JOIN sz sb ON sb.doc_id = i.b_id
             WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.6
+        """,
+        "simhash_near_dups": """
+            WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents)
+            SELECT count(*)::BIGINT AS n_exact_dup_pairs,
+                   true AS banding_matches_bruteforce,
+                   true AS exact_pairs_covered
+            FROM d a JOIN d b ON a.dg = b.dg AND a.doc_id < b.doc_id
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

@@ -169,6 +169,52 @@ def hash_tokens_arrow(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     return h, counts
 
 
+def char_gram_hashes_arrow(arr, n: int = 3, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Byte n-gram hashes of a pyarrow StringArray, straight from its
+    buffers: (gram_hashes uint64 flat, grams_per_doc int64). A string of
+    L bytes yields max(L−n+1, 0) grams; grams never cross a string
+    boundary. Grams are over UTF-8 BYTES (cheap rolling window) — used
+    for LSH candidate generation, where any consistent fingerprint
+    works; exact verification uses character substring() semantics."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        parts = [char_gram_hashes_arrow(c, n, seed) for c in arr.chunks]
+        if not parts:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+    ndocs = len(arr)
+    if ndocs == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + ndocs + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    b = data[lo:hi]
+    total = hi - lo
+    if total < n:
+        return np.empty(0, dtype=np.uint64), np.zeros(ndocs, dtype=np.int64)
+    m = total - n + 1
+    with np.errstate(over="ignore"):
+        h = (b[:m].astype(np.uint64) + np.uint64(1)) * _POW_TABLE[0]
+        for j in range(1, n):
+            h += (b[j : j + m].astype(np.uint64) + np.uint64(1)) * _POW_TABLE[j]
+        h = splitmix64(h ^ splitmix64(np.full(m, n, dtype=np.uint64)))
+        if seed:
+            h = splitmix64(h ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    # keep only grams fully inside one string
+    pos = np.arange(m, dtype=np.int64)
+    doc_of = np.searchsorted(offs - lo, pos, side="right") - 1
+    valid = pos + n <= (offs - lo)[doc_of + 1]
+    counts = np.bincount(doc_of[valid], minlength=ndocs).astype(np.int64)
+    return h[valid], counts
+
+
 def flatten_hash_arrays(arrays) -> tuple[np.ndarray, np.ndarray]:
     """Flatten a pandas Series of int64 hash arrays (Arrow list<long>)
     into (flat uint64, doc_lengths). The fast path used when token
