@@ -300,6 +300,72 @@ def q_hmh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_smh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`--use-super-minhash` dist mode (BB_SUPERMINHASH,
+    /root/reference/src/dashing.h:218,231; Ertl arXiv:1706.05698):
+    stratified one-value-per-register minwise hashing, σ(JI) strictly
+    below classic m-permutation MinHash at the same m=1024."""
+    from dashing_spark.functions.smh import SuperMinHash
+
+    return _sketch_ji_pairs(
+        spark, sf_dir, lambda: SuperMinHash.empty(1024), "smh_ji_ok", 0.05
+    )
+
+
+def q_cbbmh_weighted_ji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTING_BB_MINHASH (/root/reference/src/dashing.h:233): b-bit
+    minhash with per-bucket multiplicity counters; Ruzicka weighted JI
+    from matched registers vs the exact multiset JI."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dashing_spark.functions import CountingBBitMinHash, sketch_from_bytes
+    from dashing_spark.functions.cbbmh import cbbmh_weighted_jaccard
+
+    docs = _docs(spark, sf_dir)
+    toks = _lang_tokens(docs).withColumn("__h", F.xxhash64("token"))
+    sk = agg.sketch_hash_col_by_key(
+        toks, ["lang"], lambda: CountingBBitMinHash.empty(12, 16), "__h"
+    )
+    c = freq.token_counts(docs, ["lang"])
+    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    a = c.select(F.col("lang").alias("a_key"), "token", F.col("cnt").alias("ca"))
+    b = c.select(F.col("lang").alias("b_key"), "token", F.col("cnt").alias("cb"))
+    smin = (
+        a.join(b, "token")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .groupBy("a_key", "b_key")
+        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
+    )
+    ta = tot.select(F.col("lang").alias("a_key"), F.col("n").alias("na"))
+    tb = tot.select(F.col("lang").alias("b_key"), F.col("n").alias("nb"))
+    exact = (
+        smin.join(ta, "a_key")
+        .join(tb, "b_key")
+        .withColumn(
+            "wji",
+            F.col("smin").cast("double") / (F.col("na") + F.col("nb") - F.col("smin")),
+        )
+    )
+    blobs = {r["lang"]: bytes(r["sketch"]) for r in sk.collect()}
+
+    @F.udf(T.DoubleType())
+    def cbbmh_sim(a_key, b_key):  # 10 pairs — driver-side blobs, tiny
+        return float(
+            cbbmh_weighted_jaccard(
+                sketch_from_bytes(blobs[a_key]), sketch_from_bytes(blobs[b_key])
+            )
+        )
+
+    out = exact.withColumn("cbbmh", cbbmh_sim(F.col("a_key"), F.col("b_key")))
+    return out.select(
+        "a_key",
+        "b_key",
+        F.round("wji", 9).alias("wji"),
+        (F.abs(F.col("cbbmh") - F.col("wji")) <= 0.05).alias("cbbmh_ok"),
+    )
+
+
 def q_panel_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query×reference panel (`-Q` mode, rectangular containment —
     /root/reference/src/dashing.h:660-712, src/sketch_and_cmp.h:792-796)
@@ -882,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard_pairs": q_kmv_jaccard_pairs,
         "bbmh_jaccard_pairs": q_bbmh_jaccard_pairs,
         "hmh_jaccard_pairs": q_hmh_jaccard_pairs,
+        "smh_jaccard_pairs": q_smh_jaccard_pairs,
+        "cbbmh_weighted_ji_pairs": q_cbbmh_weighted_ji_pairs,
         "panel_containment": q_panel_containment,
         "topk_neighbors_lang": q_topk_neighbors_lang,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
@@ -914,6 +982,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = "SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents"
 _QP_VALUES = "SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(p)"
+
+
+def _wji_pairs_oracle(ok_name: str) -> str:
+    """Exact per-lang-pair weighted (multiset) JI, shared by the
+    counting-minhash dist queries."""
+    return f"""
+        WITH c AS (SELECT lang, token, count(*) AS cnt
+                   FROM ({_TOKS}) GROUP BY lang, token),
+        tot AS (SELECT lang, sum(cnt) AS n FROM c GROUP BY lang),
+        m AS (
+            SELECT a.lang AS a_key, b.lang AS b_key,
+                   sum(least(a.cnt, b.cnt)) AS smin
+            FROM c a JOIN c b ON a.token = b.token AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT m.a_key, m.b_key,
+               round(CAST(m.smin AS DOUBLE) / (ta.n + tb.n - m.smin), 9)
+                   AS wji,
+               true AS {ok_name}
+        FROM m JOIN tot ta ON ta.lang = m.a_key
+               JOIN tot tb ON tb.lang = m.b_key
+    """
 
 
 def _ji_pairs_oracle(ok_name: str) -> str:
@@ -1033,6 +1123,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_jaccard_pairs": _ji_pairs_oracle("kmv_ji_ok"),
         "bbmh_jaccard_pairs": _ji_pairs_oracle("bbmh_ji_ok"),
         "hmh_jaccard_pairs": _ji_pairs_oracle("hmh_ji_ok"),
+        "smh_jaccard_pairs": _ji_pairs_oracle("smh_ji_ok"),
+        "cbbmh_weighted_ji_pairs": _wji_pairs_oracle("cbbmh_ok"),
         "panel_containment": """
             WITH qd AS (SELECT DISTINCT l_returnflag AS a_key, l_orderkey AS k
                         FROM lineitem),

@@ -16,6 +16,8 @@ from dashing_spark.functions.kll import KLL
 from dashing_spark.functions.tdigest import TDigest
 from dashing_spark.functions.crmh import CountingKMV
 from dashing_spark.functions.hmh import HyperMinHash
+from dashing_spark.functions.smh import SuperMinHash
+from dashing_spark.functions.cbbmh import CountingBBitMinHash
 from dashing_spark.functions.serde import sketch_from_bytes
 
 __all__ = [
@@ -30,5 +32,7 @@ __all__ = [
     "TDigest",
     "CountingKMV",
     "HyperMinHash",
+    "SuperMinHash",
+    "CountingBBitMinHash",
     "sketch_from_bytes",
 ]

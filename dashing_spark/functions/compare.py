@@ -74,6 +74,13 @@ def set_triple_any(a, b, estimator: str = "default") -> tuple[float, float, floa
         ca, cb = a.estimate(), b.estimate()
         inter = ji * (ca + cb) / (1.0 + ji) if ji > 0 else 0.0
         return max(0.0, ca - inter), max(0.0, cb - inter), inter
+    from dashing_spark.functions.smh import SuperMinHash, smh_jaccard
+
+    if isinstance(a, SuperMinHash):
+        ji = smh_jaccard(a, b)
+        ca, cb = a.estimate(), b.estimate()
+        inter = ji * (ca + cb) / (1.0 + ji) if ji > 0 else 0.0
+        return max(0.0, ca - inter), max(0.0, cb - inter), inter
     raise TypeError(f"no set_triple for sketch type {type(a).__name__}")
 
 

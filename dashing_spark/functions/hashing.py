@@ -99,9 +99,10 @@ def hash_tokens_arrow(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
 
     Token hash = splitmix64(polyhash(bytes) ^ splitmix64(len)), where
     polyhash = Σ (byte+1)·P^pos (wrapping uint64). Deterministic across
-    runs/platforms. Caveat vs split(' '): a trailing space's empty token
-    and the single empty token of an empty string are not emitted; with
-    set/sketch semantics this only drops the empty-string item.
+    runs/platforms. Matches split(' ') exactly, including the empty
+    token after a trailing space and the single empty token of an empty
+    string — so sketches built via tokenize_flat and via this kernel see
+    the same item multiset.
     """
     import pyarrow as pa
 
@@ -129,7 +130,14 @@ def hash_tokens_arrow(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     total = hi - lo
     doc_lens_bytes = np.diff(offs)
     if total == 0:
-        return np.empty(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+        # every doc is the empty string: split(' ') gives one '' token each
+        with np.errstate(over="ignore"):
+            empty_h = splitmix64(np.uint64(0) ^ splitmix64(np.zeros(1, dtype=np.uint64)))[0]
+            if seed:
+                empty_h = splitmix64(
+                    np.array([empty_h], dtype=np.uint64) ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+                )[0]
+        return np.full(n, empty_h, dtype=np.uint64), np.ones(n, dtype=np.int64)
     is_space = b == 32
     # token starts: doc starts + byte-after-space. Avoid materializing a
     # per-byte doc_id (8 B/byte of traffic): doc starts are just the
@@ -166,6 +174,26 @@ def hash_tokens_arrow(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
             h = splitmix64(h ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
     # tokens per doc = token starts within [offs[i], offs[i+1])
     counts = np.diff(np.searchsorted(start_pos, offs - lo)).astype(np.int64)
+    # split(' ') emits (#spaces + 1) tokens per doc; the byte scan misses
+    # exactly the empty token at a doc's end (trailing space / empty doc).
+    # Insert its hash so every tokenizer path sees the same multiset.
+    spc = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(is_space, out=spc[1:])
+    expected = spc[offs[1:] - lo] - spc[offs[:-1] - lo] + 1
+    missing = expected - counts
+    if missing.any():
+        with np.errstate(over="ignore"):
+            empty_h = splitmix64(
+                np.uint64(0) ^ splitmix64(np.zeros(1, dtype=np.uint64))
+            )[0]
+            if seed:
+                empty_h = splitmix64(
+                    np.array([empty_h], dtype=np.uint64)
+                    ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+                )[0]
+        ends = np.cumsum(counts)[missing > 0]
+        h = np.insert(h, ends, np.uint64(empty_h))
+        counts = expected
     return h, counts
 
 

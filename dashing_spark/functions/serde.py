@@ -18,6 +18,8 @@ from dashing_spark.functions.kll import KLL
 from dashing_spark.functions.tdigest import TDigest
 from dashing_spark.functions.crmh import CountingKMV
 from dashing_spark.functions.hmh import HyperMinHash
+from dashing_spark.functions.smh import SuperMinHash
+from dashing_spark.functions.cbbmh import CountingBBitMinHash
 
 _MAGIC = b"DSH1"
 
@@ -31,6 +33,8 @@ _REGISTRY = {
     7: TDigest,
     8: CountingKMV,
     9: HyperMinHash,
+    10: SuperMinHash,
+    11: CountingBBitMinHash,
 }
 
 

@@ -47,11 +47,50 @@ class RunMetrics:
         return json.dumps(asdict(self), sort_keys=True)
 
 
-def params_fingerprint(params: SketchParams, key_cols: Sequence[str]) -> str:
+def params_fingerprint(
+    params: SketchParams,
+    key_cols: Sequence[str],
+    input_token: str = "",
+    sketch_tag: str = "",
+) -> str:
+    """Checkpoint key. ``input_token`` identifies the input dataset
+    (semantic plan hash / source file list) and ``sketch_tag`` the
+    sketch constructor (serialized header bytes) — without them a rerun
+    against different data or a different sketch type would silently
+    resume from a stale snapshot."""
     import hashlib
 
-    blob = json.dumps({"params": params.to_dict(), "keys": list(key_cols)}, sort_keys=True)
+    blob = json.dumps(
+        {
+            "params": params.to_dict(),
+            "keys": list(key_cols),
+            "input": input_token,
+            "sketch": sketch_tag,
+        },
+        sort_keys=True,
+    )
     return hashlib.md5(blob.encode()).hexdigest()[:16]
+
+
+def input_token_for(df: DataFrame) -> str:
+    """Stable identifier of a DataFrame's input: the analyzed-plan
+    semantic hash when available, else the sorted source-file list."""
+    try:
+        return f"plan:{df._jdf.semanticHash()}"
+    except Exception:
+        try:
+            return "files:" + ",".join(sorted(df.inputFiles()))
+        except Exception:
+            return ""
+
+
+def sketch_tag_for(make_sketch: Callable[[], object]) -> str:
+    """Identify the sketch constructor by its serialized header bytes
+    (magic + type id + leading params)."""
+    try:
+        return bytes(make_sketch().to_bytes()[:8]).hex()
+    except Exception:
+        return type(make_sketch()).__name__
 
 
 def partition_lineage(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -86,7 +125,9 @@ def build_or_resume_sketch_table(
     """
     spark = df.sparkSession
     params = params or SketchParams()
-    fp = params_fingerprint(params, key_cols)
+    fp = params_fingerprint(
+        params, key_cols, input_token_for(df), sketch_tag_for(make_sketch)
+    )
     snap = os.path.join(checkpoint_dir, f"sketches_{fp}")
     lineage_path = os.path.join(checkpoint_dir, f"lineage_{fp}")
     metrics_path = os.path.join(checkpoint_dir, f"metrics_{fp}.json")

@@ -21,7 +21,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-_BINARY_MAGIC = b"\xde"  # 1-byte magic, as in the reference's format
+# leading byte is the arithmetic-type enum (0 = float32), per the
+# reference's 9-byte header: type byte + u64 number-of-sets
+# (/root/reference/distmat/distmat.h:199-201, src/dashing.cpp:95-99)
+_BINARY_MAGIC = b"\x00"
 
 
 def pairs_to_squareform(
@@ -67,9 +70,10 @@ def write_phylip(pairs: DataFrame, measure: str, path: str) -> None:
 
 
 def write_packed_binary(pairs: DataFrame, measure: str, path: str) -> list[str]:
-    """Packed UT float32 matrix: 1 magic byte + u64 nelem + n(n-1)/2
-    float32 (row-major upper triangle) — the reference's `-b` format.
-    Returns the key order (labels ship separately, like .labels.gz)."""
+    """Packed UT float32 matrix — the reference's `-b` format: type byte
+    (0 = float32) + u64 number of sets n + n(n-1)/2 float32 (row-major
+    upper triangle). Returns the key order (labels ship separately,
+    like .labels.gz)."""
     mat = pairs_to_squareform(pairs, measure)
     keys = list(mat.index)
     n = len(keys)
@@ -79,22 +83,26 @@ def write_packed_binary(pairs: DataFrame, measure: str, path: str) -> list[str]:
     ).astype("<f4")
     with open(path, "wb") as f:
         f.write(_BINARY_MAGIC)
-        f.write(struct.pack("<Q", len(tri)))
+        f.write(struct.pack("<Q", n))
         f.write(tri.tobytes())
     return keys
 
 
-def read_packed_binary(path: str, keys: list[str]) -> pd.DataFrame:
+def read_packed_binary(path: str, keys: list[str] | None = None) -> pd.DataFrame:
     """`printmat`: packed binary -> human-readable square DataFrame."""
     with open(path, "rb") as f:
         magic = f.read(1)
         if magic != _BINARY_MAGIC:
-            raise ValueError("bad magic byte in packed matrix")
-        (nelem,) = struct.unpack("<Q", f.read(8))
-        tri = np.frombuffer(f.read(8 * 0 + 4 * nelem), dtype="<f4")
-    n = len(keys)
-    if nelem != n * (n - 1) // 2:
-        raise ValueError(f"nelem {nelem} inconsistent with {n} keys")
+            raise ValueError("bad type byte in packed matrix (expect 0=float32)")
+        (n,) = struct.unpack("<Q", f.read(8))
+        nelem = n * (n - 1) // 2
+        tri = np.frombuffer(f.read(4 * nelem), dtype="<f4")
+    if keys is None:
+        keys = [str(i) for i in range(n)]
+    if n != len(keys):
+        raise ValueError(f"header says {n} sets, got {len(keys)} keys")
+    if len(tri) != nelem:
+        raise ValueError("truncated packed matrix payload")
     m = np.ones((n, n), dtype=np.float32)
     k = 0
     for i in range(n):

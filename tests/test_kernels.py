@@ -321,3 +321,111 @@ class TestSimHash:
         perm = rng.permutation(200)
         b = simhash_batch(h[perm], np.zeros(200, dtype=np.int64), 1)
         assert a[0] == b[0]
+
+
+# ---------------------------------------------------------------- SuperMinHash
+class TestSuperMinHash:
+    def test_jaccard_vs_exact(self, rng):
+        from dashing_spark.functions import SuperMinHash
+        from dashing_spark.functions.smh import smh_jaccard
+
+        na = nb = 20_000
+        nx = 8_000
+        common = rng.integers(0, 2**64, nx, dtype=np.uint64)
+        ax = rng.integers(0, 2**64, na - nx, dtype=np.uint64)
+        bx = rng.integers(0, 2**64, nb - nx, dtype=np.uint64)
+        a = SuperMinHash.empty(1024).update_hashes(np.concatenate([common, ax]))
+        b = SuperMinHash.empty(1024).update_hashes(np.concatenate([common, bx]))
+        true = nx / (na + nb - nx)
+        assert abs(smh_jaccard(a, b) - true) <= 0.05
+
+    def test_merge_bit_identical_any_partitioning(self, rng):
+        from dashing_spark.functions import SuperMinHash
+
+        h = rng.integers(0, 2**64, 30_000, dtype=np.uint64)
+        one = SuperMinHash.empty(256).update_hashes(h)
+        parts = np.array_split(h, 5)
+        acc = SuperMinHash.empty(256)
+        for i in rng.permutation(5):
+            acc.merge(SuperMinHash.empty(256).update_hashes(parts[i]))
+        assert acc == one  # monoid: counter-based per-element randomness
+
+    def test_cardinality_estimate(self, rng):
+        from dashing_spark.functions import SuperMinHash
+
+        h = rng.integers(0, 2**64, 50_000, dtype=np.uint64)
+        s = SuperMinHash.empty(2048).update_hashes(h)
+        assert abs(s.estimate() - 50_000) / 50_000 <= 0.1
+
+    def test_serde_and_empty(self):
+        from dashing_spark.functions import SuperMinHash
+
+        s = SuperMinHash.empty(64)
+        assert s.estimate() == 0.0
+        s.update_hashes(np.arange(1, 1000, dtype=np.uint64) * np.uint64(2**54))
+        t = sketch_from_bytes(s.to_bytes())
+        assert t == s
+
+    def test_lower_variance_than_bbmh_small_n(self, rng):
+        """The SuperMinHash selling point (Ertl 2017 §4): for n ≲ m the
+        stratified values cut matched-register JI variance vs a plain
+        one-permutation b-bit minhash with the same register budget."""
+        from dashing_spark.functions import BBitMinHash, SuperMinHash
+        from dashing_spark.functions.bbmh import bbmh_jaccard
+        from dashing_spark.functions.smh import smh_jaccard
+
+        m = 512
+        na = nb = 400
+        nx = 200
+        true = nx / (na + nb - nx)
+        se_s, se_b = [], []
+        for _ in range(12):
+            common = rng.integers(0, 2**64, nx, dtype=np.uint64)
+            ax = rng.integers(0, 2**64, na - nx, dtype=np.uint64)
+            bx = rng.integers(0, 2**64, nb - nx, dtype=np.uint64)
+            ha, hb = np.concatenate([common, ax]), np.concatenate([common, bx])
+            sa = SuperMinHash.empty(m).update_hashes(ha)
+            sb = SuperMinHash.empty(m).update_hashes(hb)
+            se_s.append((smh_jaccard(sa, sb) - true) ** 2)
+            ba = BBitMinHash.empty(9, 16).update_hashes(ha)
+            bb = BBitMinHash.empty(9, 16).update_hashes(hb)
+            se_b.append((bbmh_jaccard(ba, bb) - true) ** 2)
+        assert np.mean(se_s) < np.mean(se_b)
+
+
+# ---------------------------------------------------------------- CountingBBMH
+class TestCountingBBitMinHash:
+    def test_weighted_jaccard(self, rng):
+        from dashing_spark.functions import CountingBBitMinHash
+        from dashing_spark.functions.cbbmh import cbbmh_weighted_jaccard
+
+        base = rng.integers(0, 2**64, 2000, dtype=np.uint64)
+        ca = rng.integers(1, 6, 2000)
+        cb = rng.integers(1, 6, 2000)
+        wa = np.repeat(base, ca)
+        wb = np.repeat(base, cb)
+        true = np.minimum(ca, cb).sum() / np.maximum(ca, cb).sum()
+        a = CountingBBitMinHash.empty(13).update_hashes(wa)
+        b = CountingBBitMinHash.empty(13).update_hashes(wb)
+        assert abs(cbbmh_weighted_jaccard(a, b) - true) <= 0.05
+
+    def test_merge_bit_identical(self, rng):
+        from dashing_spark.functions import CountingBBitMinHash
+
+        base = rng.integers(0, 2**64, 3000, dtype=np.uint64)
+        w = np.repeat(base, rng.integers(1, 4, 3000))
+        w = rng.permutation(w)
+        one = CountingBBitMinHash.empty(10).update_hashes(w)
+        parts = np.array_split(w, 7)
+        acc = CountingBBitMinHash.empty(10)
+        for i in rng.permutation(7):
+            acc.merge(CountingBBitMinHash.empty(10).update_hashes(parts[i]))
+        assert acc == one
+
+    def test_serde(self, rng):
+        from dashing_spark.functions import CountingBBitMinHash
+
+        s = CountingBBitMinHash.empty(8).update_hashes(
+            rng.integers(0, 2**64, 5000, dtype=np.uint64)
+        )
+        assert sketch_from_bytes(s.to_bytes()) == s

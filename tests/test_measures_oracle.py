@@ -9,7 +9,14 @@ import math
 import numpy as np
 import pytest
 
-from dashing_spark.functions import HLL, KMV, BBitMinHash, HyperMinHash, hashing
+from dashing_spark.functions import (
+    HLL,
+    KMV,
+    BBitMinHash,
+    HyperMinHash,
+    SuperMinHash,
+    hashing,
+)
 from dashing_spark.functions.compare import (
     MEASURES,
     compare,
@@ -50,6 +57,7 @@ SKETCHES = {
     "kmv_2048": (lambda: KMV.empty(2048), 0.07),
     "bbmh": (lambda: BBitMinHash.empty(12, 16), 0.07),
     "hmh": (lambda: HyperMinHash.empty(12, 8), 0.07),
+    "smh_1024": (lambda: SuperMinHash.empty(1024), 0.07),
 }
 
 

@@ -16,9 +16,13 @@ from dashing_spark.plans.pipeline import (
 )
 from dashing_spark.sources.tables import load_table
 from dashing_spark.streaming.incremental import (
+    apply_sketch_batch,
+    committed_epoch,
+    current_state_path,
     estimate_state,
     incremental_sketch_query,
     merge_sketch_states,
+    read_state,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -64,12 +68,31 @@ class TestCheckpointResume:
             SketchParams(p=10), ["lang"]
         )
 
+    def test_fingerprint_covers_input_and_sketch_type(self, spark, docs, tmp_path):
+        """Same params but a different sketch constructor or different
+        input data must NOT resume from the stale snapshot."""
+        from dashing_spark.functions import KMV
+
+        ckpt = str(tmp_path / "ckpt5")
+        _, m1 = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(12), ckpt, params=SketchParams(p=12)
+        )
+        _, m2 = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: KMV.empty(256), ckpt, params=SketchParams(p=12)
+        )
+        assert not m2.resumed and m2.checkpoint != m1.checkpoint
+        _, m3 = build_or_resume_sketch_table(
+            docs.limit(100), ["lang"], lambda: HLL.empty(12), ckpt,
+            params=SketchParams(p=12),
+        )
+        assert not m3.resumed and m3.checkpoint != m1.checkpoint
+
     def test_metrics_json_written(self, spark, docs, tmp_path):
         ckpt = str(tmp_path / "ckpt3")
         _, m = build_or_resume_sketch_table(
             docs, ["lang"], lambda: HLL.empty(10), ckpt, params=SketchParams(p=10)
         )
-        fp = params_fingerprint(SketchParams(p=10), ["lang"])
+        fp = os.path.basename(m.checkpoint).split("_", 1)[1]
         path = os.path.join(ckpt, f"metrics_{fp}.json")
         assert os.path.exists(path)
         import json
@@ -113,8 +136,7 @@ class TestStreaming:
         )
         q.awaitTermination(120)
         final = {
-            r["lang"]: bytes(r["sketch"])
-            for r in spark.read.parquet(os.path.join(state_dir, "current")).collect()
+            r["lang"]: bytes(r["sketch"]) for r in read_state(spark, state_dir).collect()
         }
         batch = {
             r["lang"]: bytes(r["sketch"])
@@ -136,6 +158,32 @@ class TestStreaming:
             assert abs(r["estimate"] - exact[r["lang"]]) <= max(
                 0.05 * exact[r["lang"]], 2.0
             )
+
+    def test_epoch_retry_is_idempotent(self, spark, docs, tmp_path):
+        """A foreachBatch retry of a committed epoch must not re-merge
+        its batch (double-counting additive sketches), and a re-run of
+        an uncommitted epoch must rebuild from the previous epoch."""
+        state_dir = str(tmp_path / "retry_state")
+        os.makedirs(state_dir)
+        half1 = docs.filter(F.col("doc_id") % 2 == 0)
+        half2 = docs.filter(F.col("doc_id") % 2 == 1)
+        apply_sketch_batch(half1, 0, ["lang"], lambda: HLL.empty(11), state_dir)
+        assert committed_epoch(state_dir) == 0
+        apply_sketch_batch(half2, 1, ["lang"], lambda: HLL.empty(11), state_dir)
+        after_first = {
+            r["lang"]: bytes(r["sketch"]) for r in read_state(spark, state_dir).collect()
+        }
+        # retry of the already-committed epoch 1: state must be unchanged
+        apply_sketch_batch(half2, 1, ["lang"], lambda: HLL.empty(11), state_dir)
+        assert committed_epoch(state_dir) == 1
+        after_retry = {
+            r["lang"]: bytes(r["sketch"]) for r in read_state(spark, state_dir).collect()
+        }
+        assert after_retry == after_first
+        assert current_state_path(state_dir).endswith("epoch_1")
+        # and the merged result equals the one-shot batch build
+        full = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(11))
+        assert after_first == {r["lang"]: bytes(r["sketch"]) for r in full.collect()}
 
     def test_merge_sketch_states(self, spark, docs):
         half1 = docs.filter(F.col("doc_id") % 2 == 0)

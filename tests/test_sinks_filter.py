@@ -56,9 +56,30 @@ class TestSinks:
 
     def test_printmat_rejects_bad_magic(self, tmp_path):
         path = str(tmp_path / "bad.bin")
-        open(path, "wb").write(b"\x00" + b"\x00" * 16)
-        with pytest.raises(ValueError, match="magic"):
+        # type byte 0xde is not the float32 enum (0)
+        open(path, "wb").write(b"\xde" + b"\x00" * 16)
+        with pytest.raises(ValueError, match="type byte"):
             sinks.read_packed_binary(path, ["a", "b"])
+
+    def test_packed_binary_reference_header(self, tmp_path, spark, docs):
+        """Header parity with the reference's -b format: byte 0 = type
+        enum 0 (float32), bytes 1-8 = u64 number of SETS (not triangle
+        entries) — /root/reference/distmat/distmat.h:199-201."""
+        import struct
+
+        from dashing_spark.operators import dist
+
+        lt = docs.select("lang", F.explode(F.split("text", " ", -1)).alias("token"))
+        pairs = dist.exact_pair_measures(lt, "lang", "token", ("ji",))
+        path = str(tmp_path / "mat.bin")
+        keys = sinks.write_packed_binary(pairs, "ji", path)
+        raw = open(path, "rb").read()
+        assert raw[0] == 0
+        (n,) = struct.unpack("<Q", raw[1:9])
+        assert n == len(keys)
+        assert len(raw) == 9 + 4 * n * (n - 1) // 2
+        back = sinks.read_packed_binary(path, keys)
+        assert list(back.columns) == keys
 
     def test_view_registers(self, spark, docs):
         sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
