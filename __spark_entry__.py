@@ -693,6 +693,37 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(media)
 
 
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode tier: zlib text blobs and RIFF/WAVE PCM clips are
+    decoded through the mime-keyed codec registry; decoded unit counts
+    (bytes / samples) are hash-gated against what the oracle derives
+    from the source table (utf-8 byte length / n_chars)."""
+    docs = _docs(spark, sf_dir)
+    media = multimodal.media_with_codecs(docs)
+    dp = multimodal.decode_payloads(media)
+    expected = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("exp_text"),
+        F.col("n_chars").cast("long").alias("exp_audio"),
+    )
+    joined = dp.join(expected, "media_id").withColumn(
+        "exp",
+        F.when(F.col("kind") == "text", F.col("exp_text")).otherwise(
+            F.col("exp_audio")
+        ),
+    )
+    return (
+        joined.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_units").alias("total_units"),
+            (F.sum(F.when(F.col("n_units") == F.col("exp"), 0).otherwise(1)) == 0)
+            .alias("decode_ok"),
+        )
+        .select("kind", "n_items", "total_units", "decode_ok")
+    )
+
+
 def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via HLL over a JVM-hashed int64
     column — the non-text input shape (events stream table)."""
@@ -977,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_stats": q_fingerprint_stats,
         "winnowing_fp_stats": q_winnowing_fp_stats,
         "multimodal_payload_stats": q_multimodal_payload_stats,
+        "multimodal_decode_stats": q_multimodal_decode_stats,
     }
 
 
@@ -1434,6 +1466,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'image' AS kind, count(*) AS n_items,
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+            FROM documents
+        """,
+        "multimodal_decode_stats": """
+            SELECT 'audio' AS kind, count(*) AS n_items,
+                   CAST(sum(n_chars) AS BIGINT) AS total_units,
+                   true AS decode_ok
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*),
+                   CAST(sum(octet_length(encode(text))) AS BIGINT), true
             FROM documents
         """,
     }

@@ -53,6 +53,17 @@ def main() -> None:
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
     n_docs = docs.count()  # also warms the JVM/parquet footer cache
 
+    # global warm-up: python worker spawn + whole-stage codegen + Arrow
+    # serde paths. Without it the first UDF-bearing query absorbs tens
+    # of seconds of cold start and round-over-round bench numbers drift.
+    warm = docs.limit(50).cache()
+    warm.count()
+    agg.sketch_tokens_by_key(warm, ["lang"], lambda: HLL.empty(10)).count()
+    dedup.minhash_lsh_dedup(warm, "doc_id", threshold=0.9).count()
+    dedup.simhash_near_dups(warm, "doc_id").count()
+    freq.cms_by_key(warm, ["lang"], lg_width=12, depth=2).count()
+    warm.unpersist()
+
     timings: dict[str, float] = {}
 
     def run(name, fn):

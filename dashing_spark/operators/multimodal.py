@@ -2,21 +2,50 @@
 
 Images/audio/video are carried as BinaryType columns + a metadata
 struct; decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched kernels over ``mapInPandas``. The image/audio codec
-libraries are NOT in this container, so the decode step is STUBBED:
-``decode_features`` raises NotImplementedError unless
-``deterministic_fake=True``, which substitutes a hash-derived feature
-vector with the same schema/batching — the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested.
+Arrow-batched kernels over ``mapInPandas``.
+
+Decoding is PLUGGABLE, keyed by ``meta.mime``: register a codec with
+``register_decoder(mime, bytes -> np.ndarray)``. Two real codecs ship
+in-container (stdlib, no native deps): ``application/zlib``
+(DEFLATE-compressed byte payloads) and ``audio/wav`` (RIFF/WAVE PCM via
+the `wave` module), plus the identity codec for raw octet streams.
+Codecs that need PIL/ffmpeg (jpeg/mp4) are absent from this image;
+for those mimes ``decode_features`` still raises NotImplementedError
+unless ``deterministic_fake=True`` substitutes hash-derived features
+with the same schema/batching.
 """
 
 from __future__ import annotations
+
+import io
+import wave
+import zlib
+from typing import Callable
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from dashing_spark.operators.ship import ensure_shipped
+
+
+def _decode_wav(b: bytes) -> np.ndarray:
+    with wave.open(io.BytesIO(b)) as w:
+        data = w.readframes(w.getnframes())
+    return np.frombuffer(data, dtype=np.int16)
+
+
+#: mime -> (payload bytes -> 1-D numeric array of decoded units)
+DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "application/zlib": lambda b: np.frombuffer(zlib.decompress(b), dtype=np.uint8),
+    "audio/wav": _decode_wav,
+    "application/octet-stream": lambda b: np.frombuffer(b, dtype=np.uint8),
+}
+
+
+def register_decoder(mime: str, fn: Callable[[bytes], np.ndarray]) -> None:
+    """Plug in a codec (e.g. a PIL-based jpeg decoder where available)."""
+    DECODERS[mime] = fn
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -56,6 +85,50 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+def media_with_codecs(docs: DataFrame) -> DataFrame:
+    """documents -> media table with REAL encoded payloads: per doc one
+    zlib-compressed text blob (kind 'text') and one RIFF/WAVE PCM clip
+    (kind 'audio', n_chars int16 samples derived deterministically from
+    doc_id) — so the decode tier exercises genuine codecs end-to-end."""
+    ensure_shipped(docs.sparkSession)
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "payload", "meta")}
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                raw = str(text).encode("utf-8")
+                out["media_id"].append(int(doc_id))
+                out["kind"].append("text")
+                out["payload"].append(zlib.compress(raw, level=6))
+                out["meta"].append(
+                    {"mime": "application/zlib", "width": None, "height": None,
+                     "duration_ms": len(raw)}
+                )
+                n = int(n_chars)
+                i = np.arange(n, dtype=np.int64)
+                pcm = (((int(doc_id) * 31 + i * 7) % 256 - 128) * 64).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(16000)
+                    w.writeframes(pcm.tobytes())
+                out["media_id"].append(int(doc_id))
+                out["kind"].append("audio")
+                out["payload"].append(buf.getvalue())
+                out["meta"].append(
+                    {"mime": "audio/wav", "width": None, "height": None,
+                     "duration_ms": n * 1000 // 16000}
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
+
+
 def payload_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata pass: payload sizes per kind (no decode)."""
     return media.groupBy("kind").agg(
@@ -65,29 +138,70 @@ def payload_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def _feature_kernel(decoded: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic features from a decoded 1-D numeric array:
+    normalized per-dim strided sums (the shape a real embedding has)."""
+    b = np.asarray(decoded, dtype=np.float64)
+    pad = (-len(b)) % dim
+    if pad:
+        b = np.concatenate([b, np.zeros(pad)])
+    f = b.reshape(-1, dim).sum(axis=0)
+    n = np.linalg.norm(f)
+    return (f / n if n > 0 else f).astype(np.float32)
+
+
+def decode_payloads(media: DataFrame) -> DataFrame:
+    """Decode each payload through its mime's registered codec, emitting
+    (media_id, kind, n_units, unit_sum): the decoded length (bytes /
+    PCM samples) and the sum of decoded values — decode-proof stats an
+    oracle can recompute from the source data. Unknown mimes raise."""
+    ensure_shipped(media.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("n_units", T.LongType(), False),
+            T.StructField("unit_sum", T.LongType(), False),
+        ]
+    )
+
+    decoders = dict(DECODERS)  # snapshot: ships in the closure to executors
+
+    def fn(batches):
+        for pdf in batches:
+            n_units, unit_sum = [], []
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                dec = decoders.get(mime)
+                if dec is None:
+                    raise NotImplementedError(f"no registered decoder for {mime}")
+                vals = dec(bytes(payload))
+                n_units.append(len(vals))
+                unit_sum.append(int(vals.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "kind": pdf["kind"],
+                    "n_units": pd.array(n_units, dtype="int64"),
+                    "unit_sum": pd.array(unit_sum, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        "media_id", "kind", F.col("meta.mime").alias("mime"), "payload"
+    ).mapInPandas(fn, schema=schema)
+
+
 def decode_features(
     media: DataFrame,
     dim: int = 16,
     deterministic_fake: bool = False,
 ) -> DataFrame:
-    """Decode payload -> feature vector (array<float>, length `dim`).
-
-    STUB: real decoding needs PIL/ffmpeg (absent here). With
-    ``deterministic_fake=True`` features are derived from a hash of the
-    payload bytes — deterministic, schema-correct, exercising the full
-    Arrow round-trip. Without it, raises NotImplementedError (marked)."""
+    """Decode payload -> feature vector (array<float>, length `dim`)
+    through the mime-keyed codec registry (zlib / wav / raw are real,
+    in-container codecs). For mimes with no registered codec,
+    ``deterministic_fake=True`` substitutes hash-derived features with
+    the same schema/batching; otherwise NotImplementedError."""
     ensure_shipped(media.sparkSession)
-    try:  # pragma: no cover - decode libs absent in this image
-        import PIL  # noqa: F401
-
-        have_decoder = True
-    except ImportError:
-        have_decoder = False
-    if not deterministic_fake and not have_decoder:
-        raise NotImplementedError(
-            "media decode requires PIL/ffmpeg (not in this image); "
-            "pass deterministic_fake=True for the plumbing path"
-        )
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -95,20 +209,25 @@ def decode_features(
         ]
     )
 
+    decoders = dict(DECODERS)  # snapshot: ships in the closure to executors
+
     def fn(batches):
         for pdf in batches:
             n = len(pdf)
             feats = np.empty((n, dim), dtype=np.float32)
-            for i, payload in enumerate(pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                # hash-derived fake features: per-dim strided sums
-                pad = (-len(b)) % dim
-                if pad:
-                    b = np.concatenate([b, np.zeros(pad, dtype=np.uint8)])
-                feats[i] = b.reshape(-1, dim).sum(axis=0).astype(np.float32)
-            norms = np.linalg.norm(feats, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            feats = feats / norms
+            for i, (mime, payload) in enumerate(zip(pdf["mime"], pdf["payload"])):
+                raw = bytes(payload)
+                dec = decoders.get(mime)
+                if dec is not None:
+                    vals = dec(raw)
+                elif deterministic_fake:
+                    vals = np.frombuffer(raw, dtype=np.uint8)
+                else:
+                    raise NotImplementedError(
+                        f"no registered decoder for {mime}; register one or "
+                        "pass deterministic_fake=True for the plumbing path"
+                    )
+                feats[i] = _feature_kernel(vals, dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(np.int64),
@@ -116,7 +235,9 @@ def decode_features(
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(fn, schema=schema)
+    return media.select(
+        "media_id", F.col("meta.mime").alias("mime"), "payload"
+    ).mapInPandas(fn, schema=schema)
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> DataFrame:

@@ -216,15 +216,20 @@ def train_ivf_centroids(
     """Train an IVF coarse quantizer: spherical k-means on a driver-side
     sample (numpy, deterministic seed). The centroid matrix is tiny
     (n_centroids × dim) and broadcasts into the assignment kernel."""
-    # deterministic sample: smallest ids (limit() order depends on
-    # partitioning, which would make the quantizer nondeterministic)
+    # deterministic sample WITHOUT a total sort: a hash-filter on the id
+    # keeps ~sample_cap rows with a narrow scan-side predicate (a plain
+    # limit() depends on partition order; orderBy().limit() is a full
+    # sort of the table at scale). Falls back to widening the filter if
+    # the modulus over-prunes on small inputs.
     id_cols = [c for c in embeddings.columns if c != vec_col][:1]
-    sample = (
-        embeddings.select(*id_cols, vec_col)
-        .orderBy(*id_cols)
-        .limit(sample_cap)
-        .collect()
-    )
+    base = embeddings.select(*id_cols, vec_col)
+    total = base.count()
+    mod = max(1, total // sample_cap)
+    keep = F.pmod(F.xxhash64(*id_cols), F.lit(mod)) == 0
+    sample = base.filter(keep).collect()  # ≈ sample_cap rows, deterministic
+    if len(sample) < min(total, max(n_centroids * 4, sample_cap // 4)):
+        sample = base.orderBy(*id_cols).limit(sample_cap).collect()
+    sample.sort(key=lambda r: r[0])  # collect order is partition-dependent
     x = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

@@ -175,10 +175,60 @@ class TestText:
 
 
 class TestMultimodal:
-    def test_decode_stub_raises_without_fake(self, spark, docs):
-        media = multimodal.media_from_documents(docs)
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_features(media)
+    def test_decode_raises_for_unregistered_mime(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        media = multimodal.media_from_documents(docs).withColumn(
+            "meta",
+            F.struct(
+                F.lit("image/jpeg").alias("mime"),  # no jpeg codec in-image
+                F.col("meta.width"),
+                F.col("meta.height"),
+                F.col("meta.duration_ms"),
+            ),
+        )
+        with pytest.raises(Exception, match="no registered decoder"):
+            multimodal.decode_features(media).collect()
+
+    def test_real_codecs_roundtrip(self, spark, docs):
+        """zlib and RIFF/WAVE payloads decode through real stdlib codecs
+        back to exactly the source-derived unit counts."""
+        media = multimodal.media_with_codecs(docs.limit(50))
+        dp = {(r["media_id"], r["kind"]): r for r in
+              multimodal.decode_payloads(media).collect()}
+        src = {r["doc_id"]: r for r in docs.limit(50).collect()}
+        assert len(dp) == 2 * len(src)
+        for (mid, kind), r in dp.items():
+            if kind == "text":
+                assert r["n_units"] == len(src[mid]["text"].encode("utf-8"))
+            else:
+                assert r["n_units"] == src[mid]["n_chars"]
+        feats = multimodal.decode_features(media, dim=8).collect()
+        assert len(feats) == 2 * len(src)
+        for r in feats[:10]:
+            v = np.array(r["features"])
+            assert v.shape == (8,)
+
+    def test_register_decoder_plugs_in(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        multimodal.register_decoder(
+            "application/x-reverse", lambda b: np.frombuffer(b[::-1], dtype=np.uint8)
+        )
+        try:
+            media = multimodal.media_from_documents(docs.limit(5)).withColumn(
+                "meta",
+                F.struct(
+                    F.lit("application/x-reverse").alias("mime"),
+                    F.col("meta.width"),
+                    F.col("meta.height"),
+                    F.col("meta.duration_ms"),
+                ),
+            )
+            out = multimodal.decode_payloads(media).collect()
+            assert len(out) == 5 and all(r["n_units"] > 0 for r in out)
+        finally:
+            multimodal.DECODERS.pop("application/x-reverse", None)
 
     def test_fake_decode_plumbing(self, spark, docs):
         media = multimodal.media_from_documents(docs)
