@@ -232,7 +232,9 @@ def q_mash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_mash_dist",
             "containment",
             "containment_dist",
+            "full_containment_dist",
             "symmetric_containment",
+            "symmetric_containment_dist",
         ),
         k=3.0,  # k=3 shingle convention; divide-by-k matches the oracle SQL
     )
@@ -243,7 +245,9 @@ def q_mash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("full_mash_dist", 6).alias("full_mash_dist"),
         F.round("containment", 6).alias("containment"),
         F.round("containment_dist", 6).alias("containment_dist"),
+        F.round("full_containment_dist", 6).alias("full_containment_dist"),
         F.round("symmetric_containment", 6).alias("symmetric_containment"),
+        F.round("symmetric_containment_dist", 6).alias("symmetric_containment_dist"),
     )
 
 
@@ -940,6 +944,122 @@ def q_crmh_weighted_ji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cardinality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dashing card` emission path (dist.estimate_cardinalities) plus
+    the `view` register dump: one cardinality row per sketch, and the
+    dumped register array must have exactly 2^p registers."""
+    from dashing_spark.sources.sinks import view_registers
+
+    docs = _docs(spark, sf_dir)
+    sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(P_HLL))
+    card = dist.estimate_cardinalities(sk, ["lang"], estimator="ertl_mle")
+    view_ok = all(
+        view_registers(bytes(r["sketch"])).shape == (1 << P_HLL,)
+        for r in sk.collect()  # 5 sketches — register-dump sink check
+    )
+    exact = (
+        _lang_tokens(docs)
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("exact_distinct"))
+    )
+    return card.join(exact, "lang").select(
+        "lang",
+        "exact_distinct",
+        (
+            F.abs(F.col("cardinality") - F.col("exact_distinct"))
+            <= F.greatest(F.lit(_HLL_RSE3) * F.col("exact_distinct"), F.lit(2.0))
+        ).alias("card_ok"),
+        F.lit(view_ok).alias("view_ok"),
+    )
+
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch cache write + resume (`-W` analogue): a second build from
+    the same checkpoint must resume (not recompute) and return
+    bit-identical sketch blobs; lineage/metrics must cover the input."""
+    import tempfile
+
+    from dashing_spark.plans.pipeline import build_or_resume_sketch_table
+
+    docs = _docs(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="dashspark_ckpt_")
+    sk1, m1 = build_or_resume_sketch_table(
+        docs, ["lang"], lambda: HLL.empty(P_HLL), ckpt
+    )
+    sk2, m2 = build_or_resume_sketch_table(
+        docs, ["lang"], lambda: HLL.empty(P_HLL), ckpt
+    )
+    b1 = {r["lang"]: bytes(r["sketch"]) for r in sk1.collect()}
+    b2 = {r["lang"]: bytes(r["sketch"]) for r in sk2.collect()}
+    resume_identical = (not m1.resumed) and m2.resumed and b1 == b2
+    metrics_ok = m1.rows_in == docs.count() and m1.partial_sketches >= m1.keys_out
+    est = sk2.select("lang", agg.estimate_expr("ertl_mle")("sketch").alias("est"))
+    exact = (
+        _lang_tokens(docs)
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("exact_distinct"))
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "exact_distinct",
+        _hll_ok(F.col("est"), F.col("exact_distinct")),
+        F.lit(resume_identical).alias("resume_identical"),
+        F.lit(metrics_ok).alias("metrics_ok"),
+    )
+
+
+def q_distmat_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-matrix emission sinks: UT-TSV + PHYLIP + packed binary
+    written from the exact JI pairs; the packed file is read back
+    through the `printmat` reader and must reproduce every value."""
+    import os as _os
+    import tempfile
+
+    from dashing_spark.sources import sinks
+
+    docs = _docs(spark, sf_dir)
+    pairs = dist.exact_pair_measures(_lang_tokens(docs), "lang", "token", ("ji",))
+    d = tempfile.mkdtemp(prefix="dashspark_mat_")
+    keys = sinks.write_packed_binary(pairs, "ji", _os.path.join(d, "m.bin"))
+    back = sinks.read_packed_binary(_os.path.join(d, "m.bin"), keys)
+    sinks.write_ut_tsv(pairs, "ji", _os.path.join(d, "m.tsv"))
+    sinks.write_phylip(pairs, "ji", _os.path.join(d, "m.phylip"))
+    tsv_ok = open(_os.path.join(d, "m.tsv")).readline().startswith("##Names")
+    phylip_ok = open(_os.path.join(d, "m.phylip")).readline().strip() == str(
+        len(keys)
+    )
+    rows = []
+    for r in pairs.collect():  # 10 lang pairs — interop check, tiny
+        rt = float(back.loc[r["a_key"], r["b_key"]])
+        rows.append(
+            (
+                r["a_key"],
+                r["b_key"],
+                r["ji"],
+                abs(rt - r["ji"]) <= 1e-6 and tsv_ok and phylip_ok,
+            )
+        )
+    out = spark.createDataFrame(
+        rows, "a_key string, b_key string, ji double, roundtrip_ok boolean"
+    )
+    # round in Spark so the rounding rule matches the SQL oracle exactly
+    return out.select("a_key", "b_key", F.round("ji", 6).alias("ji"), "roundtrip_ok")
+
+
+def q_multi_k_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`flatten_all` analogue: per-k mash distances pivoted to one row
+    per pair (columns k2/k3), exact values hash-gated."""
+    docs = _docs(spark, sf_dir)
+    mk = dist.multi_k_measures(_lang_tokens(docs), "lang", "token", ks=(2, 3))
+    flat = dist.flatten_multi_k(mk, "mash_dist", ks=(2, 3))
+    return flat.select(
+        "a_key",
+        "b_key",
+        F.round(F.col("2"), 6).alias("k2"),
+        F.round(F.col("3"), 6).alias("k3"),
+    )
+
+
 def q_multi_k_mash_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mkdist analogue: mash_dist at k ∈ {2,3,4} per lang pair, per-pair
     OLS slope vs 1/k (covar_pop/var_pop, all JVM aggregates)."""
@@ -992,6 +1112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_en_membership": q_bloom_en_membership,
         "hll_vs_spark_builtin": q_hll_vs_spark_builtin,
         "crmh_weighted_ji_pairs": q_crmh_weighted_ji_pairs,
+        "cardinality_sink": q_cardinality_sink,
+        "checkpoint_resume": q_checkpoint_resume,
+        "distmat_sinks_roundtrip": q_distmat_sinks_roundtrip,
+        "multi_k_flatten": q_multi_k_flatten,
         "multi_k_mash_slope": q_multi_k_mash_slope,
         "dedup_exact_by_lang": q_dedup_exact_by_lang,
         "dedup_tokenset_by_lang": q_dedup_tokenset_by_lang,
@@ -1149,7 +1273,11 @@ def oracle_sql() -> dict[str, str]:
                    round(c, 6) AS containment,
                    round(CASE WHEN c > 0 THEN -ln(c) / 3.0 ELSE 1.0 END, 6)
                        AS containment_dist,
-                   round(sci, 6) AS symmetric_containment
+                   round(CASE WHEN c > 0 THEN 1.0 - pow(c, 1.0/3.0)
+                              ELSE 1.0 END, 6) AS full_containment_dist,
+                   round(sci, 6) AS symmetric_containment,
+                   round(CASE WHEN sci > 0 THEN -ln(sci) / 3.0 ELSE 1.0 END, 6)
+                       AS symmetric_containment_dist
             FROM m
         """,
         "kmv_jaccard_pairs": _ji_pairs_oracle("kmv_ji_ok"),
@@ -1254,6 +1382,53 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                   FROM documents WHERE doc_id < 50)
             GROUP BY doc_id
+        """,
+        "cardinality_sink": f"""
+            SELECT lang, count(DISTINCT token) AS exact_distinct,
+                   true AS card_ok, true AS view_ok
+            FROM ({_TOKS}) GROUP BY lang
+        """,
+        "checkpoint_resume": f"""
+            SELECT lang, count(DISTINCT token) AS exact_distinct,
+                   true AS hll_ok, true AS resume_identical, true AS metrics_ok
+            FROM ({_TOKS}) GROUP BY lang
+        """,
+        "distmat_sinks_roundtrip": f"""
+            WITH toks AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
+            sizes AS (SELECT lang, count(*) AS sz FROM toks GROUP BY lang),
+            inter AS (
+                SELECT a.lang AS a_key, b.lang AS b_key, count(*) AS t2
+                FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
+                GROUP BY 1, 2
+            )
+            SELECT s1.lang AS a_key, s2.lang AS b_key,
+                   round(CAST(COALESCE(i.t2, 0) AS DOUBLE)
+                         / (s1.sz + s2.sz - COALESCE(i.t2, 0)), 6) AS ji,
+                   true AS roundtrip_ok
+            FROM sizes s1 JOIN sizes s2 ON s1.lang < s2.lang
+            LEFT JOIN inter i ON i.a_key = s1.lang AND i.b_key = s2.lang
+        """,
+        "multi_k_flatten": f"""
+            WITH toks AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
+            sizes AS (SELECT lang, count(*) AS sz FROM toks GROUP BY lang),
+            inter AS (
+                SELECT a.lang AS a_key, b.lang AS b_key, count(*) AS t2
+                FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
+                GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT s1.lang AS a_key, s2.lang AS b_key,
+                       CAST(COALESCE(i.t2, 0) AS DOUBLE)
+                       / (s1.sz + s2.sz - COALESCE(i.t2, 0)) AS ji
+                FROM sizes s1 JOIN sizes s2 ON s1.lang < s2.lang
+                LEFT JOIN inter i ON i.a_key = s1.lang AND i.b_key = s2.lang
+            )
+            SELECT a_key, b_key,
+                   round(CASE WHEN ji > 0 THEN -ln(2*ji/(1+ji)) / 2
+                              ELSE 1.0 END, 6) AS k2,
+                   round(CASE WHEN ji > 0 THEN -ln(2*ji/(1+ji)) / 3
+                              ELSE 1.0 END, 6) AS k3
+            FROM m
         """,
         "crmh_weighted_ji_pairs": f"""
             WITH c AS (SELECT lang, token, count(*) AS cnt

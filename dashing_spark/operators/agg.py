@@ -120,8 +120,14 @@ def sketch_tokens_by_key(
     salt: int | None = None,
     weighted: bool = False,
     hasher: str = "arrow",
+    counters: dict | None = None,
 ) -> DataFrame:
     """One sketch per key over the w-shingle hashes of ``text_col``.
+
+    ``counters`` optionally carries Spark accumulators under keys
+    "rows" / "partials" / "merges" — the pipeline's metrics hooks
+    (plans/pipeline.py) ride the same kernels instead of duplicating
+    them. Ignored on the weighted path.
 
     ``hasher="arrow"`` (default): tokens are hashed by the numpy
     byte-polynomial kernel directly over Arrow string buffers — zero
@@ -178,7 +184,9 @@ def sketch_tokens_by_key(
 
         arrow_schema = to_arrow_schema(partial_schema)
         acc: dict[tuple, object] = {}
+        n_rows = 0
         for rb in batches:
+            n_rows += rb.num_rows
             if hasher == "jvm":
                 col = rb.column(n_keys)
                 th = col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
@@ -202,6 +210,11 @@ def sketch_tokens_by_key(
                     seg = order[bounds[ci] : bounds[ci + 1]]
                     if len(seg):
                         sk.update_hashes(sh[seg])
+        if counters:
+            if "rows" in counters:
+                counters["rows"].add(n_rows)
+            if "partials" in counters:
+                counters["partials"].add(len(acc))
         yield pa.RecordBatch.from_pandas(
             _emit_partials(acc, key_cols),
             schema=arrow_schema,
@@ -209,7 +222,7 @@ def sketch_tokens_by_key(
         )
 
     partials = src.mapInArrow(partial_fn, schema=partial_schema)
-    return _merge_partials(partials, key_cols, salt)
+    return _merge_partials(partials, key_cols, salt, counters)
 
 
 def sketch_numeric_by_key(
@@ -291,23 +304,31 @@ def sketch_hash_col_by_key(
     return _merge_partials(partials, key_cols, salt)
 
 
-def _merge_rows(pdf: pd.DataFrame, key_cols: Sequence[str]) -> pd.DataFrame:
+def _merge_rows(
+    pdf: pd.DataFrame, key_cols: Sequence[str], acc_merges=None
+) -> pd.DataFrame:
     blobs = pdf[SKETCH_COL]
     sk = sketch_from_bytes(blobs.iloc[0])
     for b in blobs.iloc[1:]:
         sk.merge(sketch_from_bytes(b))
+    if acc_merges is not None:
+        acc_merges.add(max(0, len(blobs) - 1))
     out = pdf.iloc[[0]][list(key_cols)].copy()
     out[SKETCH_COL] = [sk.to_bytes()]
     return out
 
 
 def _merge_partials(
-    partials: DataFrame, key_cols: Sequence[str], salt: int | None
+    partials: DataFrame,
+    key_cols: Sequence[str],
+    salt: int | None,
+    counters: dict | None = None,
 ) -> DataFrame:
     result_schema = _result_schema(partials, key_cols)
+    acc_merges = (counters or {}).get("merges")
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_rows(pdf, key_cols)
+        return _merge_rows(pdf, key_cols, acc_merges)
 
     if salt and salt > 1:
         # explicit tree level: cap fan-in per merge task (par_reduce
@@ -324,7 +345,7 @@ def _merge_partials(
         )
 
         def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = _merge_rows(pdf, key_cols)
+            out = _merge_rows(pdf, key_cols, acc_merges)
             out["__salt"] = pdf["__salt"].iloc[0]
             return out[[*key_cols, "__salt", SKETCH_COL]]
 

@@ -154,10 +154,18 @@ def build_or_resume_sketch_table(
     acc_merges = sc.accumulator(0)
 
     src = df.select(*key_cols, text_col)
-    partials = _counted_partials(
-        src, list(key_cols), make_sketch, text_col, params, acc_rows, acc_partials
+    # the real build kernels with accumulator hooks — one implementation
+    # (operators/agg.py), not a counted copy
+    sketches = agg.sketch_tokens_by_key(
+        src,
+        list(key_cols),
+        make_sketch,
+        text_col=text_col,
+        shingle_w=params.shingle_w,
+        seed=params.seed,
+        salt=salt,
+        counters={"rows": acc_rows, "partials": acc_partials, "merges": acc_merges},
     )
-    sketches = _counted_merge(partials, list(key_cols), salt, acc_merges)
 
     sketches.write.mode("overwrite").parquet(snap)
     partition_lineage(src, [text_col]).write.mode("overwrite").parquet(lineage_path)
@@ -175,99 +183,3 @@ def build_or_resume_sketch_table(
     with open(metrics_path, "w") as f:
         f.write(m.to_json())
     return out, m
-
-
-def _counted_partials(src, key_cols, make_sketch, text_col, params, acc_rows, acc_partials):
-    import numpy as np
-    import pandas as pd
-
-    from dashing_spark.functions import hashing
-    from dashing_spark.operators.agg import _emit_partials, _partial_schema
-    from dashing_spark.operators.ship import ensure_shipped
-
-    ensure_shipped(src.sparkSession)
-    partial_schema = _partial_schema(src.select(*key_cols), key_cols)
-    shingle_w, seed = params.shingle_w, params.seed
-    n_keys = len(key_cols)
-
-    def partial_fn(batches):
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        arrow_schema = to_arrow_schema(partial_schema)
-        acc: dict[tuple, object] = {}
-        n = 0
-        for rb in batches:
-            n += rb.num_rows
-            th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
-            sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
-            keys = list(zip(*(rb.column(i).to_pylist() for i in range(n_keys))))
-            codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
-            if len(sh):
-                shingle_codes = codes[doc_idx]
-                order = np.argsort(shingle_codes, kind="stable")
-                bounds = np.searchsorted(shingle_codes[order], np.arange(len(uniq) + 1))
-            for ci, key in enumerate(uniq):
-                sk = acc.get(key)
-                if sk is None:
-                    sk = acc[key] = make_sketch()
-                if len(sh):
-                    seg = order[bounds[ci] : bounds[ci + 1]]
-                    if len(seg):
-                        sk.update_hashes(sh[seg])
-        acc_rows.add(n)
-        acc_partials.add(len(acc))
-        yield pa.RecordBatch.from_pandas(
-            _emit_partials(acc, key_cols), schema=arrow_schema, preserve_index=False
-        )
-
-    return src.mapInArrow(partial_fn, schema=partial_schema)
-
-
-def _counted_merge(partials, key_cols, salt, acc_merges):
-    import pandas as pd
-
-    from dashing_spark.functions.serde import sketch_from_bytes
-    from dashing_spark.operators.agg import (
-        SKETCH_COL,
-        _PART_COL,
-        _result_schema,
-    )
-
-    result_schema = _result_schema(partials, key_cols)
-
-    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        blobs = pdf[SKETCH_COL]
-        sk = sketch_from_bytes(blobs.iloc[0])
-        for b in blobs.iloc[1:]:
-            sk.merge(sketch_from_bytes(b))
-        acc_merges.add(max(0, len(blobs) - 1))
-        out = pdf.iloc[[0]][list(key_cols)].copy()
-        out[SKETCH_COL] = [sk.to_bytes()]
-        return out
-
-    if salt and salt > 1:
-        from pyspark.sql import types as T
-
-        salted_schema = T.StructType(
-            [f for f in partials.schema.fields if f.name != _PART_COL][:-1]
-            + [
-                T.StructField("__salt", T.IntegerType(), False),
-                T.StructField(SKETCH_COL, T.BinaryType(), False),
-            ]
-        )
-
-        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = merge_fn(pdf)
-            out["__salt"] = pdf["__salt"].iloc[0]
-            return out[[*key_cols, "__salt", SKETCH_COL]]
-
-        salted = partials.withColumn(
-            "__salt", F.pmod(F.col(_PART_COL), F.lit(salt)).cast("int")
-        )
-        partials = salted.groupBy(*key_cols, "__salt").applyInPandas(
-            merge_salted, schema=salted_schema
-        )
-    else:
-        partials = partials.drop(_PART_COL)
-    return partials.groupBy(*key_cols).applyInPandas(merge_fn, schema=result_schema)
