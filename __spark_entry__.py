@@ -800,6 +800,63 @@ def q_hll_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed rollup: the events table replayed
+    as a file stream (several micro-batches), per-day HLL sketches
+    maintained via the epoch-committed incremental state. The final
+    state must be bit-identical to the one-shot batch build (monoid ⇒
+    micro-batching and late arrivals are invisible), and estimates must
+    match exact distinct-user counts."""
+    import tempfile
+
+    from dashing_spark.streaming.incremental import (
+        incremental_sketch_query,
+        read_state,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def day_sketches(df: DataFrame) -> DataFrame:
+        src = df.withColumn(
+            "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+        ).withColumn("__h", F.xxhash64("user_id"))
+        return agg.sketch_hash_col_by_key(src, ["day"], lambda: HLL.empty(P_HLL), "__h")
+
+    src_dir = tempfile.mkdtemp(prefix="dash_stream_src_")
+    state_dir = tempfile.mkdtemp(prefix="dash_stream_state_")
+    ckpt_dir = tempfile.mkdtemp(prefix="dash_stream_ckpt_")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = incremental_sketch_query(
+        stream, ["day"], lambda: HLL.empty(P_HLL), state_dir, ckpt_dir,
+        build_fn=day_sketches,
+    )
+    q.awaitTermination(300)
+    streamed = {
+        r["day"]: bytes(r["sketch"]) for r in read_state(spark, state_dir).collect()
+    }
+    batch = {r["day"]: bytes(r["sketch"]) for r in day_sketches(ev).collect()}
+    stream_matches_batch = streamed == batch
+    est = read_state(spark, state_dir).select(
+        "day", agg.estimate_expr("ertl_mle")("sketch").alias("est")
+    )
+    exact = (
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users",
+        _hll_ok(F.col("est"), F.col("exact_users")),
+        F.lit(stream_matches_batch).alias("stream_matches_batch"),
+    )
+
+
 def q_bloom_en_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter over 'en' tokens probed by every language's distinct
     tokens: exact membership counts (oracle-checked) + the Bloom
@@ -1109,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_event_values_by_type": q_kll_event_values_by_type,
         "hll_card_by_doc": q_hll_card_by_doc,
         "hll_users_by_day": q_hll_users_by_day,
+        "streaming_users_by_day": q_streaming_users_by_day,
         "bloom_en_membership": q_bloom_en_membership,
         "hll_vs_spark_builtin": q_hll_vs_spark_builtin,
         "crmh_weighted_ji_pairs": q_crmh_weighted_ji_pairs,
@@ -1359,6 +1417,12 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_day": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id) AS exact_users, true AS hll_ok
+            FROM events GROUP BY 1
+        """,
+        "streaming_users_by_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS exact_users, true AS hll_ok,
+                   true AS stream_matches_batch
             FROM events GROUP BY 1
         """,
         "bloom_en_membership": f"""

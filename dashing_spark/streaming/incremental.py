@@ -105,18 +105,24 @@ def apply_sketch_batch(
     make_sketch: Callable[[], object],
     state_dir: str,
     text_col: str = "text",
+    build_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> None:
     """Merge one micro-batch into the persisted state — idempotent per
-    epoch (see module docstring for the commit protocol)."""
+    epoch (see module docstring for the commit protocol). ``build_fn``
+    overrides the default text-token sketch builder (any batch →
+    sketch-table transform keyed by ``key_cols``)."""
     if batch_df.isEmpty():
         return
     prev = committed_epoch(state_dir)
     if prev is not None and prev >= epoch_id:
         return  # retried epoch already committed: no double-merge
     spark = batch_df.sparkSession
-    batch_sketches = agg.sketch_tokens_by_key(
-        batch_df, list(key_cols), make_sketch, text_col=text_col
-    )
+    if build_fn is not None:
+        batch_sketches = build_fn(batch_df)
+    else:
+        batch_sketches = agg.sketch_tokens_by_key(
+            batch_df, list(key_cols), make_sketch, text_col=text_col
+        )
     if prev is not None:
         state = spark.read.parquet(os.path.join(state_dir, f"epoch_{prev}"))
         merged = merge_sketch_states(state, batch_sketches, list(key_cols))
@@ -139,21 +145,24 @@ def incremental_sketch_query(
     checkpoint_dir: str,
     text_col: str = "text",
     trigger_available_now: bool = True,
+    build_fn: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """Start a streaming query that maintains a per-key sketch table.
 
     State lives under ``state_dir`` (one parquet dir per epoch plus an
     atomically-renamed ``_CURRENT`` manifest); the streaming engine's
     checkpoint at ``checkpoint_dir`` provides restart semantics, and the
-    epoch protocol makes retried batches idempotent. Returns the
-    StreamingQuery.
+    epoch protocol makes retried batches idempotent. Late data needs no
+    watermark bookkeeping: a late row merges into its window's sketch
+    whenever it arrives (sketches are order-independent monoids).
+    Returns the StreamingQuery.
     """
     key_cols = list(key_cols)
     os.makedirs(state_dir, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         apply_sketch_batch(
-            batch_df, epoch_id, key_cols, make_sketch, state_dir, text_col
+            batch_df, epoch_id, key_cols, make_sketch, state_dir, text_col, build_fn
         )
 
     writer = (
