@@ -78,3 +78,34 @@ class TestPlanInvariants:
         pairs = dist.all_pairs(sk, ["lang"], measures=("ji",))
         n = sk.count()
         assert pairs.count() == n * (n - 1) // 2
+
+    def test_query_reference_broadcasts_reference_side(self, spark, docs):
+        q = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+        r = agg.sketch_tokens_by_key(docs, ["source"], lambda: HLL.empty(10))
+        r = r.withColumnRenamed("source", "lang")
+        panel = dist.query_reference(q, r, ["lang"], measures=("containment",))
+        assert "BroadcastExchange" in _plan(panel) or "BroadcastNestedLoopJoin" in _plan(panel)
+
+    def test_lsh_candidates_partial_aggregate_before_distinct(self, spark, docs):
+        """The candidate-pair distinct must run a map-side partial
+        HashAggregate before its exchange — that is what compresses the
+        bands-fold duplicate pair multiset before it hits the shuffle."""
+        from dashing_spark.operators import dedup
+
+        sigs = dedup.minhash_signatures(docs, "doc_id")
+        cands = dedup.lsh_candidate_pairs(sigs, "doc_id")
+        plan = _plan(cands)
+        # expect at least one HashAggregate on (a_id, b_id) upstream of
+        # an Exchange (partial) and one downstream (final)
+        assert plan.count("HashAggregate") >= 2
+        assert "Exchange hashpartitioning(a_id" in plan
+
+    def test_ngram_join_is_not_gram_level(self, spark, docs):
+        """ngram_jaccard_pairs must not contain a gram-token equi-join
+        (its output is O(sum df^2)); candidates come from LSH bands."""
+        from dashing_spark.operators import dedup
+
+        out = dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.6)
+        opt = _optimized(out)
+        # the only equi-joins allowed are on band/bhash and on ids
+        assert "bhash" in opt
