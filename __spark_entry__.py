@@ -620,18 +620,45 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (scale path; approximate by design —
-    recall vs brute force is pytest-gated, no SQL oracle)."""
+def _ann_recall_stats(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, ok_name: str, min_recall: float
+) -> DataFrame:
+    """Stats form for approximate ANN: recall vs the in-Spark brute
+    force as a bound boolean, with the oracle-checkable exact columns
+    (vector count, k) hash-gated."""
     emb = _embeddings(spark, sf_dir)
-    return similarity.ivf_topk(emb, k=3, n_centroids=16, nprobe=4)
+    exact = similarity.cosine_topk_exact(emb, emb, k=3).select("q_id", "n_id")
+    n_exact = exact.groupBy().agg(F.count("*").alias("n_exact"))
+    hits = (
+        approx.select("q_id", "n_id")
+        .join(exact, ["q_id", "n_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_vec = emb.agg(F.count("*").alias("n_vectors"))
+    row = n_vec.crossJoin(n_exact).crossJoin(hits)
+    return row.select(
+        "n_vectors",
+        F.lit(3).alias("k"),
+        (F.col("n_hit") / F.col("n_exact") >= min_recall).alias(ok_name),
+    )
+
+
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (scale path): recall vs brute force
+    bound-checked in-plan (≥0.4 on these near-orthogonal 64-dim
+    vectors); vector count hash-gated against the oracle."""
+    emb = _embeddings(spark, sf_dir)
+    approx = similarity.ivf_topk(emb, k=3, n_centroids=16, nprobe=4)
+    return _ann_recall_stats(spark, sf_dir, approx, "ivf_recall_ok", 0.4)
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (recall tested vs brute force in
-    pytest; no SQL oracle — approximate by design)."""
+    """Hyperplane-LSH bucketed top-k: recall vs brute force ≥0.6 (3
+    planes × 10 tables), vector count hash-gated."""
     emb = _embeddings(spark, sf_dir)
-    return similarity.lsh_cosine_topk(emb, k=3, n_planes=3, n_tables=10)
+    approx = similarity.lsh_cosine_topk(emb, k=3, n_planes=3, n_tables=10)
+    return _ann_recall_stats(spark, sf_dir, approx, "lsh_recall_ok", 0.6)
 
 
 # ---------------------------------------------------------------------------
@@ -676,13 +703,42 @@ def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnowing_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (rows-only: custom hashing)."""
+    """Winnowing fingerprints (Schleimer 2003): doc counts hash-gated;
+    the winnowing guarantees — at least one fingerprint per window-
+    coverable doc, never more than the number of k-gram positions, and
+    partitioning-independent output — checked as bound booleans."""
     docs = _docs(spark, sf_dir)
-    fp = text.winnowing_fingerprints(docs, "doc_id")
-    joined = fp.join(docs.select("doc_id", "lang"), "doc_id")
-    return joined.groupBy("lang").agg(
+    k, w = 4, 5
+    fp = text.winnowing_fingerprints(docs, "doc_id", k=k, window=w)
+    fp2 = text.winnowing_fingerprints(docs.repartition(7), "doc_id", k=k, window=w)
+    stable = (
+        fp.select("doc_id", F.explode("fingerprints").alias("f"))
+        .exceptAll(fp2.select("doc_id", F.explode("fingerprints").alias("f")))
+        .groupBy()
+        .agg(F.count("*").alias("n_diff"))
+    )
+    ntoks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ", -1)).alias("n_tokens")
+    )
+    joined = fp.join(ntoks, "doc_id").withColumn(
+        "positions", F.greatest(F.col("n_tokens") - k + 1, F.lit(0))
+    )
+    per_lang = joined.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size("fingerprints")).alias("total_fps"),
+        (
+            F.sum(F.when(
+                (F.size("fingerprints") >= F.least(F.lit(1), F.col("positions")))
+                & (F.size("fingerprints") <= F.col("positions")),
+                0,
+            ).otherwise(1))
+            == 0
+        ).alias("fp_bounds_ok"),
+    )
+    return per_lang.crossJoin(stable).select(
+        "lang",
+        "n_docs",
+        "fp_bounds_ok",
+        (F.col("n_diff") == 0).alias("partition_stable_ok"),
     )
 
 
@@ -1605,6 +1661,19 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN sz sa ON sa.doc_id = i.a_id
                    JOIN sz sb ON sb.doc_id = i.b_id
             WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.6
+        """,
+        "ivf_cosine_topk": """
+            SELECT count(*)::BIGINT AS n_vectors, 3 AS k, true AS ivf_recall_ok
+            FROM embeddings
+        """,
+        "lsh_cosine_topk": """
+            SELECT count(*)::BIGINT AS n_vectors, 3 AS k, true AS lsh_recall_ok
+            FROM embeddings
+        """,
+        "winnowing_fp_stats": """
+            SELECT lang, count(*) AS n_docs, true AS fp_bounds_ok,
+                   true AS partition_stable_ok
+            FROM documents GROUP BY lang
         """,
         "simhash_near_dups": """
             WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents)
