@@ -429,3 +429,33 @@ class TestCountingBBitMinHash:
             rng.integers(0, 2**64, 5000, dtype=np.uint64)
         )
         assert sketch_from_bytes(s.to_bytes()) == s
+
+
+# ---------------------------------------------------------------- Wide HLL
+class TestWideHLLWaiver:
+    """The reference's --use-wide-hll widens registers beyond uint8 for
+    hash widths whose rank can exceed 255. With 64-bit hashes the rank
+    is capped at 64-p+1 <= 61 (p >= 4), so uint8 registers are
+    information-lossless: a uint16 register array is bit-for-bit the
+    same data. This test RATIFIES the documented waiver (COVERAGE.md
+    §2.2) rather than shipping a dead config flag."""
+
+    def test_rank_cannot_exceed_uint8(self, rng):
+        from dashing_spark.functions import HLL
+
+        for p in (4, 10, 14):
+            h = HLL.empty(p)
+            # adversarial hashes: all-zero suffixes give the max rank
+            worst = np.array([0, 1, 2, 1 << 63], dtype=np.uint64)
+            h.update_hashes(worst)
+            h.update_hashes(rng.integers(0, 2**64, 100_000, dtype=np.uint64))
+            assert int(h.regs.max()) <= 64 - p + 1 <= 61 < 255
+
+    def test_uint16_registers_identical(self, rng):
+        from dashing_spark.functions import HLL
+
+        h = HLL.empty(10).update_hashes(
+            rng.integers(0, 2**64, 50_000, dtype=np.uint64)
+        )
+        wide = h.regs.astype(np.uint16)  # the wide-HLL representation
+        assert np.array_equal(wide.astype(np.uint8), h.regs)  # lossless
