@@ -12,9 +12,11 @@ from dashing_spark.functions import (
     KMV,
     BBitMinHash,
     BloomFilter,
+    CountingBBitMinHash,
     CountingKMV,
     CountMinSketch,
     HyperMinHash,
+    SuperMinHash,
     hashing,
     sketch_from_bytes,
 )
@@ -27,6 +29,8 @@ MONOIDS = [
     lambda: BBitMinHash.empty(4, 8),
     lambda: CountingKMV.empty(16),
     lambda: HyperMinHash.empty(6, 6),
+    lambda: SuperMinHash.empty(16),
+    lambda: CountingBBitMinHash.empty(4, 8),
 ]
 
 items_strategy = st.lists(
@@ -58,7 +62,7 @@ def test_merge_commutative_and_idempotent(items):
     h = _hash(items)
     mid = len(h) // 2
     for make in MONOIDS:
-        if isinstance(make(), (CountMinSketch, CountingKMV)):
+        if isinstance(make(), (CountMinSketch, CountingKMV, CountingBBitMinHash)):
             # counting sketches are commutative but NOT idempotent
             ab = make().update_hashes(h[:mid]).merge(make().update_hashes(h[mid:]))
             ba = make().update_hashes(h[mid:]).merge(make().update_hashes(h[:mid]))
