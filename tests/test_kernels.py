@@ -459,3 +459,50 @@ class TestWideHLLWaiver:
         )
         wide = h.regs.astype(np.uint16)  # the wide-HLL representation
         assert np.array_equal(wide.astype(np.uint8), h.regs)  # lossless
+
+
+class TestCharGramHashing:
+    def test_counts_and_boundaries(self):
+        import pyarrow as pa
+
+        from dashing_spark.functions.hashing import char_gram_hashes_arrow
+
+        arr = pa.array(["abcdef", "ab", "", "xyzw", "abc"])
+        h, c = char_gram_hashes_arrow(arr, 3)
+        assert c.tolist() == [4, 0, 0, 2, 1]
+        # "abc" gram of doc 0 equals doc 4's single gram; 6 distinct total
+        assert h[0] == h[-1]
+        assert len(set(h.tolist())) == 6
+
+    def test_deterministic_and_seeded(self):
+        import pyarrow as pa
+
+        from dashing_spark.functions.hashing import char_gram_hashes_arrow
+
+        arr = pa.array(["hello world", "hello"])
+        h1, _ = char_gram_hashes_arrow(arr, 4)
+        h2, _ = char_gram_hashes_arrow(arr, 4)
+        assert (h1 == h2).all()
+        h3, _ = char_gram_hashes_arrow(arr, 4, seed=9)
+        assert (h1 != h3).any()
+
+
+class TestTokenizerPathAgreement:
+    def test_arrow_matches_split_semantics(self):
+        """hash_tokens_arrow must emit exactly split(' ')'s token
+        multiset — including the empty token after a trailing space and
+        for the empty string (ADVICE consistency fix)."""
+        import pandas as pd
+        import pyarrow as pa
+
+        texts = ["a b c", "a b ", "", " ", "hello", "x  y", "trail "]
+        h, c = hashing.hash_tokens_arrow(pa.array(texts, type=pa.string()))
+        flat, lens = hashing.tokenize_flat(pd.Series(texts))
+        assert c.tolist() == lens.tolist()
+        # per-token equality: identical tokens hash identically across docs
+        by_tok = {}
+        i = 0
+        for t in flat:
+            by_tok.setdefault(t, set()).add(int(h[i]))
+            i += 1
+        assert all(len(v) == 1 for v in by_tok.values())
