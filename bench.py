@@ -187,6 +187,26 @@ def main() -> None:
         "q12_simhash_near_dups",
         lambda: dedup.simhash_near_dups(docs, "doc_id", max_hamming=3).count(),
     )
+    # q13: query×reference panel with the Ertl joint-MLE triple estimator
+    qsk = agg.sketch_hash_col_by_key(
+        lineitem.select(
+            F.col("l_returnflag").alias("key"), F.xxhash64("l_orderkey").alias("__h")
+        ),
+        ["key"], lambda: HLL.empty(14), "__h",
+    ).cache()
+    rsk = agg.sketch_hash_col_by_key(
+        lineitem.select(
+            F.col("l_linestatus").alias("key"), F.xxhash64("l_orderkey").alias("__h")
+        ),
+        ["key"], lambda: HLL.empty(14), "__h",
+    ).cache()
+    qsk.count(); rsk.count()
+    run(
+        "q13_panel_joint_mle",
+        lambda: dist.query_reference(
+            qsk, rsk, ["key"], measures=("containment",), estimator="ertl_joint_mle"
+        ).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     sketch_docs_per_sec = round(n_synth / timings["q0_synth_sketch_build_1m"], 1)
