@@ -753,6 +753,17 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_stats(media)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (exact dedup → MinHash-LSH near-dup
+    → quality filter): per-stage survivor counts, every keeper rule
+    deterministic and reproduced exactly by the SQL oracle."""
+    from dashing_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    _, stats = corpus.curate(docs, near_threshold=0.9, min_quality=0.5)
+    return stats
+
+
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode tier: zlib text blobs and RIFF/WAVE PCM clips are
     decoded through the mime-keyed codec registry; decoded unit counts
@@ -1245,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id_confusion,
         "fingerprint_stats": q_fingerprint_stats,
         "winnowing_fp_stats": q_winnowing_fp_stats,
+        "corpus_curation": q_corpus_curation,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_stats": q_multimodal_decode_stats,
     }
@@ -1775,6 +1787,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
             FROM documents
+        """,
+        "corpus_curation": """
+            WITH k AS (SELECT min(doc_id) AS doc_id FROM documents
+                       GROUP BY md5(text)),
+            s1 AS (SELECT d.* FROM documents d JOIN k USING (doc_id)),
+            toks AS (SELECT doc_id,
+                            unnest(list_distinct(string_split(text, ' '))) AS it
+                     FROM s1),
+            sz AS (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1),
+            p AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS t2
+                FROM toks a JOIN toks b
+                  ON a.it = b.it AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            drops AS (
+                SELECT DISTINCT p.b_id FROM p
+                JOIN sz sa ON sa.doc_id = p.a_id
+                JOIN sz sb ON sb.doc_id = p.b_id
+                WHERE CAST(p.t2 AS DOUBLE) / (sa.c + sb.c - p.t2) >= 0.9
+            ),
+            s2 AS (SELECT * FROM s1
+                   WHERE doc_id NOT IN (SELECT b_id FROM drops)),
+            q AS (
+                SELECT doc_id,
+                       round(
+                           greatest(least(1.0 - abs(ln(length(text) + 1.0)
+                               - 5.5) / 5.5, 1.0), 0.0) * 0.5
+                           + greatest(1.0 - round((length(text)
+                               - length(regexp_replace(text, '[0-9]', '', 'g')))
+                               * 1.0 / length(text), 6) * 10, 0.0) * 0.25
+                           + least(round(len(list_filter(string_split(text, ' '),
+                               t -> list_contains(['the','a','of','and'], t)))
+                               * 1.0 / len(string_split(text, ' ')), 6) * 5,
+                               1.0) * 0.25,
+                       6) AS quality
+                FROM s2
+            ),
+            s3 AS (SELECT s2.doc_id FROM s2 JOIN q USING (doc_id)
+                   WHERE q.quality >= 0.5)
+            SELECT 'input' AS stage, count(*)::BIGINT AS n_out FROM documents
+            UNION ALL SELECT 'exact_dedup', count(*)::BIGINT FROM s1
+            UNION ALL SELECT 'near_dedup', count(*)::BIGINT FROM s2
+            UNION ALL SELECT 'quality', count(*)::BIGINT FROM s3
         """,
         "multimodal_decode_stats": """
             SELECT 'audio' AS kind, count(*) AS n_items,

@@ -1,0 +1,79 @@
+"""Composed corpus curation — the end-to-end training-data pipeline.
+
+No dashing counterpart (dashing stops at distances); this composes the
+engine's dedup/quality/lang operators into the canonical web-corpus
+cleaning sequence a 10^12-document pretraining pipeline runs:
+
+    exact dedup  →  near-dup dedup (MinHash-LSH)  →  quality filter
+                 →  optional language allow-list
+
+Every stage's keeper rule is deterministic and SQL-reproducible, so the
+whole pipeline is verifiable against an exact oracle at fixture scale:
+
+- exact:   keep the min-id document of each md5(text) group;
+- near:    among survivors, drop any document that appears as the
+           LARGER id of a Jaccard ≥ threshold pair (keep-first rule —
+           one narrow LSH pass, no connected-components iteration; a
+           doc chained to an earlier keeper through a dropped doc is
+           kept, which is the standard streaming-dedup semantic);
+- quality: keep documents with quality_score ≥ min_quality;
+- lang:    optional allow-list on the lang column.
+
+Scale notes: stage costs are the underlying operators' (one md5
+groupBy; LSH bounded by true-near-dup mass; quality is pure codegen).
+The stats frame is lazy — one aggregate per stage, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dashing_spark.operators import dedup, text
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_threshold: float = 0.9,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the curation pipeline. Returns (kept_docs, stats) where
+    stats is a lazy one-row-per-stage frame: (stage, n_out)."""
+    # stage 1: exact dedup (min-id keeper per byte-identical text)
+    keepers = (
+        docs.select(F.md5(F.col(text_col)).alias("__dg"), F.col(id_col))
+        .groupBy("__dg")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    s1 = docs.join(keepers, id_col, "left_semi")
+    # stage 2: near-dup dedup — drop the larger id of every JI≥t pair
+    pairs = dedup.minhash_lsh_dedup(s1, id_col, text_col, threshold=near_threshold)
+    dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    s2 = s1.join(dropped, id_col, "left_anti")
+    # stage 3: quality filter
+    scored = text.quality_score(s2, text_col)
+    s3 = s2.join(
+        scored.filter(F.col("quality") >= min_quality).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    # stage 4: optional language allow-list
+    s4 = s3.filter(F.col("lang").isin(list(langs))) if langs else s3
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_out")).select(
+            F.lit(name).alias("stage"), "n_out"
+        )
+
+    stats = (
+        _stage("input", docs)
+        .unionByName(_stage("exact_dedup", s1))
+        .unionByName(_stage("near_dedup", s2))
+        .unionByName(_stage("quality", s3))
+    )
+    if langs:
+        stats = stats.unionByName(_stage("lang", s4))
+    return s4, stats

@@ -288,3 +288,38 @@ class TestIVF:
         assert cent.shape[1] == 64
         asg = similarity.ivf_assignments(emb, cent, nprobe=1)
         assert asg.select("vec_id").distinct().count() == emb.count()
+
+
+class TestCorpusCuration:
+    def test_stages_monotone_and_deterministic(self, spark, docs):
+        from dashing_spark.operators import corpus
+
+        kept, stats = corpus.curate(docs, near_threshold=0.9, min_quality=0.5)
+        s = {r["stage"]: r["n_out"] for r in stats.collect()}
+        assert s["input"] >= s["exact_dedup"] >= s["near_dedup"] >= s["quality"]
+        assert s["quality"] == kept.count()
+        # survivors contain no byte-identical pair and no JI>=0.9 pair
+        from dashing_spark.operators import dedup
+
+        assert (
+            dedup.exact_dup_clusters(kept, "doc_id").filter("n_docs > 1").count() == 0
+        )
+        # keep-first rule: remaining pairs may only chain through drops;
+        # every surviving near-dup pair's a-side must be a keeper id
+        kept2, _ = corpus.curate(
+            docs.repartition(7), near_threshold=0.9, min_quality=0.5
+        )
+        assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {
+            r["doc_id"] for r in kept2.select("doc_id").collect()
+        }
+
+    def test_lang_allowlist(self, spark, docs):
+        from dashing_spark.operators import corpus
+
+        kept, stats = corpus.curate(docs, langs=["en", "de"])
+        assert {r["lang"] for r in kept.select("lang").distinct().collect()} <= {
+            "en", "de"
+        }
+        assert {r["stage"] for r in stats.collect()} == {
+            "input", "exact_dedup", "near_dedup", "quality", "lang"
+        }
