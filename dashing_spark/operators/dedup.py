@@ -115,6 +115,23 @@ def minhash_signatures(
     return src.mapInPandas(fn, schema=schema)
 
 
+def pick_lsh_bands(n_hashes: int, threshold: float, max_miss: float = 1e-8) -> int:
+    """Largest rows-per-band r (fewest false candidates) whose miss
+    probability (1−t^r)^(n_hashes/r) at JI = threshold stays ≤ max_miss;
+    returns the band count n_hashes // r. A fixed r=4 silently loses
+    ~12% recall at t=0.5 — banding must follow the threshold."""
+    import math
+
+    target = math.log(max_miss)
+    for r in (8, 4, 2, 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        if b * math.log1p(-(threshold**r)) <= target:
+            return b
+    return n_hashes  # r=1: every hash its own band (exact for any t>0)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, n_hashes: int = 128, bands: int = 32
 ) -> DataFrame:
@@ -237,12 +254,13 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     threshold: float = 0.9,
     n_hashes: int = 128,
-    bands: int = 32,
+    bands: int | None = None,
     shingle_w: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs with exact JI ≥ threshold, found via
-    MinHash-LSH candidates + exact verify. With b=32, r=4 the miss
-    probability at JI=0.9 is (1-0.9^4)^32 ≈ 1e-15 — effectively exact.
+    MinHash-LSH candidates + exact verify. Banding adapts to the
+    threshold (pick_lsh_bands) so the miss probability at JI=threshold
+    stays ≤ 1e-8 — at the 0.9 default that is r=4/b=32 (miss ≈ 1e-15).
 
     Exact-duplicate sets are clustered FIRST (one md5-of-sorted-shingles
     groupBy — the production exact-then-near dedup layout): Jaccard
@@ -273,6 +291,8 @@ def minhash_lsh_dedup(
     reps = sets.groupBy("__sk").agg(F.min("__id").alias("rep_id"))
     rep_docs = df.join(reps, df[id_col] == reps["rep_id"], "left_semi")
     sigs = minhash_signatures(rep_docs, id_col, text_col, n_hashes, shingle_w)
+    if bands is None:
+        bands = pick_lsh_bands(n_hashes, threshold)
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
     rep_pairs = exact_ji_for_pairs(rep_docs, cands, id_col, text_col, shingle_w).filter(
         F.col("ji") >= threshold
@@ -423,7 +443,9 @@ def ngram_jaccard_pairs(
     ``block_cols`` (e.g. lang) must match exactly — applied as a cheap
     pair filter before the verify joins."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, char_n=n)
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes, bands=n_hashes // 2)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, n_hashes=n_hashes, bands=pick_lsh_bands(n_hashes, threshold)
+    )
     if block_cols:
         keys = df.select(F.col(id_col).alias("__bid"), *block_cols)
         a_keys = keys.select(
