@@ -323,3 +323,38 @@ class TestCorpusCuration:
         assert {r["stage"] for r in stats.collect()} == {
             "input", "exact_dedup", "near_dedup", "quality", "lang"
         }
+
+
+class TestAdaptiveBanding:
+    def test_low_threshold_recall_exact(self, spark, docs):
+        """threshold=0.5 must still find the exact JI>=0.5 pair set —
+        the adaptive banding widens to one-hash bands (a fixed r=4
+        misses ~12% here)."""
+        from dashing_spark.operators.dedup import pick_lsh_bands
+
+        assert pick_lsh_bands(128, 0.9) == 32
+        assert pick_lsh_bands(128, 0.5) == 128
+        found = {
+            (r["a_id"], r["b_id"])
+            for r in dedup.minhash_lsh_dedup(docs, "doc_id", threshold=0.5).collect()
+        }
+        items = docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(F.split("text", " ", -1))).alias("it"),
+        )
+        sizes = items.groupBy("id").agg(F.count("*").alias("sz"))
+        inter = (
+            items.select(F.col("id").alias("a_id"), "it")
+            .join(items.select(F.col("id").alias("b_id"), "it"), "it")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("t2"))
+        )
+        exact = (
+            inter.join(sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("sa")), "a_id")
+            .join(sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("sb")), "b_id")
+            .withColumn("ji", F.col("t2") / (F.col("sa") + F.col("sb") - F.col("t2")))
+            .filter(F.col("ji") >= 0.5)
+        )
+        truth = {(r["a_id"], r["b_id"]) for r in exact.collect()}
+        assert found == truth
