@@ -26,12 +26,18 @@ def containment_scores(
     text_col: str = "text",
     p: int = 10,
     shingle_w: int = 1,
+    estimator: str = "inclusion_exclusion",
 ) -> DataFrame:
     """Append `containment`: est |doc ∩ ref| / |doc| per row.
 
     Per-row HLLs at precision p are built whole-batch (np.maximum.at on a
-    (rows, m) register matrix); containment comes from the inclusion–
-    exclusion triple against the broadcast reference registers.
+    (rows, m) register matrix). ``estimator="inclusion_exclusion"``
+    (default) uses the vectorized improved-raw triple — the cheap path.
+    ``estimator="ertl_joint_mle"`` runs the lockstep joint Poisson MLE
+    against the broadcast reference (the reference binary's own readfilt
+    estimator, /root/reference/src/readfilt.cpp:118) — several-fold lower
+    variance in the low-containment regime the cutoff lives in, at
+    roughly 0.2–0.5 ms/row of extra numpy work.
     """
     ensure_shipped(df.sparkSession)
     ref = HLL.from_bytes(bytes(reference_blob))
@@ -51,7 +57,10 @@ def containment_scores(
     def fn(batches):
         import pyarrow as pa
 
-        from dashing_spark.functions.compare import hll_estimate_batch
+        from dashing_spark.functions.compare import (
+            hll_estimate_batch,
+            hll_joint_triple_batch,
+        )
         from dashing_spark.functions.hll import _bit_length_u64
 
         m = 1 << p
@@ -70,11 +79,17 @@ def containment_scores(
                 )
                 flat = doc_idx * m + idx
                 np.maximum.at(regs.reshape(-1), flat, rank)
-            doc_card = hll_estimate_batch(regs, p)
-            union = np.maximum(regs, ref_regs[None, :])
-            union_card = hll_estimate_batch(union, p)
-            inter = np.maximum(0.0, doc_card + ref_card - union_card)
-            ci = np.where(doc_card > 0, inter / np.maximum(doc_card, 1e-12), 0.0)
+            if estimator in ("ertl_joint_mle", "ertl_joint"):
+                ref_tiled = np.broadcast_to(ref_regs, (n, m))
+                t0, _, t2 = hll_joint_triple_batch(regs, ref_tiled, p)
+                doc_card = t0 + t2
+                ci = np.where(doc_card > 0, t2 / np.maximum(doc_card, 1e-12), 0.0)
+            else:
+                doc_card = hll_estimate_batch(regs, p)
+                union = np.maximum(regs, ref_regs[None, :])
+                union_card = hll_estimate_batch(union, p)
+                inter = np.maximum(0.0, doc_card + ref_card - union_card)
+                ci = np.where(doc_card > 0, inter / np.maximum(doc_card, 1e-12), 0.0)
             out = rb.to_pandas()
             out["containment"] = np.clip(ci, 0.0, 1.0)
             yield pa.RecordBatch.from_pandas(out, preserve_index=False)
@@ -89,7 +104,8 @@ def filter_by_containment(
     text_col: str = "text",
     p: int = 10,
     shingle_w: int = 1,
+    estimator: str = "inclusion_exclusion",
 ) -> DataFrame:
     """Keep rows whose containment in the reference ≥ cutoff (readfilt)."""
-    scored = containment_scores(df, reference_blob, text_col, p, shingle_w)
+    scored = containment_scores(df, reference_blob, text_col, p, shingle_w, estimator)
     return scored.filter(F.col("containment") >= cutoff)

@@ -129,3 +129,32 @@ class TestContainmentFilter:
         blob = bytes(ref_sk.collect()[0]["sketch"])
         scored = containment_scores(docs, blob, p=10)
         assert scored.count() == docs.count()
+
+    def test_joint_estimator_at_least_as_accurate(self, spark, docs):
+        """readfilt's own estimator (ertl_joint) must be available on the
+        row-level filter and match exact containment at least as well as
+        inclusion-exclusion on average."""
+        ref_sk = agg.sketch_tokens_by_key(
+            docs.filter(F.col("lang") == "en"), ["lang"], lambda: HLL.empty(10)
+        )
+        blob = bytes(ref_sk.collect()[0]["sketch"])
+        en_tokens = set(
+            r["t"]
+            for r in docs.filter(F.col("lang") == "en")
+            .select(F.explode(F.split("text", " ", -1)).alias("t"))
+            .distinct()
+            .collect()
+        )
+
+        def errs(estimator):
+            scored = containment_scores(docs, blob, p=10, estimator=estimator)
+            out = []
+            for r in scored.select("text", "containment").collect():
+                toks = set(r["text"].split(" "))
+                out.append(abs(r["containment"] - len(toks & en_tokens) / len(toks)))
+            return np.mean(out)
+
+        e_joint = errs("ertl_joint_mle")
+        e_ie = errs("inclusion_exclusion")
+        assert e_joint <= e_ie + 0.02, (e_joint, e_ie)
+        assert e_joint <= 0.1
