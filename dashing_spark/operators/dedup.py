@@ -228,6 +228,12 @@ def exact_ji_for_pairs(
         if char_n is not None
         else _shingle_set_expr(text_col, shingle_w)
     )
+    # items ship as xxhash64 int64 arrays, not strings: ~2.5× less data
+    # through the two pair joins and integer array_intersect. Set sizes
+    # are unchanged (distinct strings → distinct hashes up to a ~1e-14
+    # per-pair collision probability — far below the LSH miss rate the
+    # candidate stage already carries).
+    item_expr = F.transform(item_expr, lambda x: F.xxhash64(x))
     sets = docs.select(F.col(id_col).alias("id"), item_expr.alias("items"))
     out = (
         pairs.join(
