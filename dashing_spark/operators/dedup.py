@@ -45,8 +45,11 @@ def tokenset_dup_clusters(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
     """Group documents with identical *distinct token sets* (order/
-    multiplicity-insensitive duplicates)."""
-    key = F.sort_array(F.array_distinct(F.split(F.col(text_col), " ", -1)))
+    multiplicity-insensitive duplicates). The shuffle key is an md5 of
+    the sorted set — 16 bytes per row instead of the whole token array
+    (which at web scale is the document itself again)."""
+    arr = F.sort_array(F.array_distinct(F.split(F.col(text_col), " ", -1)))
+    key = F.md5(F.concat_ws("\x00", arr))
     return (
         df.select(id_col, key.alias("tokenset"))
         .groupBy("tokenset")
