@@ -92,7 +92,7 @@ def main() -> None:
             pages, ["lang"], lambda: HLL.empty(14), salt=8, hasher="jvm"
         ).count(),
     )
-    pages.unpersist()
+    pages.unpersist(blocking=True)  # async unpersist skews later queries
 
     # q1: flagship sketch build — per-lang HLL p=14 over documents
     run(
