@@ -26,15 +26,30 @@ from dashing_spark.functions import hashing
 from dashing_spark.operators.ship import ensure_shipped
 
 
-def _cos_expr(a, b):
-    dot = F.aggregate(
+def _dot_expr(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+
+
+def _norm_expr(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cos_expr(a, b):
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+
+
+def _vec_with_norm(embeddings, id_col: str, vec_col: str):
+    """(id, v, nv): vector + its norm, computed ONCE per document. Pair
+    stages then evaluate only the dot product — same arithmetic, same
+    doubles, a third of the per-pair higher-order-function work."""
+    v = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col), v.alias("v"), _norm_expr(v).alias("nv")
+    )
 
 
 def cosine_topk_exact(
@@ -46,16 +61,18 @@ def cosine_topk_exact(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (JVM-side arithmetic).
     Excludes self-pairs; deterministic tie-break on neighbor id."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    qn = _vec_with_norm(queries, id_col, vec_col)
+    rn = _vec_with_norm(embeddings, id_col, vec_col)
+    q = qn.select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("q_vec"), F.col("nv").alias("q_nv")
     )
-    r = embeddings.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    r = rn.select(
+        F.col(id_col).alias("n_id"), F.col("v").alias("n_vec"), F.col("nv").alias("n_nv")
     )
     pairs = q.crossJoin(F.broadcast(r)).filter(F.col("q_id") != F.col("n_id"))
-    pairs = pairs.withColumn("cos", _cos_expr(F.col("q_vec"), F.col("n_vec")))
+    pairs = pairs.withColumn(
+        "cos", _dot_expr(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nv") * F.col("n_nv"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -189,13 +206,18 @@ def lsh_cosine_topk(
         .select("q_id", "n_id")
         .distinct()
     )
-    e = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    e = _vec_with_norm(embeddings, id_col, vec_col)
     pairs = (
-        cand.join(e.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_vec")), "q_id")
-        .join(e.select(F.col(id_col).alias("n_id"), F.col("v").alias("n_vec")), "n_id")
-        .withColumn("cos", _cos_expr(F.col("q_vec"), F.col("n_vec")))
+        cand.join(
+            e.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_vec"),
+                     F.col("nv").alias("q_nv")), "q_id")
+        .join(
+            e.select(F.col(id_col).alias("n_id"), F.col("v").alias("n_vec"),
+                     F.col("nv").alias("n_nv")), "n_id")
+        .withColumn(
+            "cos",
+            _dot_expr(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nv") * F.col("n_nv")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -308,13 +330,18 @@ def ivf_topk(
         .select("q_id", "n_id")
         .distinct()
     )
-    e = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    e = _vec_with_norm(embeddings, id_col, vec_col)
     pairs = (
-        cand.join(e.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_vec")), "q_id")
-        .join(e.select(F.col(id_col).alias("n_id"), F.col("v").alias("n_vec")), "n_id")
-        .withColumn("cos", _cos_expr(F.col("q_vec"), F.col("n_vec")))
+        cand.join(
+            e.select(F.col(id_col).alias("q_id"), F.col("v").alias("q_vec"),
+                     F.col("nv").alias("q_nv")), "q_id")
+        .join(
+            e.select(F.col(id_col).alias("n_id"), F.col("v").alias("n_vec"),
+                     F.col("nv").alias("n_nv")), "n_id")
+        .withColumn(
+            "cos",
+            _dot_expr(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nv") * F.col("n_nv")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -348,13 +375,18 @@ def embedding_near_dups(
         .select("a_id", "b_id")
         .distinct()
     )
-    e = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    e = _vec_with_norm(embeddings, id_col, vec_col)
     pairs = (
-        cand.join(e.select(F.col(id_col).alias("a_id"), F.col("v").alias("a_vec")), "a_id")
-        .join(e.select(F.col(id_col).alias("b_id"), F.col("v").alias("b_vec")), "b_id")
-        .withColumn("cos", _cos_expr(F.col("a_vec"), F.col("b_vec")))
+        cand.join(
+            e.select(F.col(id_col).alias("a_id"), F.col("v").alias("a_vec"),
+                     F.col("nv").alias("a_nv")), "a_id")
+        .join(
+            e.select(F.col(id_col).alias("b_id"), F.col("v").alias("b_vec"),
+                     F.col("nv").alias("b_nv")), "b_id")
+        .withColumn(
+            "cos",
+            _dot_expr(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nv") * F.col("b_nv")),
+        )
         .filter(F.col("cos") >= threshold)
     )
     return pairs.select("a_id", "b_id", "cos")
