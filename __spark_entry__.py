@@ -606,14 +606,20 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine pairs ≥ 0.4 (the verify baseline the
     LSH-bucketed variant is measured against in tests)."""
-    emb = _embeddings(spark, sf_dir)
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a_id") < F.col("b_id"))
-    from dashing_spark.operators.similarity import _cos_expr
+    from dashing_spark.operators.similarity import _dot_expr, _vec_with_norm
 
-    pairs = pairs.withColumn("cos", _cos_expr(F.col("av"), F.col("bv")))
+    emb = _embeddings(spark, sf_dir)
+    e = _vec_with_norm(emb, "vec_id", "embedding")
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nv").alias("anv")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nv").alias("bnv")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a_id") < F.col("b_id"))
+    pairs = pairs.withColumn(
+        "cos", _dot_expr(F.col("av"), F.col("bv")) / (F.col("anv") * F.col("bnv"))
+    )
     return (
         pairs.filter(F.col("cos") >= 0.4)
         .select("a_id", "b_id", F.round("cos", 5).alias("cos"))
