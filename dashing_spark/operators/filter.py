@@ -12,7 +12,6 @@ reference, usable verbatim under Structured Streaming (stateless map).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from dashing_spark.functions import hashing

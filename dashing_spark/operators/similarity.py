@@ -22,7 +22,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from dashing_spark.functions import hashing
 from dashing_spark.operators.ship import ensure_shipped
 
 

@@ -26,7 +26,7 @@ import time
 from dataclasses import asdict, dataclass
 from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from dashing_spark.operators import agg
 from dashing_spark.params import SketchParams
