@@ -221,13 +221,25 @@ def q_jaccard_pairs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full measure family from exact set triples (result_cmp semantics)."""
+    """Full measure family from exact set triples (result_cmp semantics,
+    /root/reference/src/dashing.h:149-183).
+
+    Gate structure: only rational arithmetic (ji, containment, sci — IEEE
+    division is correctly rounded, hence bit-identical across engines) is
+    hash-gated against the oracle. Each log/pow distance transform is
+    verified by an in-plan INVERSE check instead: e.g. mash_dist must
+    satisfy exp(-k*md)*(1+ji) == 2*ji within 1e-9 — non-circular (a
+    multiply-vs-divide-by-k bug fails the bound) and immune to last-ulp
+    libm differences between the JVM and DuckDB that a round(x, 6) hash
+    gate can straddle."""
     docs = _docs(spark, sf_dir)
+    k = 3.0  # k=3 shingle convention
     exact = dist.exact_pair_measures(
         _lang_tokens(docs),
         "lang",
         "token",
         measures=(
+            "ji",
             "mash_dist",
             "full_mash_dist",
             "containment",
@@ -236,18 +248,38 @@ def q_mash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symmetric_containment",
             "symmetric_containment_dist",
         ),
-        k=3.0,  # k=3 shingle convention; divide-by-k matches the oracle SQL
+        k=k,
     )
+    ji, c, sci = F.col("ji"), F.col("containment"), F.col("symmetric_containment")
+    g = F.lit(2.0) * ji / (F.lit(1.0) + ji)  # the Mash rational core
+    tol = F.lit(1e-9)
+
+    def _inv_exp(dist_col: str, target):
+        """dist == -ln(target)/k  <=>  exp(-k*dist) == target."""
+        return F.when(
+            target > 0, F.abs(F.exp(-F.lit(k) * F.col(dist_col)) - target) <= tol
+        ).otherwise(F.col(dist_col) == F.lit(1.0))
+
+    def _inv_pow(dist_col: str, target):
+        """dist == 1 - target^(1/k)  <=>  (1-dist)^k == target."""
+        return F.when(
+            target > 0,
+            F.abs(F.pow(F.lit(1.0) - F.col(dist_col), F.lit(k)) - target) <= tol,
+        ).otherwise(F.col(dist_col) == F.lit(1.0))
+
     return exact.select(
         "a_key",
         "b_key",
-        F.round("mash_dist", 6).alias("mash_dist"),
-        F.round("full_mash_dist", 6).alias("full_mash_dist"),
-        F.round("containment", 6).alias("containment"),
-        F.round("containment_dist", 6).alias("containment_dist"),
-        F.round("full_containment_dist", 6).alias("full_containment_dist"),
-        F.round("symmetric_containment", 6).alias("symmetric_containment"),
-        F.round("symmetric_containment_dist", 6).alias("symmetric_containment_dist"),
+        F.round("ji", 9).alias("ji"),
+        F.round("containment", 9).alias("containment"),
+        F.round("symmetric_containment", 9).alias("symmetric_containment"),
+        _inv_exp("mash_dist", g).alias("mash_dist_ok"),
+        _inv_pow("full_mash_dist", g).alias("full_mash_dist_ok"),
+        _inv_exp("containment_dist", c).alias("containment_dist_ok"),
+        _inv_pow("full_containment_dist", c).alias("full_containment_dist_ok"),
+        _inv_exp("symmetric_containment_dist", sci).alias(
+            "symmetric_containment_dist_ok"
+        ),
     )
 
 
@@ -1178,15 +1210,31 @@ def q_distmat_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multi_k_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`flatten_all` analogue: per-k mash distances pivoted to one row
-    per pair (columns k2/k3), exact values hash-gated."""
+    per pair (columns k2/k3). Rational ji is hash-gated; each pivoted
+    -ln(g)/k value is verified by the inverse exp(-k*d)==g bound (see
+    q_mash_containment_pairs for why transcendental outputs are never
+    hash-gated across engines)."""
     docs = _docs(spark, sf_dir)
-    mk = dist.multi_k_measures(_lang_tokens(docs), "lang", "token", ks=(2, 3))
+    toks = _lang_tokens(docs)
+    mk = dist.multi_k_measures(toks, "lang", "token", ks=(2, 3))
     flat = dist.flatten_multi_k(mk, "mash_dist", ks=(2, 3))
-    return flat.select(
+    exact = dist.exact_pair_measures(toks, "lang", "token", ("ji",))
+    out = flat.join(exact, ["a_key", "b_key"])
+    ji = F.col("ji")
+    g = F.lit(2.0) * ji / (F.lit(1.0) + ji)
+    tol = F.lit(1e-9)
+
+    def _inv(col_name: str, k: float):
+        return F.when(
+            ji > 0, F.abs(F.exp(-F.lit(k) * F.col(col_name)) - g) <= tol
+        ).otherwise(F.col(col_name) == F.lit(1.0))
+
+    return out.select(
         "a_key",
         "b_key",
-        F.round(F.col("2"), 6).alias("k2"),
-        F.round(F.col("3"), 6).alias("k3"),
+        F.round("ji", 9).alias("ji"),
+        _inv("2", 2.0).alias("k2_ok"),
+        _inv("3", 3.0).alias("k3_ok"),
     )
 
 
@@ -1398,18 +1446,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM tri
             )
             SELECT a_key, b_key,
-                   round(CASE WHEN ji > 0 THEN -ln(2*ji/(1+ji)) / 3.0
-                              ELSE 1.0 END, 6) AS mash_dist,
-                   round(CASE WHEN ji > 0 THEN 1.0 - pow(2*ji/(1+ji), 1.0/3.0)
-                              ELSE 1.0 END, 6) AS full_mash_dist,
-                   round(c, 6) AS containment,
-                   round(CASE WHEN c > 0 THEN -ln(c) / 3.0 ELSE 1.0 END, 6)
-                       AS containment_dist,
-                   round(CASE WHEN c > 0 THEN 1.0 - pow(c, 1.0/3.0)
-                              ELSE 1.0 END, 6) AS full_containment_dist,
-                   round(sci, 6) AS symmetric_containment,
-                   round(CASE WHEN sci > 0 THEN -ln(sci) / 3.0 ELSE 1.0 END, 6)
-                       AS symmetric_containment_dist
+                   round(ji, 9) AS ji,
+                   round(c, 9) AS containment,
+                   round(sci, 9) AS symmetric_containment,
+                   true AS mash_dist_ok,
+                   true AS full_mash_dist_ok,
+                   true AS containment_dist_ok,
+                   true AS full_containment_dist_ok,
+                   true AS symmetric_containment_dist_ok
             FROM m
         """,
         "kmv_jaccard_pairs": _ji_pairs_oracle("kmv_ji_ok"),
@@ -1562,10 +1606,9 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN inter i ON i.a_key = s1.lang AND i.b_key = s2.lang
             )
             SELECT a_key, b_key,
-                   round(CASE WHEN ji > 0 THEN -ln(2*ji/(1+ji)) / 2
-                              ELSE 1.0 END, 6) AS k2,
-                   round(CASE WHEN ji > 0 THEN -ln(2*ji/(1+ji)) / 3
-                              ELSE 1.0 END, 6) AS k3
+                   round(ji, 9) AS ji,
+                   true AS k2_ok,
+                   true AS k3_ok
             FROM m
         """,
         "crmh_weighted_ji_pairs": f"""
