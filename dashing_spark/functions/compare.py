@@ -192,20 +192,30 @@ def _mle_dll_batch(lam: np.ndarray, c: np.ndarray, m: float, q: int) -> np.ndarr
     """Vectorized d/dλ of the Poisson log-likelihood (Ertl 2017 §3) for
     (nrows,) λ against (nrows, q+2) register histograms.
 
-    One exp per row per call: exp(-λ/(m·2^k)) for successive k is obtained
-    by repeated squaring from k=q upward, so the inner loop is multiplies."""
-    g = 1.0 / (m * float(1 << q))
-    e = np.exp(-lam * g)  # exp(-λ/(m·2^q))
+    Each bin's exp(-λ/(m·2^k)) is evaluated DIRECTLY with exp/expm1 of
+    the exact exponent — never by repeated squaring from k=q, where
+    exp(-λ/(m·2^q)) rounds to exactly 1.0 for any realistic λ and stays
+    1.0 through every squaring (total precision loss). Only bins with a
+    nonzero count anywhere in the batch are evaluated; histograms are
+    concentrated around log2(n/m), so this is ~15 bins, not q."""
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         dll = -c[:, 0] / m
-        sat = g * e / (1.0 - e)
-        dll = dll + np.where(c[:, q + 1] > 0, c[:, q + 1] * sat, 0.0)
-        for k in range(q, 0, -1):
+        if np.any(c[:, q + 1] > 0):
+            g = 1.0 / (m * float(1 << q))
+            w = lam * g
+            # g·e^{-w}/(1-e^{-w}) = g·e^{-w}/(-expm1(-w)); w→0 ⇒ ≈ 1/λ
+            sat = g * np.exp(-w) / (-np.expm1(-w))
+            dll = dll + np.where(c[:, q + 1] > 0, c[:, q + 1] * sat, 0.0)
+        for k in range(1, q + 1):
+            ck = c[:, k]
+            if not np.any(ck > 0):
+                continue
             a = 1.0 / (m * float(1 << k))
-            # (-a·e_a + 2a·e_a²) / (e_a - e_a²) simplified; e == e_a here
-            term = a * (2.0 * e - 1.0) / (1.0 - e)
-            dll = dll + np.where(c[:, k] > 0, c[:, k] * term, 0.0)
-            e = e * e  # advance to exp(-λ/(m·2^{k-1}))
+            w = lam * a
+            e = np.exp(-w)
+            # (-a·e_a + 2a·e_a²)/(e_a − e_a²) = a·(2e−1)/(-expm1(-w))
+            term = a * (2.0 * e - 1.0) / (-np.expm1(-w))
+            dll = dll + np.where(ck > 0, ck * term, 0.0)
     return dll
 
 
@@ -437,3 +447,326 @@ def measure_from_triple_batch(
         if measure == "symmetric_containment_dist":
             return np.where(sci > 0, -np.log(sci) * ksinv, 1.0)
     raise ValueError(f"unknown measure: {measure}")
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch kernels for the minhash-family pair stage
+# ---------------------------------------------------------------------------
+#
+# The pair UDF receives row-aligned sketch blob batches; deserializing two
+# Python objects per pair (the round-2 fallback) is O(pairs) interpreter
+# work. These kernels stack payloads into matrices (one b"".join +
+# np.frombuffer — no per-element Python) and compute whole-batch.
+#
+# Key batch-shape fact: a pair batch over K keys carries at most K DISTINCT
+# sketches but up to K² rows (all_pairs self-join), so everything that
+# depends on a single sketch — cardinality estimates (the HMH MLE / SMH
+# log1p / KMV kth-min), occupancy masks, rank histograms — is computed once
+# per distinct blob and gathered per pair. Only the genuinely pairwise part
+# (register match counts, union merges) runs at pair width. Covers the
+# reference's `dist -8` / range-minhash / bbminhash / superminhash CI modes
+# (/root/reference/.travis.yml:14-24).
+
+_U64_SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _triple_from_ji_batch(
+    ji: np.ndarray, ca: np.ndarray, cb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Solve (t0, t1, t2) from ji = inter/(ca+cb-inter), per row."""
+    with np.errstate(invalid="ignore"):
+        inter = np.where(ji > 0, ji * (ca + cb) / (1.0 + ji), 0.0)
+        return np.fmax(0.0, ca - inter), np.fmax(0.0, cb - inter), inter
+
+
+def _stack_payloads(blobs, offset: int, nbytes: int, dtype) -> np.ndarray:
+    """(n, m) matrix from equal-width blob payloads via one memcpy."""
+    buf = b"".join(x[offset : offset + nbytes] for x in blobs)
+    return np.frombuffer(buf, dtype=dtype).reshape(len(blobs), -1)
+
+
+def _dedupe_blobs(a_blobs, b_blobs):
+    """Map both blob lists onto one distinct-blob list + gather indices."""
+    idx: dict = {}
+    uniq = []
+    n = len(a_blobs)
+    inv = np.empty(2 * n, dtype=np.int64)
+    for i, blob in enumerate(a_blobs + b_blobs):
+        j = idx.get(blob)
+        if j is None:
+            j = idx[blob] = len(uniq)
+            uniq.append(blob)
+        inv[i] = j
+    return uniq, inv[:n], inv[n:]
+
+
+def kmv_triple_batch(
+    uniq_blobs, ia: np.ndarray, ib: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch kmv_set_triple: distinct-blob cardinalities + one lockstep
+    sort of the (npairs, 2k) concatenated bottom-k value matrix.
+
+    Bottom-k states are sorted-unique within each side, so after the
+    row sort an equal-adjacent value means "present in both sides"
+    (runs have length exactly 2); sentinel pads sort last. The union
+    sample's unique-rank is a cumsum over the duplicate mask — no
+    argsort / provenance planes needed."""
+    import struct
+
+    k = struct.unpack_from("<I", uniq_blobs[0], 5)[0]
+    lens = np.array(
+        [struct.unpack_from("<I", x, 9)[0] for x in uniq_blobs], np.int64
+    )
+    pad = lambda x, ln: x[13 : 13 + 8 * ln] + b"\xff" * (8 * (k - ln))
+    U = np.frombuffer(
+        b"".join(pad(x, int(l)) for x, l in zip(uniq_blobs, lens)), np.uint64
+    ).reshape(len(uniq_blobs), k)
+
+    u64 = float(2**64)
+    kth = U[:, k - 1].astype(np.float64) + 1.0
+    cards = np.where(lens < k, lens.astype(np.float64), (k - 1) * u64 / kth)
+
+    # dense-rank the distinct hash values so the per-pair sort moves
+    # int32 codes (order-preserving, exact equality) instead of uint64 —
+    # the sort is the pair stage's dominant memory traffic
+    uvals, codes_flat = np.unique(U, return_inverse=True)
+    C = codes_flat.reshape(U.shape).astype(np.int32)
+    sent_code = np.int32(len(uvals) - 1) if uvals[-1] == _U64_SENT else np.int32(-2)
+
+    Vs = np.sort(np.concatenate([C[ia], C[ib]], axis=1), axis=1)  # (n, 2k)
+    npairs = Vs.shape[0]
+    dup = np.zeros((npairs, 2 * k), dtype=bool)
+    dup[:, 1:] = Vs[:, 1:] == Vs[:, :-1]
+    genuine = Vs != sent_code  # a real hash == sentinel: P = 2^-64, ignored
+    dup &= genuine
+    # unique-rank (0-based) of each position among distinct genuine values
+    rank_dt = np.int16 if 2 * k < 32767 else np.int32
+    rank = np.arange(2 * k, dtype=rank_dt)[None, :] - np.cumsum(
+        dup, axis=1, dtype=rank_dt
+    )
+    la, lb = lens[ia], lens[ib]
+    n_dups = dup.sum(axis=1).astype(np.int64)
+    n_uniq = la + lb - n_dups
+    u_sz = np.minimum(n_uniq, k).astype(np.float64)
+    # dup position = SECOND of an equal pair; its unique-rank equals the
+    # first's rank; in-both members of the union bottom-k have rank < k
+    t2s = (dup & (rank < k)).sum(axis=1).astype(np.float64)
+    nonempty = (la > 0) & (lb > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ji = np.where(nonempty & (u_sz > 0), t2s / u_sz, 0.0)
+
+    # union KMV estimate: the k-th smallest distinct genuine value
+    kth_mask = (~dup) & genuine & (rank == k - 1)
+    has_kth = (n_uniq >= k) & kth_mask.any(axis=1)
+    kth_col = np.where(has_kth, kth_mask.argmax(axis=1), 0)
+    kth_val = uvals[Vs[np.arange(npairs), kth_col]].astype(np.float64)
+    cu = np.where(u_sz < k, u_sz, (k - 1) * u64 / (kth_val + 1.0))
+    ca, cb = cards[ia], cards[ib]
+    inter = ji * cu
+    return np.fmax(0.0, ca - inter), np.fmax(0.0, cb - inter), inter
+
+
+def bbmh_triple_batch(
+    U: np.ndarray, ia: np.ndarray, ib: np.ndarray, lg_r: int, b_bits: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch b-bit MinHash triples; U = (n_uniq, r) uint64 registers."""
+    r = 1 << lg_r
+    occ = U != _U64_SENT                       # (n_uniq, r) bool
+    # compared signature: low b bits, narrowed so per-pair traffic is
+    # 2 bytes/register instead of 8
+    sig = (U & np.uint64((1 << b_bits) - 1)).astype(np.uint16)
+
+    nf = occ.sum(axis=1).astype(np.float64)
+    under = nf < r
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lin = r * np.log(np.where(under & (nf > 0), r / (r - nf), 1.0))
+        base = (np.arange(r, dtype=np.uint64) << np.uint64(64 - lg_r))[None, :]
+        local = (U - base).astype(np.float64) * (r / float(2**64))
+        mean_min = local.mean(axis=1)
+        sat = np.where(
+            mean_min > 0.0, r * np.maximum(0.0, 1.0 / mean_min - 1.0), np.inf
+        )
+    cards = np.where(nf == 0, 0.0, np.where(under, lin, sat))
+
+    occ_a, occ_b = occ[ia], occ[ib]
+    both = occ_a & occ_b
+    ne = (occ_a | occ_b).sum(axis=1).astype(np.float64)
+    match = (sig[ia] == sig[ib]) & both
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(ne > 0, match.sum(axis=1) / ne, 0.0)
+    c = 2.0 ** (-b_bits)
+    ji = np.where(ne > 0, np.maximum(0.0, (frac - c) / (1.0 - c)), 0.0)
+    return _triple_from_ji_batch(ji, cards[ia], cards[ib])
+
+
+def smh_triple_batch(
+    U: np.ndarray, ia: np.ndarray, ib: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch SuperMinHash triples; U = (n_uniq, m) float64 registers."""
+    m = U.shape[1]
+    fin = np.isfinite(U)
+    nf = fin.sum(axis=1).astype(np.float64)
+    s = np.log1p(-np.where(fin, U, 0.0) / m).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cards = np.where((nf > 0) & (s < 0.0), -nf / s, 0.0)
+
+    # dense-rank the distinct register values: per-pair compares move
+    # int32 codes instead of float64 (exact — codes come from np.unique);
+    # empty registers (+inf) get code -1, excluded by the >= 0 masks
+    _, codes_flat = np.unique(U, return_inverse=True)
+    C = codes_flat.reshape(U.shape).astype(np.int32)
+    C[~fin] = -1
+    Ca, Cb = C[ia], C[ib]
+    both = (Ca >= 0) & (Cb >= 0)
+    nboth = both.sum(axis=1).astype(np.float64)
+    ne = nf[ia] + nf[ib] - nboth
+    match = (Ca == Cb) & both
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ji = np.where(ne > 0, match.sum(axis=1) / ne, 0.0)
+    return _triple_from_ji_batch(ji, cards[ia], cards[ib])
+
+
+def hmh_triple_batch(
+    U: np.ndarray, ia: np.ndarray, ib: np.ndarray, p: int, b_bits: int, estimator: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch HyperMinHash triples; U = (n_uniq, m) uint16 registers.
+
+    The Ertl MLE (lockstep bisection — the expensive part) runs once per
+    DISTINCT sketch; only register matching runs at pair width."""
+    m = float(1 << p)
+    q = 64 - p
+    occ = U != 0
+    ranks = (U >> np.uint16(b_bits)).astype(np.int64)
+    hist = _row_histograms(ranks, q + 2)  # bin 0 = unoccupied (rank >= 1)
+    nocc = occ.sum(axis=1).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pr = np.where(nocc[:, None] > 0, hist[:, 1:] / nocc[:, None], 0.0)
+    if estimator in ("default", "ertl_mle"):
+        cards = ertl_mle_batch(hist, m, q)
+    else:
+        cards = _ertl_improved_from_hist(hist, m, q)
+
+    occ_a, occ_b = occ[ia], occ[ib]
+    ne = (occ_a | occ_b).sum(axis=1).astype(np.float64)
+    match = (U[ia] == U[ib]) & occ_a & occ_b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(ne > 0, match.sum(axis=1) / ne, 0.0)
+    p_rank_eq = np.where(
+        (nocc[ia] > 0) & (nocc[ib] > 0), (pr[ia] * pr[ib]).sum(axis=1), 1.0
+    )
+    coll = (2.0 ** (-b_bits)) * p_rank_eq
+    ji = np.where(ne > 0, np.maximum(0.0, (frac - coll) / (1.0 - coll)), 0.0)
+    return _triple_from_ji_batch(ji, cards[ia], cards[ib])
+
+
+_POPCNT8_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def bloom_triple_batch(
+    U: np.ndarray, ia: np.ndarray, ib: np.ndarray, lg_bits: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch Bloom set triples; U = (n_uniq, w) uint64 word matrices."""
+    m = float(1 << lg_bits)
+
+    def _card_from_pop(x: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(x >= m, np.inf, -(m / k) * np.log(1.0 - x / m))
+
+    pop = _POPCNT8_TABLE[U.view(np.uint8)].sum(axis=1).astype(np.float64)
+    cards = _card_from_pop(pop)
+    upop = (
+        _POPCNT8_TABLE[np.bitwise_or(U[ia], U[ib]).view(np.uint8)]
+        .sum(axis=1)
+        .astype(np.float64)
+    )
+    cu = _card_from_pop(upop)
+    ca, cb = cards[ia], cards[ib]
+    # fmax, not maximum: saturated filters estimate inf, and inf-inf=nan
+    # must clamp to 0.0 exactly like the scalar path's Python max()
+    with np.errstate(invalid="ignore"):
+        inter = np.fmax(0.0, ca + cb - cu)
+        return np.fmax(0.0, cu - cb), np.fmax(0.0, cu - ca), inter
+
+
+def hll_pair_triple_batch(
+    U: np.ndarray, ia: np.ndarray, ib: np.ndarray, p: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inclusion–exclusion HLL triples with per-DISTINCT-sketch side
+    cardinalities; only the union register max + estimate is pairwise."""
+    ca = hll_estimate_batch(U, p)
+    cu = hll_estimate_batch(np.maximum(U[ia], U[ib]), p)
+    inter = np.maximum(0.0, ca[ia] + ca[ib] - cu)
+    return np.maximum(0.0, cu - ca[ib]), np.maximum(0.0, cu - ca[ia]), inter
+
+
+def triple_batch_from_blobs(a_blobs, b_blobs, estimator: str = "default"):
+    """Whole-batch set triples for row-aligned sketch blob sequences.
+
+    Dispatches on the self-describing blob header (serde.py layout),
+    dedupes distinct blobs, and stacks payloads into matrices. Returns
+    (t0, t1, t2) float64 arrays, or None when the batch is heterogeneous
+    (mixed types or params) — callers then use the per-pair fallback."""
+    import struct
+
+    first = a_blobs[0]
+    tid = first[4]
+    if tid == 1:  # HLL — header (type, p), payload uint8[m] at 6
+        p = first[5]
+        if any(x[4] != tid or x[5] != p for bl in (a_blobs, b_blobs) for x in bl):
+            return None
+        if estimator in ("ertl_joint_mle", "ertl_joint"):
+            mreg = 1 << p
+            return hll_joint_triple_batch(
+                _stack_payloads(a_blobs, 6, mreg, np.uint8),
+                _stack_payloads(b_blobs, 6, mreg, np.uint8),
+                p,
+            )
+        uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
+        return hll_pair_triple_batch(
+            _stack_payloads(uniq, 6, 1 << p, np.uint8), ia, ib, p
+        )
+    if tid == 4:  # KMV — header <I k at 5, <I len at 9 (len varies)
+        kk = first[5:9]
+        if any(x[4] != tid or x[5:9] != kk for bl in (a_blobs, b_blobs) for x in bl):
+            return None
+        uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
+        return kmv_triple_batch(uniq, ia, ib)
+    if tid == 5:  # BBMH — (lg_r, b), payload uint64[r] at 7
+        hdr = first[5:7]
+        if any(x[4] != tid or x[5:7] != hdr for bl in (a_blobs, b_blobs) for x in bl):
+            return None
+        uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
+        lg_r, bb = first[5], first[6]
+        return bbmh_triple_batch(
+            _stack_payloads(uniq, 7, 8 * (1 << lg_r), np.uint64), ia, ib, lg_r, bb
+        )
+    if tid == 9:  # HyperMinHash — (p, b), payload uint16[m] at 7
+        hdr = first[5:7]
+        if any(x[4] != tid or x[5:7] != hdr for bl in (a_blobs, b_blobs) for x in bl):
+            return None
+        uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
+        p, bb = first[5], first[6]
+        return hmh_triple_batch(
+            _stack_payloads(uniq, 7, 2 * (1 << p), np.uint16), ia, ib, p, bb, estimator
+        )
+    if tid == 10:  # SuperMinHash — <I m at 5, payload float64[m] at 9
+        hdr = first[5:9]
+        if any(x[4] != tid or x[5:9] != hdr for bl in (a_blobs, b_blobs) for x in bl):
+            return None
+        uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
+        (mm,) = struct.unpack_from("<I", first, 5)
+        return smh_triple_batch(_stack_payloads(uniq, 9, 8 * mm, np.float64), ia, ib)
+    if tid == 2:  # Bloom — (lg_bits, k), payload uint64[m/64] at 7
+        hdr = first[5:7]
+        if any(x[4] != tid or x[5:7] != hdr for bl in (a_blobs, b_blobs) for x in bl):
+            return None
+        uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
+        lg_bits, kk = first[5], first[6]
+        return bloom_triple_batch(
+            _stack_payloads(uniq, 7, 8 * ((1 << lg_bits) >> 6), np.uint64),
+            ia,
+            ib,
+            lg_bits,
+            kk,
+        )
+    return None

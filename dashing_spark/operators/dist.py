@@ -11,9 +11,10 @@ The reference's hand-rolled loops map onto Catalyst joins (SURVEY.md §2.5):
   lock-striped heaps) -> Window ``row_number() <= k`` per left key — the
   heap micro-optimization is irrelevant under Spark's shuffle sort.
 
-The pair kernel is a vectorized pandas UDF: HLL blobs take the whole-batch
-register-matrix path (functions.compare.hll_triple_batch — zero per-row
-Python math); other sketch types fall back to a per-pair numpy loop.
+The pair kernel is a vectorized pandas UDF: every fixed-width sketch type
+(HLL, KMV, BBMH, HyperMinHash, SuperMinHash, Bloom) takes a whole-batch
+stacked-matrix path (functions.compare.triple_batch_from_blobs — zero
+per-row Python math); heterogeneous batches fall back to a per-pair loop.
 At 10^12-scale the sketch table has one row per *key* (e.g. per
 language/site/partition), so the O(n²) pair stage is over thousands of
 16 KiB blobs, not over documents — broadcast + block nested loop is the
@@ -31,17 +32,14 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from dashing_spark.functions.compare import (
     DISTANCE_MEASURES,
     compare,
-    hll_joint_triple_batch,
-    hll_triple_batch,
     measure_from_triple_batch,
     set_triple_any,
     measure_from_triple,
+    triple_batch_from_blobs,
 )
 from dashing_spark.functions.serde import sketch_from_bytes
 from dashing_spark.operators.agg import SKETCH_COL
 from dashing_spark.operators.ship import ensure_shipped
-
-_HLL_TYPE = 1
 
 
 def _measures_udf(measures: Sequence[str], ksinv: float, estimator: str):
@@ -52,28 +50,18 @@ def _measures_udf(measures: Sequence[str], ksinv: float, estimator: str):
         n = len(a_blobs)
         if n == 0:
             return pd.Series([], dtype=object)
-        first = a_blobs.iloc[0]
-        # the batch fast path requires every blob in the batch to share the
-        # first blob's (type, precision) header; mixed batches (multi-p
-        # tables, heterogeneous sketch columns) take the per-pair fallback
-        homogeneous = all(
-            x is not None and x[4] == first[4] and x[5] == first[5]
-            for blobs in (a_blobs, b_blobs)
-            for x in blobs
-        )
-        if homogeneous and first[4] == _HLL_TYPE:
-            p = first[5]
-            m = 1 << p
-            a_regs = np.frombuffer(
-                b"".join(bytes(x)[6 : 6 + m] for x in a_blobs), dtype=np.uint8
-            ).reshape(n, m)
-            b_regs = np.frombuffer(
-                b"".join(bytes(x)[6 : 6 + m] for x in b_blobs), dtype=np.uint8
-            ).reshape(n, m)
-            if estimator in ("ertl_joint_mle", "ertl_joint"):
-                t0, t1, t2 = hll_joint_triple_batch(a_regs, b_regs, p)
-            else:
-                t0, t1, t2 = hll_triple_batch(a_regs, b_regs, p)
+        triples = None
+        if not any(x is None for x in a_blobs) and not any(
+            x is None for x in b_blobs
+        ):
+            al = [bytes(x) for x in a_blobs]
+            bl = [bytes(x) for x in b_blobs]
+            # whole-batch kernel: payloads stacked into (n, m) matrices,
+            # every estimate vectorized (HLL/KMV/BBMH/HMH/SMH/Bloom);
+            # returns None for heterogeneous batches (mixed type/params)
+            triples = triple_batch_from_blobs(al, bl, estimator)
+        if triples is not None:
+            t0, t1, t2 = triples
             cols = [
                 measure_from_triple_batch(t0, t1, t2, ms, ksinv) for ms in measures
             ]

@@ -19,6 +19,8 @@ from dashing_spark.functions import (
     BBitMinHash,
     BloomFilter,
     CountMinSketch,
+    HyperMinHash,
+    SuperMinHash,
     TDigest,
     hashing,
     simhash_batch,
@@ -506,3 +508,93 @@ class TestTokenizerPathAgreement:
             by_tok.setdefault(t, set()).add(int(h[i]))
             i += 1
         assert all(len(v) == 1 for v in by_tok.values())
+
+
+class TestTripleBatchKernels:
+    """The whole-batch pair kernels (compare.triple_batch_from_blobs) must
+    agree with the per-pair scalar path (set_triple_any) for every sketch
+    type the dist pair stage can carry — this pins VERDICT r2 item #2
+    (vectorize the non-HLL pair kernel) against regression."""
+
+    @staticmethod
+    def _pairs(factory, n=25, seed=11):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            na, nb, ns = (int(x) for x in rng.integers(0, 2500, 3))
+            shared = rng.integers(0, 2**63, size=ns, dtype=np.uint64)
+            ha = np.concatenate(
+                [shared, rng.integers(0, 2**63, size=na, dtype=np.uint64)]
+            )
+            hb = np.concatenate(
+                [shared, rng.integers(0, 2**63, size=nb, dtype=np.uint64)]
+            )
+            a, b = factory(), factory()
+            a.update_hashes(ha)
+            b.update_hashes(hb)
+            out.append((a, b))
+        # empty-vs-empty and empty-vs-full edges
+        out.append((factory(), factory()))
+        e = factory()
+        f = factory()
+        f.update_hashes(rng.integers(0, 2**63, size=64, dtype=np.uint64))
+        out.append((e, f))
+        return out
+
+    @pytest.mark.parametrize(
+        "factory",
+        [
+            lambda: KMV(128),
+            lambda: BBitMinHash(6, 16),
+            lambda: SuperMinHash(64),
+            lambda: HyperMinHash(8, 10),
+            lambda: BloomFilter(10, 4),
+        ],
+        ids=["kmv", "bbmh", "smh", "hmh", "bloom"],
+    )
+    def test_batch_matches_scalar(self, factory):
+        from dashing_spark.functions.compare import (
+            set_triple_any,
+            triple_batch_from_blobs,
+        )
+
+        pairs = self._pairs(factory)
+        al = [a.to_bytes() for a, _ in pairs]
+        bl = [b.to_bytes() for _, b in pairs]
+        batch = triple_batch_from_blobs(al, bl, "default")
+        assert batch is not None
+        t0b, t1b, t2b = batch
+        for i, (a, b) in enumerate(pairs):
+            t0, t1, t2 = set_triple_any(a, b, "default")
+            for s, v in ((t0, t0b[i]), (t1, t1b[i]), (t2, t2b[i])):
+                if math.isinf(s) or math.isinf(v):
+                    assert s == v, (i, s, v)
+                else:
+                    assert abs(s - v) <= 1e-6 * max(1.0, abs(s)), (i, s, v)
+
+    def test_heterogeneous_batch_falls_back(self):
+        from dashing_spark.functions.compare import triple_batch_from_blobs
+
+        a = KMV(128)
+        b = KMV(256)  # same type, different k -> no batch kernel
+        assert triple_batch_from_blobs([a.to_bytes()], [b.to_bytes()]) is None
+
+    def test_mle_dll_batch_matches_scalar(self):
+        """ertl_mle_batch's derivative must agree with the scalar
+        _mle_dll at every λ scale — pins the repeated-squaring precision
+        bug (exp(-λ/(m·2^q)) == 1.0 exactly for realistic λ)."""
+        from dashing_spark.functions.compare import _mle_dll_batch, ertl_mle_batch
+        from dashing_spark.functions.hll import _ertl_mle, _mle_dll
+
+        rng = np.random.default_rng(3)
+        h = HyperMinHash(8, 10)
+        h.update_hashes(rng.integers(0, 2**63, size=300, dtype=np.uint64))
+        q = 64 - 8
+        c = np.bincount(h._ranks(), minlength=q + 2).astype(np.float64)
+        for lam in (5.0, 50.0, 160.0, 1000.0, 1e7):
+            s = _mle_dll(lam, c, 256.0, q)
+            v = float(_mle_dll_batch(np.array([lam]), c[None, :], 256.0, q)[0])
+            assert abs(s - v) <= 1e-9 * max(1.0, abs(s)), (lam, s, v)
+        est_s = _ertl_mle(c, 256.0, q)
+        est_b = float(ertl_mle_batch(c[None, :], 256.0, q)[0])
+        assert abs(est_s - est_b) <= 1e-6 * est_s
