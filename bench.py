@@ -207,6 +207,53 @@ def main() -> None:
             qsk, rsk, ["key"], measures=("containment",), estimator="ertl_joint_mle"
         ).count(),
     )
+    # q14: char-n-gram exact-Jaccard near-dup pairs (capped to 2000 docs so
+    # the suite stays bounded; the full-table cost is tracked in BENCH.md)
+    from dashing_spark.operators import dedup as _dedup
+
+    ngram_docs = docs.filter(F.col("doc_id") < 2000)
+    run(
+        "q14_ngram_jaccard_capped",
+        lambda: _dedup.ngram_jaccard_pairs(
+            ngram_docs, "doc_id", n=3, threshold=0.6
+        ).count(),
+    )
+    # q15: minhash-family pair stage at >=10^4 pairs — 256 per-bucket KMV
+    # sketches -> 32,640 pairs through the batched (stacked-matrix) kernel;
+    # evidence for the vectorized non-HLL pair path at dist -8 scale
+    from dashing_spark.functions import KMV
+
+    bsk = agg.sketch_tokens_by_key(
+        docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(256))),
+        ["bucket"],
+        lambda: KMV(1024),
+    ).cache()
+    bsk.count()
+    run(
+        "q15_kmv_pair_stage_32k",
+        lambda: dist.all_pairs(bsk, ["bucket"], measures=("ji",)).count(),
+    )
+    bsk.unpersist(blocking=True)
+    # q16: readfilt-style per-DOC containment against a broadcast reference
+    # sketch with the joint-MLE estimator (the reference binary's readfilt
+    # default) — carries evidence the per-batch tiny-HLL path scales
+    from dashing_spark.operators import filter as _filter
+
+    ref_blob = (
+        agg.sketch_tokens_by_key(
+            docs.filter(F.col("lang") == "en"), ["lang"], lambda: HLL.empty(10)
+        )
+        .select("sketch")
+        .first()[0]
+    )
+    run(
+        "q16_readfilt_containment_jointmle",
+        lambda: _filter.containment_scores(
+            docs.select("doc_id", "text"),
+            bytes(ref_blob),
+            estimator="ertl_joint_mle",
+        ).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     sketch_docs_per_sec = round(n_synth / timings["q0_synth_sketch_build_1m"], 1)

@@ -206,12 +206,17 @@ def hash_tokens_arrow(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
 
 
 def char_gram_hashes_arrow(arr, n: int = 3, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """Byte n-gram hashes of a pyarrow StringArray, straight from its
-    buffers: (gram_hashes uint64 flat, grams_per_doc int64). A string of
-    L bytes yields max(L−n+1, 0) grams; grams never cross a string
-    boundary. Grams are over UTF-8 BYTES (cheap rolling window) — used
-    for LSH candidate generation, where any consistent fingerprint
-    works; exact verification uses character substring() semantics."""
+    """Character (codepoint) n-gram hashes of a pyarrow StringArray,
+    straight from its buffers: (gram_hashes uint64 flat, grams_per_doc
+    int64). A string of L characters yields max(L−n+1, 0) grams; grams
+    never cross a string boundary.
+
+    Grams are over CODEPOINTS, matching the exact-verify substring()
+    semantics (so the LSH miss bound at JI = threshold holds on
+    non-ASCII text too). All-ASCII buffers take the raw-byte fast path
+    (bytes == codepoints, bit-identical hashes); otherwise the batch is
+    decoded once to UTF-32 (one C-speed pass) and the same rolling
+    polynomial runs over uint32 codepoints."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -232,21 +237,32 @@ def char_gram_hashes_arrow(arr, n: int = 3, seed: int = 0) -> tuple[np.ndarray, 
     data = np.frombuffer(bufs[2], dtype=np.uint8)
     lo, hi = int(offs[0]), int(offs[-1])
     b = data[lo:hi]
-    total = hi - lo
+    is_start = (b & 0xC0) != 0x80  # UTF-8 non-continuation bytes
+    if is_start.all():  # pure ASCII: bytes ARE codepoints
+        cp = b
+        offs_cp = offs - lo
+    else:
+        cp = np.frombuffer(
+            b.tobytes().decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+        )
+        # byte offset -> codepoint offset: #codepoint-starts before it
+        cumz = np.concatenate([[0], np.cumsum(is_start, dtype=np.int64)])
+        offs_cp = cumz[offs - lo]
+    total = len(cp)
     if total < n:
         return np.empty(0, dtype=np.uint64), np.zeros(ndocs, dtype=np.int64)
     m = total - n + 1
     with np.errstate(over="ignore"):
-        h = (b[:m].astype(np.uint64) + np.uint64(1)) * _POW_TABLE[0]
+        h = (cp[:m].astype(np.uint64) + np.uint64(1)) * _POW_TABLE[0]
         for j in range(1, n):
-            h += (b[j : j + m].astype(np.uint64) + np.uint64(1)) * _POW_TABLE[j]
+            h += (cp[j : j + m].astype(np.uint64) + np.uint64(1)) * _POW_TABLE[j]
         h = splitmix64(h ^ splitmix64(np.full(m, n, dtype=np.uint64)))
         if seed:
             h = splitmix64(h ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
     # keep only grams fully inside one string
     pos = np.arange(m, dtype=np.int64)
-    doc_of = np.searchsorted(offs - lo, pos, side="right") - 1
-    valid = pos + n <= (offs - lo)[doc_of + 1]
+    doc_of = np.searchsorted(offs_cp, pos, side="right") - 1
+    valid = pos + n <= offs_cp[doc_of + 1]
     counts = np.bincount(doc_of[valid], minlength=ndocs).astype(np.int64)
     return h[valid], counts
 

@@ -31,6 +31,18 @@ from dashing_spark.functions.simhash import simhash_batch
 from dashing_spark.operators.ship import ensure_shipped
 
 
+def _set_digest_expr(sorted_arr):
+    """16-byte md5 digest of a sorted string array, INJECTIVE up to
+    64-bit per-element hash collisions: md5 runs over the joined
+    per-element xxhash64 values, not over concat_ws(sep, tokens) —
+    a separator-joined concat is ambiguous when a token itself contains
+    the separator ({"a<sep>b"} vs {"a","b"} collapse to one key and
+    would be emitted as false JI=1.0 duplicates)."""
+    return F.md5(
+        F.concat_ws(",", F.transform(sorted_arr, lambda x: F.xxhash64(x).cast("string")))
+    )
+
+
 # ---------------------------------------------------------------- exact
 def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Group byte-identical documents: (digest, n_docs, min_id keeper)."""
@@ -49,7 +61,7 @@ def tokenset_dup_clusters(
     the sorted set — 16 bytes per row instead of the whole token array
     (which at web scale is the document itself again)."""
     arr = F.sort_array(F.array_distinct(F.split(F.col(text_col), " ", -1)))
-    key = F.md5(F.concat_ws("\x00", arr))
+    key = _set_digest_expr(arr)
     return (
         df.select(id_col, key.alias("tokenset"))
         .groupBy("tokenset")
@@ -122,10 +134,17 @@ def pick_lsh_bands(n_hashes: int, threshold: float, max_miss: float = 1e-8) -> i
     """Largest rows-per-band r (fewest false candidates) whose miss
     probability (1−t^r)^(n_hashes/r) at JI = threshold stays ≤ max_miss;
     returns the band count n_hashes // r. A fixed r=4 silently loses
-    ~12% recall at t=0.5 — banding must follow the threshold."""
+    ~12% recall at t=0.5 — banding must follow the threshold.
+
+    The bound is compared with 5% slack on the log scale: exact
+    round-number thresholds land within an ulp-scale margin of the
+    bound (at t=0.5, (1−0.25)^64 = 1.0045e-8 vs 1e-8), and dropping a
+    whole r level there — r=1 makes every shared hash a candidate, a
+    near-quadratic join on low-entropy corpora — costs vastly more
+    than a 1.05× miss allowance."""
     import math
 
-    target = math.log(max_miss)
+    target = math.log(max_miss) + 0.05  # allow miss ≤ e^0.05 ≈ 1.05 × max_miss
     for r in (8, 4, 2, 1):
         if n_hashes % r:
             continue
@@ -136,7 +155,7 @@ def pick_lsh_bands(n_hashes: int, threshold: float, max_miss: float = 1e-8) -> i
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_hashes: int = 128, bands: int = 32
+    signatures: DataFrame, id_col: str, *, n_hashes: int = 128, bands: int = 32
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of their signature become a
     candidate pair. Pure DataFrame plan: explode band hashes, self-join
@@ -152,7 +171,15 @@ def lsh_candidate_pairs(
     measures ~14× faster than carrying per-row band arrays through the
     join to filter on the first colliding band (433 s vs 30 s on the 5k
     near-dup-heavy fixture at sf0.1 — the wide rows dominate the join
-    I/O long before the second shuffle is saved)."""
+    I/O long before the second shuffle is saved).
+
+    Keyword-only params: a positional ``16`` meant ``bands`` before
+    round 3 but would now set ``n_hashes`` — with bands > n_hashes that
+    silently made rows_per_band 0 (every doc collides in every band)."""
+    if bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
     rows_per_band = n_hashes // bands
     band_exprs = [
         F.xxhash64(
@@ -281,8 +308,8 @@ def minhash_lsh_dedup(
     also replaces the wide sorted-array shuffle key."""
     sets = df.select(
         F.col(id_col).alias("__id"),
-        F.md5(
-            F.concat_ws("\x00", F.sort_array(_shingle_set_expr(text_col, shingle_w)))
+        _set_digest_expr(
+            F.sort_array(_shingle_set_expr(text_col, shingle_w))
         ).alias("__sk"),
         F.size(_shingle_set_expr(text_col, shingle_w)).alias("__nitems"),
     ).filter(F.col("__nitems") > 0)  # empty-set docs have undefined JI
@@ -302,7 +329,7 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(rep_docs, id_col, text_col, n_hashes, shingle_w)
     if bands is None:
         bands = pick_lsh_bands(n_hashes, threshold)
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes, bands=bands)
     rep_pairs = exact_ji_for_pairs(rep_docs, cands, id_col, text_col, shingle_w).filter(
         F.col("ji") >= threshold
     )
@@ -442,15 +469,22 @@ def ngram_jaccard_pairs(
     """Exact character-n-gram Jaccard ≥ threshold between documents.
 
     Candidates come from char-gram MinHash-LSH (r=2 rows/band, b=64
-    bands: miss probability at JI=t is (1−t²)⁶⁴ — ≤1e−8 at t=0.5, ≤4e−13
-    at t=0.6); the JI emitted is EXACT (array_intersect verify with ANSI
-    substring semantics). A direct gram-level equi-join is not used: its
+    bands: miss probability at JI=t is (1−t²)⁶⁴ — 1.005e−8 at t=0.5
+    (within pick_lsh_bands' 1.05× slack), ≤4e−13 at t=0.6); the JI
+    emitted is EXACT (array_intersect verify with codepoint substring
+    semantics, matching the codepoint-gram signatures). A direct gram-level equi-join is not used: its
     output is O(Σ per-gram df²), which a single stopword-like gram melts
     down (measured 2.2e9 joined rows on the 5k-doc fixture, where a df
     cap cannot help because every gram is high-df). LSH cost is bounded
     by true-near-dup mass regardless of gram frequency skew. Optional
     ``block_cols`` (e.g. lang) must match exactly — applied as a cheap
     pair filter before the verify joins."""
+    # docs shorter than n have zero grams: their exact JI vs anything is
+    # 0, so dropping them preserves every thresholded pair — and avoids
+    # the all-sentinel signature they'd share (which would collide
+    # pairwise in every band: a quadratic candidate blowup among short
+    # docs that verify would then discard)
+    df = df.filter(F.length(F.col(text_col)) >= n)
     sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, char_n=n)
     cands = lsh_candidate_pairs(
         sigs, id_col, n_hashes=n_hashes, bands=pick_lsh_bands(n_hashes, threshold)

@@ -109,3 +109,73 @@ class TestPlanInvariants:
         opt = _optimized(out)
         # the only equi-joins allowed are on band/bhash and on ids
         assert "bhash" in opt
+
+    def test_pick_lsh_bands_round_thresholds(self):
+        """ADVICE r2: t=0.5 with 128 hashes must select r=2/b=64 — the
+        documented banding — not fall to r=1 (all-pairs-ish candidates)
+        because (1-0.25)^64 = 1.0045e-8 is an ulp past 1e-8."""
+        from dashing_spark.operators.dedup import pick_lsh_bands
+
+        assert pick_lsh_bands(128, 0.5) == 64  # r=2
+        assert pick_lsh_bands(128, 0.9) == 32  # r=4, miss 1.4e-15
+        assert pick_lsh_bands(128, 0.6) == 64  # r=2, miss 4e-13
+
+    def test_lsh_candidate_pairs_validates_banding(self, spark, docs):
+        """bands must divide n_hashes; bands > n_hashes must raise, not
+        silently emit rows_per_band=0 (full cross join)."""
+        import pytest as _pytest
+
+        from dashing_spark.operators import dedup
+
+        sigs = dedup.minhash_signatures(docs.limit(10), "doc_id")
+        with _pytest.raises(ValueError):
+            dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=16, bands=32)
+        with _pytest.raises(ValueError):
+            dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=128, bands=48)
+
+    def test_tokenset_key_injective_on_separator_tokens(self, spark):
+        """ADVICE r2: {"a\\x00b"} and {"a","b"} must land in different
+        tokenset clusters (the old concat_ws("\\x00") key collapsed
+        them into one false exact-dup cluster)."""
+        from dashing_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a\x00b"), (2, "a b"), (3, "a b")], ["doc_id", "text"]
+        )
+        clusters = dedup.tokenset_dup_clusters(df, "doc_id").collect()
+        assert len(clusters) == 2
+        by_n = sorted(r["n_docs"] for r in clusters)
+        assert by_n == [1, 2]
+
+    def test_ngram_drops_zero_gram_docs(self, spark):
+        """Docs shorter than n carry no grams: they must not survive to
+        the signature stage (all-sentinel signatures collide pairwise in
+        every band)."""
+        from dashing_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "x"), (3, ""), (4, "abcdef"), (5, "abcdef")],
+            ["doc_id", "text"],
+        )
+        out = dedup.ngram_jaccard_pairs(df, "doc_id", n=3, threshold=0.5).collect()
+        assert {(r["a_id"], r["b_id"]) for r in out} == {(4, 5)}
+
+    def test_char_gram_codepoint_semantics(self):
+        """ADVICE r2: grams are over codepoints, so the signature
+        estimates the same char-gram Jaccard the verify thresholds —
+        identical codepoint windows hash identically regardless of
+        UTF-8 byte width, and ASCII batches keep byte-path hashes."""
+        import pyarrow as pa
+
+        from dashing_spark.functions.hashing import char_gram_hashes_arrow
+
+        # é is 2 UTF-8 bytes: byte-gramming "xéy" would emit 3 grams of
+        # bytes; codepoint-gramming emits exactly 1 gram of 3 chars
+        h, c = char_gram_hashes_arrow(pa.array(["xéy"]), n=3)
+        assert c.tolist() == [1]
+        # same codepoint window in ASCII and non-ASCII docs must agree
+        h2, c2 = char_gram_hashes_arrow(pa.array(["abc", "éabcé"]), n=3)
+        assert c2.tolist() == [1, 3]
+        # "abc" appears in both docs -> shared gram hash
+        ascii_only, _ = char_gram_hashes_arrow(pa.array(["abc"]), n=3)
+        assert ascii_only[0] in set(h2.tolist())
