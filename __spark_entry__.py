@@ -506,6 +506,52 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_jaccard_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Jaccard with CM-approximate occurrence indexing — the
+    reference's actual WeightedSketcher mechanism (wjcm defaults,
+    /root/reference/src/dashing.h:252-253,471-485). Exact wji is
+    hash-gated; the CM-mode sketch estimate carries the documented
+    bound: 0.05 (HLL p=14 JI error) — CM occurrence inflation is ≤ εN
+    one-sided and negligible at this width (2^16)."""
+    docs = _docs(spark, sf_dir)
+    c = freq.token_counts(docs, ["lang"])
+    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    a = c.select(F.col("lang").alias("a_key"), "token", F.col("cnt").alias("ca"))
+    b = c.select(F.col("lang").alias("b_key"), "token", F.col("cnt").alias("cb"))
+    smin = (
+        a.join(b, "token")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .groupBy("a_key", "b_key")
+        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
+    )
+    ta = tot.select(F.col("lang").alias("a_key"), F.col("n").alias("na"))
+    tb = tot.select(F.col("lang").alias("b_key"), F.col("n").alias("nb"))
+    exact = (
+        smin.join(ta, "a_key")
+        .join(tb, "b_key")
+        .withColumn(
+            "wji",
+            F.col("smin").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("smin")),
+        )
+    )
+    wsk = agg.sketch_tokens_by_key(
+        docs, ["lang"], lambda: HLL.empty(14), weighted="cm"
+    )
+    west = dist.all_pairs(wsk, ["lang"], measures=("ji",)).select(
+        F.col("a_lang").alias("a_key"),
+        F.col("b_lang").alias("b_key"),
+        F.col("ji").alias("wji_cm"),
+    )
+    out = exact.join(west, ["a_key", "b_key"])
+    return out.select(
+        "a_key",
+        "b_key",
+        F.round("wji", 9).alias("wji"),
+        (F.abs(F.col("wji_cm") - F.col("wji")) <= 0.05).alias("wcm_ok"),
+    )
+
+
 def q_containment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readfilt analogue: per-doc containment vs the 'en' reference
     sketch; exact containment computed JVM-side, sketch scores
@@ -1282,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panel_containment": q_panel_containment,
         "topk_neighbors_lang": q_topk_neighbors_lang,
         "weighted_jaccard_pairs": q_weighted_jaccard_pairs,
+        "weighted_jaccard_cm": q_weighted_jaccard_cm,
         "containment_filter": q_containment_filter,
         "hll_distinct_users_by_type": q_hll_distinct_users_by_type,
         "kll_event_values_by_type": q_kll_event_values_by_type,
@@ -1505,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM mirrored
             ) WHERE rank <= 2
         """,
+        "weighted_jaccard_cm": _wji_pairs_oracle("wcm_ok"),
         "weighted_jaccard_pairs": f"""
             WITH c AS (SELECT lang, token, count(*) AS cnt
                        FROM ({_TOKS}) GROUP BY lang, token),

@@ -126,6 +126,58 @@ class TestTwoStageAgg:
         for lang, n in totals.items():
             assert abs(est[lang] - n) / n <= 3 * 1.04 / math.sqrt(1 << 14) + 0.01
 
+    def test_weighted_cm_vs_exact_gap(self, spark, docs):
+        """VERDICT r2 #5: weighted="cm" (Count-Min occurrence indexing,
+        the reference's WeightedSketcher mechanism) must land within the
+        exact weighted mode's own JI bound on every lang pair — CM
+        occurrence inflation is one-sided <= eps*N and negligible at
+        lg_width=16 on this fixture."""
+        from dashing_spark.operators import dist, freq
+
+        wsk = agg.sketch_tokens_by_key(
+            docs, ["lang"], lambda: HLL.empty(14), weighted="cm"
+        )
+        est = {
+            (r["a_lang"], r["b_lang"]): r["ji"]
+            for r in dist.all_pairs(wsk, ["lang"], measures=("ji",)).collect()
+        }
+        c = freq.token_counts(docs, ["lang"])
+        tot = {r["lang"]: r["n"] for r in c.groupBy("lang").agg(F.sum("cnt").alias("n")).collect()}
+        a = c.select(F.col("lang").alias("a"), "token", F.col("cnt").alias("ca"))
+        b = c.select(F.col("lang").alias("b"), "token", F.col("cnt").alias("cb"))
+        smin = {
+            (r["a"], r["b"]): r["s"]
+            for r in a.join(b, "token")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.least("ca", "cb")).alias("s"))
+            .collect()
+        }
+        assert len(est) == 10
+        for (ak, bk), ji_cm in est.items():
+            exact = smin[(ak, bk)] / (tot[ak] + tot[bk] - smin[(ak, bk)])
+            assert abs(ji_cm - exact) <= 0.05, (ak, bk, ji_cm, exact)
+
+    def test_weighted_cm_deterministic(self, spark, docs):
+        """Same input -> byte-identical CM-mode sketches regardless of
+        upstream partitioning. (Each key fits one Arrow batch here, so
+        the item set is exactly {(shingle, 0..c-1)} — order-free; at
+        multi-batch scale the CM base makes items order-dependent like
+        the reference's streaming counter, which is why the mode is
+        documented as approximate.)"""
+        mk = lambda: HLL.empty(12)
+        s1 = {
+            r["lang"]: bytes(r["sketch"])
+            for r in agg.sketch_tokens_by_key(docs, ["lang"], mk, weighted="cm").collect()
+        }
+        s2 = {
+            r["lang"]: bytes(r["sketch"])
+            for r in agg.sketch_tokens_by_key(
+                docs.repartition(7), ["lang"], mk, weighted="cm"
+            ).collect()
+        }
+        assert s1 == s2
+
 
 class TestSynthPages:
     def test_deterministic_text_per_url(self, spark):
