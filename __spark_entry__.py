@@ -180,6 +180,21 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "token", "cnt", "rank", ok.alias("cm_ok"))
 
 
+def q_hk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeavyKeeper alternative to the CM filter backend
+    (/root/reference/src/dashing.h:131-136): exact per-lang top-5
+    hash-gated; the HK point estimate is ONE-SIDED (never exceeds the
+    true count) and within 10% for true elephants on this stream."""
+    docs = _docs(spark, sf_dir)
+    top = freq.top_k_tokens(docs, ["lang"], k=5)
+    sketches = freq.heavykeeper_by_key(docs, ["lang"], lg_width=12, depth=2)
+    est = freq.cms_point_query(top, sketches, ["lang"], est_col="hk_est")
+    ok = (F.col("hk_est") <= F.col("cnt")) & (
+        F.col("hk_est") >= F.lit(0.9) * F.col("cnt")
+    )
+    return est.select("lang", "token", "cnt", "rank", ok.alias("hk_ok"))
+
+
 def q_min_count_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`--min-count` pre-filter: distinct tokens with freq ≥ 5 per lang,
     HLL built over the surviving tokens."""
@@ -1317,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles_by_lang": q_kll_quantiles_by_lang,
         "tdigest_quantiles_by_lang": q_tdigest_quantiles_by_lang,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hk_heavy_hitters": q_hk_heavy_hitters,
         "min_count_tokens_by_lang": q_min_count_tokens_by_lang,
         "jaccard_pairs_lang": q_jaccard_pairs_lang,
         "mash_containment_pairs": q_mash_containment_pairs,
@@ -1440,6 +1456,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_heavy_hitters": f"""
             SELECT lang, token, cnt, rank, true AS cm_ok FROM (
+                SELECT lang, token, cnt,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY cnt DESC, token ASC) AS rank
+                FROM (SELECT lang, token, count(*) AS cnt
+                      FROM ({_TOKS}) GROUP BY lang, token)
+            ) WHERE rank <= 5
+        """,
+        "hk_heavy_hitters": f"""
+            SELECT lang, token, cnt, rank, true AS hk_ok FROM (
                 SELECT lang, token, cnt,
                        row_number() OVER (PARTITION BY lang
                                           ORDER BY cnt DESC, token ASC) AS rank

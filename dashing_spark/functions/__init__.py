@@ -18,6 +18,7 @@ from dashing_spark.functions.crmh import CountingKMV
 from dashing_spark.functions.hmh import HyperMinHash
 from dashing_spark.functions.smh import SuperMinHash
 from dashing_spark.functions.cbbmh import CountingBBitMinHash
+from dashing_spark.functions.heavykeeper import HeavyKeeper
 from dashing_spark.functions.serde import sketch_from_bytes
 
 __all__ = [
@@ -34,5 +35,6 @@ __all__ = [
     "HyperMinHash",
     "SuperMinHash",
     "CountingBBitMinHash",
+    "HeavyKeeper",
     "sketch_from_bytes",
 ]

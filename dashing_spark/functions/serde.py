@@ -20,6 +20,7 @@ from dashing_spark.functions.crmh import CountingKMV
 from dashing_spark.functions.hmh import HyperMinHash
 from dashing_spark.functions.smh import SuperMinHash
 from dashing_spark.functions.cbbmh import CountingBBitMinHash
+from dashing_spark.functions.heavykeeper import HeavyKeeper
 
 _MAGIC = b"DSH1"
 
@@ -35,6 +36,7 @@ _REGISTRY = {
     9: HyperMinHash,
     10: SuperMinHash,
     11: CountingBBitMinHash,
+    12: HeavyKeeper,
 }
 
 

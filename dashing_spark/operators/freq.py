@@ -62,17 +62,41 @@ def cms_by_key(
     )
 
 
+def heavykeeper_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    text_col: str = "text",
+    lg_width: int = 12,
+    depth: int = 2,
+    salt: int | None = None,
+) -> DataFrame:
+    """One HeavyKeeper top-k sketch of the token stream per key — the
+    reference's CM alternative (/root/reference/src/dashing.h:131-136).
+    Same pipeline shape as cms_by_key; point-query via cms_point_query
+    (both sketches expose query_hashes)."""
+    from dashing_spark.functions.heavykeeper import HeavyKeeper
+
+    toks = df.select(
+        *key_cols, F.explode(F.split(F.col(text_col), " ", -1)).alias("token")
+    ).withColumn("__h", F.xxhash64("token"))
+    return agg.sketch_hash_col_by_key(
+        toks, key_cols, lambda: HeavyKeeper(lg_width, depth), "__h", salt=salt
+    )
+
+
 def cms_point_query(
     candidates: DataFrame,
     cms_sketches: DataFrame,
     key_cols: Sequence[str],
     token_col: str = "token",
+    est_col: str = "cm_est",
 ) -> DataFrame:
-    """Estimate each candidate token's count from its key's CM sketch.
+    """Estimate each candidate token's count from its key's sketch.
 
     Join is on the key (sketch side is tiny → broadcast); the per-batch
-    point queries are vectorized numpy. Returns candidates + `cm_est`.
-    """
+    point queries are vectorized numpy. Returns candidates + ``est_col``.
+    Works for any frequency sketch exposing ``query_hashes`` (CM,
+    HeavyKeeper)."""
     ensure_shipped(candidates.sparkSession)
     key_cols = list(key_cols)
     joined = candidates.withColumn("__h", F.xxhash64(token_col)).join(
@@ -80,7 +104,7 @@ def cms_point_query(
     )
     schema = T.StructType(
         [f for f in joined.schema.fields if f.name not in (agg.SKETCH_COL, "__h")]
-        + [T.StructField("cm_est", T.LongType(), False)]
+        + [T.StructField(est_col, T.LongType(), False)]
     )
     out_cols = [f.name for f in schema.fields]
 
@@ -97,7 +121,7 @@ def cms_point_query(
             pdf = pdf.reset_index(drop=True)
             ests_aligned = ests  # groupby preserved original positions via index
             out = pdf.drop(columns=[agg.SKETCH_COL, "__h"])
-            out["cm_est"] = ests_aligned
+            out[est_col] = ests_aligned
             yield out[out_cols]
 
     return joined.mapInPandas(fn, schema=schema)

@@ -598,3 +598,76 @@ class TestTripleBatchKernels:
         est_s = _ertl_mle(c, 256.0, q)
         est_b = float(ertl_mle_batch(c[None, :], 256.0, q)[0])
         assert abs(est_s - est_b) <= 1e-6 * est_s
+
+
+class TestHeavyKeeper:
+    """HeavyKeeper top-k sketch — the reference's CM alternative
+    (/root/reference/src/dashing.h:131-136), batch-adapted (see module
+    docstring for the documented deviations)."""
+
+    @staticmethod
+    def _zipf_stream(n=300_000, seed=3):
+        from dashing_spark.functions.hashing import splitmix64
+
+        rng = np.random.default_rng(seed)
+        items = rng.zipf(1.3, size=n)
+        items = items[items < 100_000].astype(np.uint64)
+        return items, splitmix64(items)
+
+    def test_elephants_recovered_one_sided(self):
+        from dashing_spark.functions import HeavyKeeper
+        from dashing_spark.functions.hashing import splitmix64
+
+        items, h = self._zipf_stream()
+        hk = HeavyKeeper(12, 2)
+        for chunk in np.array_split(h, 10):  # batch-granularity stream
+            hk.update_hashes(chunk)
+        u, c = np.unique(items, return_counts=True)
+        top = np.argsort(-c)[:20]
+        est = hk.query_hashes(splitmix64(u[top]))
+        for t, e in zip(c[top], est):
+            assert e <= t          # one-sided: never above true count
+            assert e >= 0.9 * t    # elephants kept near-exactly
+
+    def test_merge_commutative_and_serde(self):
+        from dashing_spark.functions import HeavyKeeper, sketch_from_bytes
+        from dashing_spark.functions.hashing import splitmix64
+
+        _, h = self._zipf_stream(seed=11)
+        a, b = HeavyKeeper(10, 2), HeavyKeeper(10, 2)
+        a.update_hashes(h[: len(h) // 2])
+        b.update_hashes(h[len(h) // 2 :])
+        ab = HeavyKeeper.from_bytes(a.to_bytes()).merge(b)
+        ba = HeavyKeeper.from_bytes(b.to_bytes()).merge(a)
+        assert ab == ba
+        rt = sketch_from_bytes(ab.to_bytes())
+        assert rt == ab
+
+    def test_deterministic(self):
+        from dashing_spark.functions import HeavyKeeper
+
+        _, h = self._zipf_stream(seed=5)
+        a = HeavyKeeper(10, 2).update_hashes(h)
+        b = HeavyKeeper(10, 2).update_hashes(h)
+        assert a == b
+
+    def test_small_flows_decay(self):
+        """Mice sharing a bucket with an elephant must not survive with
+        inflated counts (the CM failure mode HK exists to fix)."""
+        from dashing_spark.functions import HeavyKeeper
+        from dashing_spark.functions.hashing import splitmix64
+
+        rng = np.random.default_rng(9)
+        elephant = np.full(50_000, 7, dtype=np.uint64)
+        mice = rng.integers(10, 100_000, size=50_000, dtype=np.uint64)
+        h = splitmix64(np.concatenate([elephant, mice]))
+        rng.shuffle(h)
+        hk = HeavyKeeper(8, 2)  # tiny: force collisions
+        for chunk in np.array_split(h, 20):
+            hk.update_hashes(chunk)
+        est = hk.query_hashes(splitmix64(np.array([7], dtype=np.uint64)))[0]
+        assert est >= 0.9 * 50_000
+        mice_u = np.unique(mice)
+        mice_est = hk.query_hashes(splitmix64(mice_u))
+        # a mouse's true count is ~1; none may report an elephant-class count
+        assert mice_est.max() <= 2000

@@ -328,12 +328,14 @@ class TestCorpusCuration:
 class TestAdaptiveBanding:
     def test_low_threshold_recall_exact(self, spark, docs):
         """threshold=0.5 must still find the exact JI>=0.5 pair set —
-        the adaptive banding widens to one-hash bands (a fixed r=4
-        misses ~12% here)."""
+        the adaptive banding widens to two-hash bands (a fixed r=4
+        misses ~12% here; r=2/b=64 keeps the miss at 1.005e-8 within
+        pick_lsh_bands' 1.05x slack — see ADVICE r2 #1, which dropped
+        the r=1 full-candidate fallback this boundary used to hit)."""
         from dashing_spark.operators.dedup import pick_lsh_bands
 
         assert pick_lsh_bands(128, 0.9) == 32
-        assert pick_lsh_bands(128, 0.5) == 128
+        assert pick_lsh_bands(128, 0.5) == 64
         found = {
             (r["a_id"], r["b_id"])
             for r in dedup.minhash_lsh_dedup(docs, "doc_id", threshold=0.5).collect()

@@ -99,6 +99,15 @@ class TestPlanInvariants:
         # an Exchange (partial) and one downstream (final)
         assert plan.count("HashAggregate") >= 2
         assert "Exchange hashpartitioning(a_id" in plan
+        # wide-row regression pin (VERDICT r2 #8): the dedup shuffle must
+        # move 16-byte (a_id, b_id) rows only. Carrying signature/band
+        # arrays through the join to emit on the first colliding band
+        # measured 14x SLOWER (433 s vs 30 s at sf0.1, dedup.py docstring)
+        # — everything ABOVE the pair exchange (its parents in the plan
+        # dump) must not reference the signature column
+        above_exchange = plan[: plan.index("Exchange hashpartitioning(a_id")]
+        assert "signature" not in above_exchange
+        assert cands.columns == ["a_id", "b_id"]
 
     def test_ngram_join_is_not_gram_level(self, spark, docs):
         """ngram_jaccard_pairs must not contain a gram-token equi-join
