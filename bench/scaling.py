@@ -100,8 +100,6 @@ def main() -> None:
     print(json.dumps(report))
     md = os.path.join(REPO, "BENCH.md")
     lines = [
-        "# BENCH — measured throughput & scaling",
-        "",
         "## N vs 4N parallelism scaling (north rule, BASELINE.md §c)",
         "",
         "Same job, same input, two parallelism levels (no real cluster in",
@@ -131,12 +129,25 @@ def main() -> None:
         "On a real multi-executor cluster each executor has its own",
         "memory bus, so the per-node ceiling does not apply.",
         "",
-        "Latest full-suite bench (per-query seconds): see BENCH JSON emitted",
-        "by `python bench.py` (driver records it as BENCH_r{N}.json).",
-        "",
     ]
+    # splice into BENCH.md between the scaling markers, preserving every
+    # other section (the operator-suite record lives in the same file)
+    begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    block = begin + "\n" + "\n".join(lines) + "\n" + end
+    try:
+        old = open(md).read()
+    except FileNotFoundError:
+        old = ""
+    if begin in old and end in old:
+        new = old[: old.index(begin)] + block + old[old.index(end) + len(end):]
+    else:
+        header = "# BENCH — measured throughput & scaling\n\n"
+        body = old
+        if body.startswith(header):
+            body = body[len(header):]
+        new = header + block + "\n\n" + body
     with open(md, "w") as f:
-        f.write("\n".join(lines))
+        f.write(new)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,45 @@ def set_triple_any(a, b, estimator: str = "default") -> tuple[float, float, floa
         ca, cb = a.estimate(), b.estimate()
         inter = ji * (ca + cb) / (1.0 + ji) if ji > 0 else 0.0
         return max(0.0, ca - inter), max(0.0, cb - inter), inter
+    from dashing_spark.functions.crmh import CountingKMV, crmh_histogram_intersection
+
+    if isinstance(a, CountingKMV):
+        # weighted (multiset) triple: JI is the histogram intersection
+        # (the reference's wjaccard dist semantics,
+        # /root/reference/src/dashing.h:142-144); multiset sizes are
+        # estimated as mean sampled count × distinct-cardinality — the
+        # bottom-k counts are a minwise-uniform sample of per-element
+        # counts, so the product estimates Σ counts (exact when n < k)
+        ji = crmh_histogram_intersection(a, b)
+
+        def _wsize(sk) -> float:
+            n = len(sk.mins)
+            if n == 0:
+                return 0.0
+            return float(sk.counts.mean()) * sk.estimate()
+
+        ca, cb = _wsize(a), _wsize(b)
+        inter = ji * (ca + cb) / (1.0 + ji) if ji > 0 else 0.0
+        return max(0.0, ca - inter), max(0.0, cb - inter), inter
+    from dashing_spark.functions.cbbmh import (
+        CountingBBitMinHash,
+        cbbmh_weighted_jaccard,
+    )
+
+    if isinstance(a, CountingBBitMinHash):
+        ji = cbbmh_weighted_jaccard(a, b)
+
+        def _wsize_bb(sk) -> float:
+            filled = sk.mins != np.uint64(0xFFFFFFFFFFFFFFFF)
+            if not filled.any():
+                return 0.0
+            # each filled bucket keeps the count of one minwise-sampled
+            # element: mean count × distinct estimate ≈ Σ counts
+            return float(sk.counts[filled].mean()) * sk.estimate()
+
+        ca, cb = _wsize_bb(a), _wsize_bb(b)
+        inter = ji * (ca + cb) / (1.0 + ji) if ji > 0 else 0.0
+        return max(0.0, ca - inter), max(0.0, cb - inter), inter
     raise TypeError(f"no set_triple for sketch type {type(a).__name__}")
 
 

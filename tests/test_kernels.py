@@ -671,3 +671,54 @@ class TestHeavyKeeper:
         mice_est = hk.query_hashes(splitmix64(mice_u))
         # a mouse's true count is ~1; none may report an elephant-class count
         assert mice_est.max() <= 2000
+
+
+class TestCountingSketchTriples:
+    """set_triple_any over the counting (weighted) sketches: JI = the
+    type's weighted estimator, sizes = mean sampled count x distinct
+    estimate (a minwise-uniform sample of per-element counts, so the
+    product estimates total multiset weight)."""
+
+    def test_crmh_triple(self):
+        from dashing_spark.functions.compare import (
+            measure_from_triple,
+            set_triple_any,
+        )
+        from dashing_spark.functions.crmh import CountingKMV
+
+        rng = np.random.default_rng(2)
+        mk = lambda n: hashing.splitmix64(
+            rng.integers(0, 2**63, n, dtype=np.uint64)
+        )
+        shared = np.repeat(mk(2000), rng.integers(1, 10, 2000))
+        ha = np.concatenate([shared, np.repeat(mk(3000), rng.integers(1, 5, 3000))])
+        hb = np.concatenate([shared, np.repeat(mk(3000), rng.integers(1, 5, 3000))])
+        a, b = CountingKMV(2048), CountingKMV(2048)
+        a.update_hashes(ha)
+        b.update_hashes(hb)
+        t0, t1, t2 = set_triple_any(a, b)
+        from collections import Counter
+
+        ca, cb = Counter(ha.tolist()), Counter(hb.tolist())
+        num = sum(min(ca[k], cb[k]) for k in ca if k in cb)
+        den = sum(max(ca.get(k, 0), cb.get(k, 0)) for k in set(ca) | set(cb))
+        assert abs(measure_from_triple(t0, t1, t2, "ji") - num / den) <= 0.05
+        assert abs((t0 + t2) - len(ha)) / len(ha) <= 0.1
+        assert abs((t1 + t2) - len(hb)) / len(hb) <= 0.1
+
+    def test_cbbmh_triple_sizes(self):
+        from dashing_spark.functions.cbbmh import CountingBBitMinHash
+        from dashing_spark.functions.compare import set_triple_any
+
+        rng = np.random.default_rng(4)
+        h = np.repeat(
+            hashing.splitmix64(rng.integers(0, 2**63, 5000, dtype=np.uint64)),
+            rng.integers(1, 6, 5000),
+        )
+        a, b = CountingBBitMinHash(11, 16), CountingBBitMinHash(11, 16)
+        a.update_hashes(h)
+        b.update_hashes(h)
+        t0, t1, t2 = set_triple_any(a, b)
+        # identical multisets: ji = 1, sizes near total weight
+        assert t0 <= 1e-6 and t1 <= 1e-6
+        assert abs(t2 - len(h)) / len(h) <= 0.15
