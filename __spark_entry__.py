@@ -765,6 +765,20 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenizer counts (letter runs / digit runs /
+    single symbols) — the token accounting a training pipeline budgets
+    with; regex class set chosen so Java regex and RE2 agree exactly."""
+    docs = _docs(spark, sf_dir)
+    return text.bpe_token_stats(docs, ["lang"]).select(
+        "lang",
+        "n_docs",
+        "total_bpe_tokens",
+        "avg_bpe_per_doc",
+        F.round("avg_bpe_ttr", 5).alias("avg_bpe_ttr"),
+    )
+
+
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return text.token_stats(docs, ["lang"]).select(
@@ -1369,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "token_stats_by_lang": q_token_stats_by_lang,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id_confusion": q_lang_id_confusion,
         "fingerprint_stats": q_fingerprint_stats,
@@ -1837,6 +1852,21 @@ def oracle_sql() -> dict[str, str]:
             FROM e a CROSS JOIN e b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "bpe_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+                   round(avg(n_bpe), 6) AS avg_bpe_per_doc,
+                   round(round(avg(CASE WHEN n_bpe > 0
+                       THEN CAST(n_uniq AS DOUBLE) / n_bpe END), 6), 5)
+                       AS avg_bpe_ttr
+            FROM (SELECT lang,
+                         len(regexp_extract_all(text,
+                             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe,
+                         len(list_distinct(regexp_extract_all(text,
+                             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS n_uniq
+                  FROM documents)
+            GROUP BY lang
         """,
         "token_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,

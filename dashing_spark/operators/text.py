@@ -39,6 +39,35 @@ def token_stats(df: DataFrame, key_cols, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other-symbols —
+#: the classic byte-pair-encoding pre-split (GPT-2 style, simplified to a
+#: class set whose semantics agree between Java regex (Spark codegen) and
+#: RE2 (DuckDB), so oracle counts hash-match exactly
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(df: DataFrame, key_cols, text_col: str = "text") -> DataFrame:
+    """Per-key counts under the BPE-ish regex pre-tokenizer — the token
+    accounting a training-data pipeline budgets with (whitespace token
+    counts undercount punctuation-heavy web text). All codegen:
+    regexp_extract_all -> size."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '{BPE_SPLIT_RE}', 0)")
+    per_doc = df.select(
+        *key_cols,
+        F.size(toks).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_uniq"),
+    )
+    # zero-token docs (empty/whitespace-only text) contribute NULL to the
+    # TTR average in both engines (CASE guards the ANSI divide)
+    ttr = F.when(F.col("n_bpe") > 0, F.col("n_bpe_uniq") / F.col("n_bpe"))
+    return per_doc.groupBy(*key_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.round(F.avg("n_bpe"), 6).alias("avg_bpe_per_doc"),
+        F.round(F.avg(ttr), 6).alias("avg_bpe_ttr"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: length, token count, mean token
     length, digit/punct ratios, stopword ratio — deterministic
