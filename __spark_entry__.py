@@ -1037,6 +1037,68 @@ def q_streaming_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_kll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of an ADDITIVE sketch (KLL) — complements
+    streaming_users_by_day's idempotent-max HLL: the epoch protocol must
+    not double-count retried micro-batches for additive state. The
+    streamed per-type quantiles carry the same rank-error gate as the
+    batch KLL query (KLL compaction is merge-tree-shaped, so stream ≡
+    batch bit-identity is NOT expected — the rank bound is the
+    contract)."""
+    import tempfile
+
+    from dashing_spark.streaming.incremental import (
+        incremental_sketch_query,
+        read_state,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def type_sketches(df: DataFrame) -> DataFrame:
+        return agg.sketch_numeric_by_key(
+            df, ["event_type"], lambda: KLL.empty(200), "value"
+        )
+
+    src_dir = tempfile.mkdtemp(prefix="dash_skll_src_")
+    state_dir = tempfile.mkdtemp(prefix="dash_skll_state_")
+    ckpt_dir = tempfile.mkdtemp(prefix="dash_skll_ckpt_")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = incremental_sketch_query(
+        stream, ["event_type"], lambda: KLL.empty(200), state_dir, ckpt_dir,
+        build_fn=type_sketches,
+    )
+    q.awaitTermination(300)
+    state = read_state(spark, state_dir)
+    qhat = state.select(
+        "event_type",
+        F.posexplode(agg.quantile_expr(list(QUANTILE_PS))("sketch")).alias(
+            "pi", "qhat"
+        ),
+    )
+    ps = F.array(*[F.lit(p) for p in QUANTILE_PS])
+    qhat = qhat.withColumn("p", F.element_at(ps, F.col("pi") + 1)).drop("pi")
+    ranks = (
+        ev.join(qhat, "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.when(F.col("value") < F.col("qhat"), 1).otherwise(0))
+             / F.count("*")).alias("rank_lt"),
+            (F.sum(F.when(F.col("value") <= F.col("qhat"), 1).otherwise(0))
+             / F.count("*")).alias("rank_le"),
+        )
+    )
+    ok = (F.col("p") >= F.col("rank_lt") - RANK_EPS) & (
+        F.col("p") <= F.col("rank_le") + RANK_EPS
+    )
+    return ranks.select("event_type", "p", "n_events", ok.alias("skll_ok"))
+
+
 def q_bloom_en_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter over 'en' tokens probed by every language's distinct
     tokens: exact membership counts (oracle-checked) + the Bloom
@@ -1365,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_card_by_doc": q_hll_card_by_doc,
         "hll_users_by_day": q_hll_users_by_day,
         "streaming_users_by_day": q_streaming_users_by_day,
+        "streaming_kll_by_type": q_streaming_kll_by_type,
         "bloom_en_membership": q_bloom_en_membership,
         "hll_vs_spark_builtin": q_hll_vs_spark_builtin,
         "crmh_weighted_ji_pairs": q_crmh_weighted_ji_pairs,
@@ -1630,6 +1693,11 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS exact_users, true AS hll_ok,
                    true AS stream_matches_batch
             FROM events GROUP BY 1
+        """,
+        "streaming_kll_by_type": f"""
+            SELECT event_type, p, count(*) AS n_events, true AS skll_ok
+            FROM events CROSS JOIN ({_QP_VALUES})
+            GROUP BY event_type, p
         """,
         "bloom_en_membership": f"""
             WITH probes AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
