@@ -188,3 +188,21 @@ class TestPlanInvariants:
         # "abc" appears in both docs -> shared gram hash
         ascii_only, _ = char_gram_hashes_arrow(pa.array(["abc"]), n=3)
         assert ascii_only[0] in set(h2.tolist())
+
+    def test_weighted_cm_avoids_occurrence_window(self, spark, docs):
+        """weighted="cm" must not contain a Window (the exact mode's
+        row_number over every token occurrence — an unsalvageable full
+        occurrence shuffle); its only wide operations are the doc-row
+        repartition by key and the partial-merge groupBy."""
+        from dashing_spark.functions import HLL
+        from dashing_spark.operators import agg
+
+        cm = agg.sketch_tokens_by_key(
+            docs, ["lang"], lambda: HLL.empty(10), weighted="cm"
+        )
+        plan_cm = _plan(cm)
+        assert "Window" not in plan_cm
+        exact = agg.sketch_tokens_by_key(
+            docs, ["lang"], lambda: HLL.empty(10), weighted=True
+        )
+        assert "Window" in _plan(exact)  # the exact mode pays for exactness
