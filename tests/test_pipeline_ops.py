@@ -360,3 +360,28 @@ class TestAdaptiveBanding:
         )
         truth = {(r["a_id"], r["b_id"]) for r in exact.collect()}
         assert found == truth
+
+
+class TestNgramClusteredPath:
+    def test_cluster_exact_same_pairs(self, spark, docs):
+        """The opt-in clustered char-gram path (exact-dup gram sets
+        collapse to one rep before LSH) must emit the identical pair
+        set as the plain path."""
+        from pyspark.sql import functions as F
+
+        from dashing_spark.operators import dedup
+
+        small = docs.filter(F.col("doc_id") < 300)
+        plain = {
+            (r["a_id"], r["b_id"], round(r["ji"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                small, "doc_id", n=3, threshold=0.6
+            ).collect()
+        }
+        clustered = {
+            (r["a_id"], r["b_id"], round(r["ji"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                small, "doc_id", n=3, threshold=0.6, cluster_exact=True
+            ).collect()
+        }
+        assert plain == clustered
