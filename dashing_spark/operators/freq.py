@@ -135,20 +135,36 @@ def min_count_filter(
     use_cms: bool = False,
     lg_width: int = 20,
     depth: int = 1,
+    backend: str | None = None,
 ) -> DataFrame:
     """(key, token) rows whose token frequency within the key ≥ min_count
     — the reference's `--min-count` pre-filter (src/sketch_and_cmp.h:347).
 
-    Exact mode (default): groupBy count + HAVING, all JVM-side — at any
-    scale this is one shuffle on (key, token).
-    CMS mode: two-pass approximation (build CM per key, then filter by
-    point estimate ≥ min_count) — never drops a frequent token (CM never
-    underestimates), may keep rare collisions, matching the reference's
-    one-sided error.
+    ``backend``: "exact" (default — groupBy count + HAVING, all JVM-side,
+    one shuffle on (key, token) at any scale), "cms", or "hk".
+    CMS mode never drops a frequent token (CM never underestimates) but
+    may keep rare collisions — the reference's one-sided error. HK mode
+    is the opposite side (the reference's HeavyKeeper alternative,
+    src/dashing.h:131-136): estimates never EXCEED the true count, so
+    nothing infrequent slips through, but a flow decayed out of its
+    buckets can be dropped — the right trade for top-heavy filters.
+    ``use_cms`` is the legacy spelling of backend="cms".
     """
+    if backend is None:
+        backend = "cms" if use_cms else "exact"
     counts = token_counts(df, key_cols, text_col)
-    if not use_cms:
+    if backend == "exact":
         return counts.filter(F.col("cnt") >= min_count)
-    sketches = cms_by_key(df, key_cols, text_col, lg_width, depth)
-    est = cms_point_query(counts.drop("cnt"), sketches, key_cols)
-    return est.filter(F.col("cm_est") >= min_count)
+    if backend == "cms":
+        sketches = cms_by_key(df, key_cols, text_col, lg_width, depth)
+        est = cms_point_query(counts.drop("cnt"), sketches, key_cols)
+        return est.filter(F.col("cm_est") >= min_count)
+    if backend == "hk":
+        sketches = heavykeeper_by_key(
+            df, key_cols, text_col, lg_width=min(lg_width, 16), depth=max(depth, 2)
+        )
+        est = cms_point_query(
+            counts.drop("cnt"), sketches, key_cols, est_col="hk_est"
+        )
+        return est.filter(F.col("hk_est") >= min_count)
+    raise ValueError(f"unknown min_count_filter backend: {backend}")

@@ -158,3 +158,31 @@ class TestContainmentFilter:
         e_ie = errs("inclusion_exclusion")
         assert e_joint <= e_ie + 0.02, (e_joint, e_ie)
         assert e_joint <= 0.1
+
+
+class TestMinCountBackends:
+    def test_hk_backend_one_sided(self, spark):
+        """HK filter estimates never exceed true counts: everything it
+        keeps genuinely has cnt >= some kept-threshold fraction; nothing
+        below min_count/1 slips through inflated (opposite side of CM)."""
+        import pandas as pd
+
+        from dashing_spark.operators import freq
+
+        rows = []
+        for lang in ("en", "de"):
+            heavy = " ".join(["common"] * 50)
+            tail = " ".join(f"rare{i}" for i in range(30))
+            rows.append((lang, heavy + " " + tail))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["lang", "text"]))
+        kept = freq.min_count_filter(
+            df, ["lang"], min_count=10, backend="hk"
+        ).collect()
+        toks = {r["token"] for r in kept}
+        assert "common" in toks
+        assert not any(t.startswith("rare") for t in toks)
+        exact = freq.min_count_filter(df, ["lang"], min_count=10).collect()
+        # one-sided: hk keeps a subset of the exact >= min_count set here
+        assert {(r["lang"], r["token"]) for r in kept} <= {
+            (r["lang"], r["token"]) for r in exact
+        }
