@@ -1377,15 +1377,41 @@ def q_multi_k_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multi_k_mash_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mkdist analogue: mash_dist at k ∈ {2,3,4} per lang pair, per-pair
-    OLS slope vs 1/k (covar_pop/var_pop, all JVM aggregates)."""
+    OLS slope vs 1/k (covar_pop/var_pop, all JVM aggregates).
+
+    Gate structure: mash_dist_k = -ln(g)·(1/k) is exactly linear in 1/k
+    with slope -ln(g) and intercept 0 (g = 2·ji/(1+ji) is k-independent
+    here), so the OLS machinery is verified by two inverse checks
+    against the hash-gated rational ji: exp(-slope) must recover g, and
+    mean_mash must equal slope·mean(1/k). Hash-gating round(slope, 6)
+    directly would be libm-environment-sensitive (see
+    q_mash_containment_pairs)."""
     docs = _docs(spark, sf_dir)
-    mk = dist.multi_k_measures(_lang_tokens(docs), "lang", "token", ks=(2, 3, 4))
+    toks = _lang_tokens(docs)
+    mk = dist.multi_k_measures(toks, "lang", "token", ks=(2, 3, 4))
     slopes = dist.mash_slope(mk)
-    return slopes.select(
+    exact = dist.exact_pair_measures(toks, "lang", "token", ("ji",))
+    out = slopes.join(exact, ["a_key", "b_key"])
+    ji = F.col("ji")
+    g = F.lit(2.0) * ji / (F.lit(1.0) + ji)
+    tol = F.lit(1e-9)
+    mean_invk = (1.0 / 2.0 + 1.0 / 3.0 + 1.0 / 4.0) / 3.0
+    # slope = -ln(g) >= 0, so g must round-trip through exp(-slope)
+    slope_ok = F.when(
+        ji > 0, F.abs(F.exp(-F.col("slope")) - g) <= tol
+    ).otherwise(F.lit(True))
+    return out.select(
         "a_key",
         "b_key",
-        F.round("slope", 6).alias("slope"),
-        F.round("mean_measure", 6).alias("mean_mash"),
+        F.round("ji", 9).alias("ji"),
+        slope_ok.alias("slope_ok"),
+        (
+            F.when(
+                ji > 0,
+                F.abs(F.col("mean_measure") - F.col("slope") * F.lit(mean_invk))
+                <= tol,
+            ).otherwise(F.lit(True))
+        ).alias("mean_ok"),
     )
 
 
@@ -1798,17 +1824,12 @@ def oracle_sql() -> dict[str, str]:
                        / (s1.sz + s2.sz - COALESCE(i.t2, 0)) AS ji
                 FROM sizes s1 JOIN sizes s2 ON s1.lang < s2.lang
                 LEFT JOIN inter i ON i.a_key = s1.lang AND i.b_key = s2.lang
-            ),
-            mk AS (
-                SELECT a_key, b_key, k,
-                       CASE WHEN ji > 0 THEN -ln(2*ji/(1+ji)) / k
-                            ELSE 1.0 END AS mash
-                FROM m CROSS JOIN (SELECT * FROM (VALUES (2), (3), (4)) t(k))
             )
             SELECT a_key, b_key,
-                   round(covar_pop(mash, 1.0/k) / var_pop(1.0/k), 6) AS slope,
-                   round(avg(mash), 6) AS mean_mash
-            FROM mk GROUP BY a_key, b_key
+                   round(ji, 9) AS ji,
+                   true AS slope_ok,
+                   true AS mean_ok
+            FROM m
         """,
         "containment_filter": """
             WITH ref AS (
