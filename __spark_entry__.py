@@ -636,6 +636,23 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", F.round("ji", 9).alias("ji"))
 
 
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair graph: connected
+    components via min-label propagation + pointer jumping (the
+    cluster-level dedup a keep-first pair rule cannot express: A~B,
+    B~C collapse to one keeper even when A~C was never a pair).
+    Output: one row per >=2-member cluster (comp = min member id,
+    n_members) — pure integers, hash-gated against a DuckDB recursive
+    CTE computing the same closure over the exact JI>=0.9 pair set."""
+    docs = _docs(spark, sf_dir)
+    labels = dedup.dedup_components(docs, "doc_id", threshold=0.9)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("comp").cast("long").alias("comp"), "n_members")
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard ≥ 0.6, blocked by lang."""
     docs = _docs(spark, sf_dir)
@@ -1465,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_by_lang": q_dedup_exact_by_lang,
         "dedup_tokenset_by_lang": q_dedup_tokenset_by_lang,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "dedup_cluster_components": q_dedup_cluster_components,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1878,6 +1896,38 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN sz sa ON sa.doc_id = i.a_id
                    JOIN sz sb ON sb.doc_id = i.b_id
             WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.9
+        """,
+        "dedup_cluster_components": """
+            WITH RECURSIVE toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS it
+                FROM documents
+            ),
+            sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+            i AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS t2
+                FROM toks a JOIN toks b ON a.it = b.it AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a_id, b_id
+                FROM i JOIN sz sa ON sa.doc_id = i.a_id
+                       JOIN sz sb ON sb.doc_id = i.b_id
+                WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.9
+            ),
+            edges AS (
+                SELECT a_id AS u, b_id AS v FROM pairs
+                UNION
+                SELECT b_id AS u, a_id AS v FROM pairs
+            ),
+            reach(u, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+            )
+            SELECT CAST(comp AS BIGINT) AS comp,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM (SELECT u, min(lbl) AS comp FROM reach GROUP BY u)
+            GROUP BY comp
         """,
         "ngram_jaccard_pairs": """
             WITH g AS (

@@ -38,9 +38,17 @@ def curate(
     near_threshold: float = 0.9,
     min_quality: float = 0.5,
     langs: list[str] | None = None,
+    near_mode: str = "keep_first",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline. Returns (kept_docs, stats) where
-    stats is a lazy one-row-per-stage frame: (stage, n_out)."""
+    stats is a lazy one-row-per-stage frame: (stage, n_out).
+
+    ``near_mode``: "keep_first" (default — drop the larger id of every
+    pair; streaming semantics, one narrow pass) or "components" (drop
+    every non-min member of each CONNECTED COMPONENT of the pair graph
+    — true transitive closure: A~B, B~C collapse to one keeper even
+    when A~C was never emitted as a pair; costs O(log diameter)
+    label-propagation rounds on ids only)."""
     # stage 1: exact dedup (min-id keeper per byte-identical text)
     keepers = (
         docs.select(F.md5(F.col(text_col)).alias("__dg"), F.col(id_col))
@@ -49,9 +57,15 @@ def curate(
         .select(id_col)
     )
     s1 = docs.join(keepers, id_col, "left_semi")
-    # stage 2: near-dup dedup — drop the larger id of every JI≥t pair
+    # stage 2: near-dup dedup
     pairs = dedup.minhash_lsh_dedup(s1, id_col, text_col, threshold=near_threshold)
-    dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    if near_mode == "components":
+        labels = dedup.connected_components(pairs)
+        dropped = labels.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
     s2 = s1.join(dropped, id_col, "left_anti")
     # stage 3: quality filter
     scored = text.quality_score(s2, text_col)

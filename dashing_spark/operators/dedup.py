@@ -523,3 +523,85 @@ def ngram_jaccard_pairs(
         cands = cands.select("a_id", "b_id")
     ji = exact_ji_for_pairs(df, cands, id_col, text_col, char_n=n)
     return ji.filter(F.col("ji") >= threshold)
+
+
+# ---------------------------------------------------------------- components
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of a near-dup pair graph: (id, comp) with
+    comp = the minimum doc id reachable through pairs. The transitive-
+    closure step a cluster-level dedup needs (A~B, B~C must collapse to
+    ONE keeper even when A~C was never emitted as a pair).
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node takes the min of its own label, its neighbors' labels,
+    and its label's label (path halving), so convergence is
+    O(log diameter) rounds, not O(diameter). Near-dup components are
+    near-cliques (diameter ~2), so 2-3 rounds is typical; chains of
+    length 2^25 are beyond any real corpus. Each round is two
+    broadcast-or-shuffle joins + one count action, and labels are
+    localCheckpoint()ed to truncate the iterative lineage (a growing
+    plan DAG is the classic Spark iterative-algorithm failure).
+
+    At 10^12-doc scale this is the standard formulation: the label
+    table is (id, comp) longs only, edges shuffle once per round, and
+    the early-exit action reads a single count.
+    """
+    edges = pairs.select(
+        F.col("a_id").cast("long").alias("u"), F.col("b_id").cast("long").alias("v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("comp").alias("vcomp")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nmin"))
+            .select(F.col("u").alias("id"), "nmin")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nmin", F.col("comp"))).alias("comp")
+        )
+        # pointer jumping: comp <- comp's comp (path halving)
+        jumped = stepped.join(
+            stepped.select(
+                F.col("id").alias("comp"), F.col("comp").alias("comp2")
+            ),
+            "comp",
+            "left",
+        ).select("id", F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"))
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cluster-level near-dup dedup: LSH pairs -> connected components
+    -> (id, comp) membership for every doc in a >=2-member cluster.
+    The keeper per cluster is its min id (== comp)."""
+    pairs = minhash_lsh_dedup(df, id_col, text_col, threshold=threshold)
+    return connected_components(pairs)

@@ -385,3 +385,67 @@ class TestNgramClusteredPath:
             ).collect()
         }
         assert plain == clustered
+
+
+class TestConnectedComponents:
+    def test_chain_clique_random_vs_union_find(self, spark):
+        """Pointer-jumping label propagation must match union-find on a
+        61-node chain (the adversarial diameter case), an 8-clique, and
+        a random graph."""
+        import random
+
+        from dashing_spark.operators.dedup import connected_components
+
+        random.seed(7)
+        edges = [(random.randint(0, 200), random.randint(0, 200)) for _ in range(150)]
+        edges += [(1000 + i, 1001 + i) for i in range(60)]
+        edges += [(2000 + i, 2000 + j) for i in range(8) for j in range(i + 1, 8)]
+        edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["a_id", "b_id"])
+        out = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for x in parent:
+            groups[find(x)].add(x)
+        for root, members in groups.items():
+            m = min(members)
+            for x in members:
+                assert out[x] == m, (x, out[x], m)
+
+    def test_curate_components_mode_transitive(self, spark):
+        """components mode must drop B AND C when A~B, B~C even if A~C
+        was never an emitted pair (keep-first keeps C)."""
+        import pandas as pd
+
+        from dashing_spark.operators import corpus
+
+        # construct a token chain: A~B share 95%, B~C share 95%, A~C ~90.5%
+        base = [f"w{i}" for i in range(40)]
+        a = " ".join(base)
+        b = " ".join(base[2:] + ["x1", "x2"])
+        c = " ".join(base[4:] + ["x1", "x2", "y1", "y2"])
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3], "text": [a, b, c], "lang": ["en"] * 3}
+            )
+        )
+        kept_cc, _ = corpus.curate(
+            df, near_threshold=0.8, min_quality=0.0, near_mode="components"
+        )
+        ids_cc = {r["doc_id"] for r in kept_cc.select("doc_id").collect()}
+        assert ids_cc == {1}
