@@ -254,6 +254,18 @@ def main() -> None:
             estimator="ertl_joint_mle",
         ).count(),
     )
+    # q17: connected components over a 1M-node pair graph (31k chains of
+    # 32 — diameter 32 forces the pointer-jumping rounds; near-dup
+    # graphs are easier). Isolates the iterative dedup-closure operator.
+    chain = (
+        spark.range(1_000_000)
+        .filter(F.pmod(F.col("id"), F.lit(32)) != 31)
+        .select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id"))
+    )
+    run(
+        "q17_connected_components_1m",
+        lambda: _dedup.connected_components(chain).groupBy("comp").count().count(),
+    )
 
     total = round(sum(timings.values()), 3)
     sketch_docs_per_sec = round(n_synth / timings["q0_synth_sketch_build_1m"], 1)
