@@ -280,6 +280,9 @@ def main() -> None:
                 "cpus": CPUS,
                 "n_docs": n_docs,
                 "docs_per_sec_sketch_build": sketch_docs_per_sec,
+                "pairs_per_sec_kmv_stage": round(
+                    32640 / timings["q15_kmv_pair_stage_32k"], 1
+                ),
             }
         )
     )
