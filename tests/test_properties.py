@@ -125,3 +125,44 @@ def test_hll_fold_consistency(items):
     # approximation, statistically validated in test_kernels.)
     assert (folded.regs.astype(int) >= lo_direct.regs.astype(int) - 3).all()
     assert folded.p == 7
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    k=st.sampled_from([8, 32, 128]),
+    sizes=st.lists(st.tuples(st.integers(0, 300), st.integers(0, 300),
+                             st.integers(0, 200)), min_size=1, max_size=8),
+)
+def test_kmv_batch_matches_scalar_property(seed, k, sizes):
+    """kmv_triple_batch (code-sorted lockstep merge) must agree with the
+    scalar kmv_set_triple on arbitrary size mixes, including empty and
+    under-filled (n < k) sketches."""
+    import numpy as np
+
+    from dashing_spark.functions.compare import (
+        kmv_triple_batch,
+        set_triple_any,
+        _dedupe_blobs,
+    )
+    from dashing_spark.functions.kmv import KMV
+
+    rng = np.random.default_rng(seed)
+    al, bl = [], []
+    pairs = []
+    for na, nb, ns in sizes:
+        shared = _hash(rng.integers(0, 2**62, size=ns).tolist())
+        ha = np.concatenate([shared, _hash(rng.integers(0, 2**62, size=na).tolist())])
+        hb = np.concatenate([shared, _hash(rng.integers(0, 2**62, size=nb).tolist())])
+        a, b = KMV(k), KMV(k)
+        a.update_hashes(ha)
+        b.update_hashes(hb)
+        pairs.append((a, b))
+        al.append(a.to_bytes())
+        bl.append(b.to_bytes())
+    uniq, ia, ib = _dedupe_blobs(al, bl)
+    t0b, t1b, t2b = kmv_triple_batch(uniq, ia, ib)
+    for i, (a, b) in enumerate(pairs):
+        t0, t1, t2 = set_triple_any(a, b)
+        for s, v in ((t0, t0b[i]), (t1, t1b[i]), (t2, t2b[i])):
+            assert abs(s - v) <= 1e-9 * max(1.0, abs(s)), (i, s, v)
