@@ -104,19 +104,51 @@ def all_pairs(
     ksinv: float = 1.0,
     estimator: str = "default",
     broadcast: bool = True,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Upper-triangular all-pairs comparison: rows with a_key < b_key —
     the long-format equivalent of the packed UT float32 matrix
-    (/root/reference/distmat/distmat.h:151-183)."""
+    (/root/reference/distmat/distmat.h:151-183).
+
+    Physical strategy: with ``broadcast`` (default) the right side is
+    broadcast and the join is a nested loop — right while the sketch
+    table fits an executor (thousands of keys × ~16 KiB blobs). Past
+    that (10^5+ keys → the table no longer broadcasts), pass
+    ``n_blocks`` to switch to the GRID join: each sketch lands in block
+    h(key) mod B; the full B×B block grid is a tiny broadcast table
+    that replicates the LEFT side B ways, and the right side meets it
+    in ONE equi-join on the block id (no right-side replication). Every
+    ordered key combination appears on exactly one reducer — block pair
+    (i, j) holds left block i × right block j, a balanced (n/B)² local
+    cross — and the `a < b` condition keeps each unordered pair once.
+    Total traffic n·(B+1) rows vs the O(n²) a cartesian would shuffle:
+    the classic O(n·√P) theta-join cost, and no executor ever holds
+    more than two blocks."""
     ensure_shipped(sketches.sparkSession)
     key_cols = list(key_cols)
     a = _prefixed(sketches, key_cols, "a_")
     b = _prefixed(sketches, key_cols, "b_")
-    if broadcast:
-        b = F.broadcast(b)
     cond = F.struct(*[F.col(f"a_{k}") for k in key_cols]) < F.struct(
         *[F.col(f"b_{k}") for k in key_cols]
     )
+    if n_blocks and n_blocks > 1:
+        spark = sketches.sparkSession
+        blk_a = F.pmod(F.xxhash64(*[f"a_{k}" for k in key_cols]), F.lit(n_blocks))
+        blk_b = F.pmod(F.xxhash64(*[f"b_{k}" for k in key_cols]), F.lit(n_blocks))
+        a = a.withColumn("__ba", blk_a)
+        b = b.withColumn("__bb", blk_b)
+        bp = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
+            ["__ba", "__bb"],
+        )
+        # left side replicated across its row of the block grid (tiny
+        # broadcast), then ONE equi-join on the block id co-locates each
+        # block pair on a single reducer
+        left = a.join(F.broadcast(bp), "__ba")
+        pairs = left.join(b, "__bb").filter(cond).drop("__ba", "__bb")
+        return _attach_measures(pairs, measures, ksinv, estimator)
+    if broadcast:
+        b = F.broadcast(b)
     pairs = a.join(b, cond)
     return _attach_measures(pairs, measures, ksinv, estimator)
 

@@ -83,3 +83,34 @@ class TestAllPairs:
         for r in out:
             e = exact[r["lang"]]
             assert abs(r["cardinality"] - e) <= max(0.03 * e, 2.0)
+
+
+class TestGridAllPairs:
+    def test_grid_matches_broadcast_and_is_equi_joined(self, spark):
+        """n_blocks switches all_pairs to the grid theta-join: identical
+        pairs/values, and the plan carries NO nested-loop cartesian —
+        the sketch sides meet in an equi-join on the block id, so the
+        strategy survives sketch tables too large to broadcast."""
+        from pyspark.sql import functions as F
+
+        from dashing_spark.functions import HLL
+        from dashing_spark.operators import agg, dist
+        from dashing_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        sk = agg.sketch_tokens_by_key(
+            docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(30))),
+            ["bucket"],
+            lambda: HLL.empty(10),
+        ).cache()
+        sk.count()
+        bcast = dist.all_pairs(sk, ["bucket"], measures=("ji",))
+        grid = dist.all_pairs(sk, ["bucket"], measures=("ji",), n_blocks=4)
+        b = {(r["a_bucket"], r["b_bucket"]): r["ji"] for r in bcast.collect()}
+        g = {(r["a_bucket"], r["b_bucket"]): r["ji"] for r in grid.collect()}
+        assert len(b) == 30 * 29 // 2
+        assert b == g
+        plan = grid._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "__bb" in plan  # block-id equi key reaches the join
+        sk.unpersist()
