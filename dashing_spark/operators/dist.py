@@ -179,12 +179,14 @@ def nearest_neighbors(
     measure: str = "ji",
     ksinv: float = 1.0,
     estimator: str = "default",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Top-k neighbors per key (`--nearest-neighbors`): symmetric pairs
     mirrored to both directions, then Window row_number ≤ k ordered by
-    the measure's natural direction (emt2nntype, src/dashing.h:268-280)."""
+    the measure's natural direction (emt2nntype, src/dashing.h:268-280).
+    ``n_blocks`` selects the grid pair strategy (see all_pairs)."""
     key_cols = list(key_cols)
-    ut = all_pairs(sketches, key_cols, (measure,), ksinv, estimator)
+    ut = all_pairs(sketches, key_cols, (measure,), ksinv, estimator, n_blocks=n_blocks)
     swapped = ut.select(
         *[F.col(f"b_{k}").alias(f"a_{k}") for k in key_cols],
         *[F.col(f"a_{k}").alias(f"b_{k}") for k in key_cols],
