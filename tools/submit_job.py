@@ -27,6 +27,26 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: spark-submit --conf recipe for the 10^12-doc / ~100 TB regime. Sizing
+#: logic: 256 MiB input splits keep a scan task's Arrow batches in worker
+#: memory next to its (n_keys x 2^p) partial-sketch dict; shuffle
+#: partition count starts at 2-4x total cores and AQE coalesces the
+#: (tiny, one-row-per-key-per-partition) sketch shuffles down while
+#: skew-join splitting absorbs hot keys in the dedup/pair stages. Print
+#: as flags with: python tools/submit_job.py --print-conf
+RECOMMENDED_CLUSTER_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "268435456",
+    "spark.sql.shuffle.partitions": "8192",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    "spark.shuffle.compress": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
 
 def make_sketch_factory(kind: str, p: int):
     from dashing_spark.functions import HLL, KLL, BloomFilter, CountMinSketch, TDigest
@@ -41,6 +61,11 @@ def make_sketch_factory(kind: str, p: int):
 
 
 def main() -> int:
+    if "--print-conf" in sys.argv:
+        print(
+            " ".join(f"--conf {k}={v}" for k, v in RECOMMENDED_CLUSTER_CONF.items())
+        )
+        return 0
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="dir containing <table>.parquet")
     ap.add_argument("--table", default="documents")
