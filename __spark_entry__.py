@@ -1362,6 +1362,47 @@ def q_distmat_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a_key", "b_key", F.round("ji", 6).alias("ji"), "roundtrip_ok")
 
 
+def q_multi_w_shingle_ji(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True k-mer-sweep semantics (mkdist's actual regime): DIFFERENT
+    shingle widths are different item universes, so JI varies with w.
+    Exact per-lang-pair JI at w∈{1,2} hash-gated; the w-shingle HLL
+    sketch estimate bound-checked per w. Exercises the shingle_w>1
+    kernel end-to-end under the oracle gate."""
+    docs = _docs(spark, sf_dir)
+    parts = []
+    for w in (1, 2):
+        if w == 1:
+            items = _lang_tokens(docs)
+        else:
+            toks = F.split(F.col("text"), " ", -1)
+            sh = F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                      F.element_at(toks, i + 2)),
+            )
+            items = docs.filter(F.size(toks) >= 2).select(
+                "lang", F.explode(sh).alias("token")
+            )
+        exact = dist.exact_pair_measures(items, "lang", "token", ("ji",))
+        sk = agg.sketch_tokens_by_key(
+            docs, ["lang"], lambda: HLL.empty(P_HLL), shingle_w=w
+        )
+        est = dist.all_pairs(sk, ["lang"], measures=("ji",)).select(
+            F.col("a_lang").alias("a_key"),
+            F.col("b_lang").alias("b_key"),
+            F.col("ji").alias("ji_est"),
+        )
+        out = exact.join(est, ["a_key", "b_key"]).select(
+            F.lit(w).alias("w"),
+            "a_key",
+            "b_key",
+            F.round("ji", 9).alias("ji"),
+            (F.abs(F.col("ji_est") - F.col("ji")) <= 0.05).alias("hll_w_ok"),
+        )
+        parts.append(out)
+    return parts[0].unionByName(parts[1])
+
+
 def q_multi_k_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`flatten_all` analogue: per-k mash distances pivoted to one row
     per pair (columns k2/k3). Rational ji is hash-gated; each pivoted
@@ -1478,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": q_checkpoint_resume,
         "distmat_sinks_roundtrip": q_distmat_sinks_roundtrip,
         "multi_k_flatten": q_multi_k_flatten,
+        "multi_w_shingle_ji": q_multi_w_shingle_ji,
         "multi_k_mash_slope": q_multi_k_mash_slope,
         "dedup_exact_by_lang": q_dedup_exact_by_lang,
         "dedup_tokenset_by_lang": q_dedup_tokenset_by_lang,
@@ -1789,6 +1831,37 @@ def oracle_sql() -> dict[str, str]:
                    true AS roundtrip_ok
             FROM sizes s1 JOIN sizes s2 ON s1.lang < s2.lang
             LEFT JOIN inter i ON i.a_key = s1.lang AND i.b_key = s2.lang
+        """,
+        "multi_w_shingle_ji": f"""
+            WITH t1 AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
+            t2 AS (
+                SELECT DISTINCT lang,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS token
+                FROM (SELECT lang, string_split(text, ' ') AS t
+                      FROM documents)
+                WHERE len(t) >= 2
+            ),
+            u AS (
+                SELECT 1 AS w, lang, token FROM t1
+                UNION ALL
+                SELECT 2 AS w, lang, token FROM t2
+            ),
+            sizes AS (SELECT w, lang, count(*) AS sz FROM u GROUP BY w, lang),
+            inter AS (
+                SELECT a.w, a.lang AS a_key, b.lang AS b_key, count(*) AS t2c
+                FROM u a JOIN u b
+                  ON a.w = b.w AND a.token = b.token AND a.lang < b.lang
+                GROUP BY 1, 2, 3
+            )
+            SELECT s1.w, s1.lang AS a_key, s2.lang AS b_key,
+                   round(CAST(COALESCE(i.t2c, 0) AS DOUBLE)
+                         / (s1.sz + s2.sz - COALESCE(i.t2c, 0)), 9) AS ji,
+                   true AS hll_w_ok
+            FROM sizes s1
+            JOIN sizes s2 ON s1.w = s2.w AND s1.lang < s2.lang
+            LEFT JOIN inter i
+              ON i.w = s1.w AND i.a_key = s1.lang AND i.b_key = s2.lang
         """,
         "multi_k_flatten": f"""
             WITH toks AS (SELECT DISTINCT lang, token FROM ({_TOKS})),
