@@ -233,6 +233,15 @@ def main() -> None:
         "q15_kmv_pair_stage_32k",
         lambda: dist.all_pairs(bsk, ["bucket"], measures=("ji",)).count(),
     )
+    # q15b: same pairs through the grid theta-join (the strategy for
+    # sketch tables too large to broadcast) — records the constant
+    # overhead paid for broadcast-independence at this (small) scale
+    run(
+        "q15b_kmv_pair_stage_grid",
+        lambda: dist.all_pairs(
+            bsk, ["bucket"], measures=("ji",), n_blocks=8
+        ).count(),
+    )
     bsk.unpersist(blocking=True)
     # q16: readfilt-style per-DOC containment against a broadcast reference
     # sketch with the joint-MLE estimator (the reference binary's readfilt
