@@ -572,23 +572,27 @@ def connected_components(
             .select(F.col("u").alias("id"), "nmin")
         )
         stepped = labels.join(nbr, "id", "left").select(
-            "id", F.least("comp", F.coalesce("nmin", F.col("comp"))).alias("comp")
+            "id",
+            F.col("comp").alias("old"),
+            F.least("comp", F.coalesce("nmin", F.col("comp"))).alias("comp1"),
         )
-        # pointer jumping: comp <- comp's comp (path halving)
+        # pointer jumping: comp <- comp's comp (path halving). The old
+        # label rides along so convergence is a scan of the checkpointed
+        # frame, not another join against the previous labels.
         jumped = stepped.join(
             stepped.select(
-                F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                F.col("id").alias("comp1"), F.col("comp1").alias("comp2")
             ),
-            "comp",
+            "comp1",
             "left",
-        ).select("id", F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"))
-        jumped = jumped.localCheckpoint(eager=True)
-        changed = (
-            jumped.join(labels.withColumnRenamed("comp", "old"), "id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
+        ).select(
+            "id",
+            "old",
+            F.least("comp1", F.coalesce("comp2", F.col("comp1"))).alias("comp"),
         )
-        labels = jumped
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.filter(F.col("comp") != F.col("old")).count()
+        labels = jumped.select("id", "comp")
         if changed == 0:
             break
     return labels
