@@ -1054,6 +1054,66 @@ def q_streaming_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState variant of the streaming rollup: per-day
+    HLL state lives in the ENGINE's streaming state store (the other
+    Structured Streaming state mechanism — foreachBatch owns external
+    epoch-committed state, this one rides the query checkpoint). Final
+    per-day estimates bound-checked vs exact; n_updates must sum to the
+    event count exactly (engine state = no double-counting across
+    micro-batches)."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from dashing_spark.streaming.stateful import stateful_sketch_stream
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = tempfile.mkdtemp(prefix="dash_state_src_")
+    ck = tempfile.mkdtemp(prefix="dash_state_ck_")
+    out_dir = tempfile.mkdtemp(prefix="dash_state_out_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .withColumn("__h", F.xxhash64("user_id"))
+    )
+    q = stateful_sketch_stream(stream, ["day"], lambda: HLL.empty(P_HLL), "__h")
+
+    def sink(bdf: DataFrame, eid: int) -> None:
+        bdf.withColumn("epoch", F.lit(eid)).write.mode("append").parquet(out_dir)
+
+    sq = (
+        q.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    res = spark.read.parquet(out_dir)
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_updates").desc(), F.col("epoch").desc()
+    )
+    final = res.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    exact = (
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return final.join(exact, "day").select(
+        "day",
+        "exact_users",
+        _hll_ok(F.col("estimate"), F.col("exact_users")),
+        (F.col("n_updates") == F.col("n_events")).alias("state_exact_n"),
+    )
+
+
 def q_streaming_kll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of an ADDITIVE sketch (KLL) — complements
     streaming_users_by_day's idempotent-max HLL: the epoch protocol must
@@ -1512,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_day": q_hll_users_by_day,
         "streaming_users_by_day": q_streaming_users_by_day,
         "streaming_kll_by_type": q_streaming_kll_by_type,
+        "stateful_users_by_day": q_stateful_users_by_day,
         "bloom_en_membership": q_bloom_en_membership,
         "hll_vs_spark_builtin": q_hll_vs_spark_builtin,
         "crmh_weighted_ji_pairs": q_crmh_weighted_ji_pairs,
@@ -1784,6 +1845,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, p, count(*) AS n_events, true AS skll_ok
             FROM events CROSS JOIN ({_QP_VALUES})
             GROUP BY event_type, p
+        """,
+        "stateful_users_by_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS exact_users, true AS hll_ok,
+                   true AS state_exact_n
+            FROM events GROUP BY 1
         """,
         "bloom_en_membership": f"""
             WITH probes AS (SELECT DISTINCT lang, token FROM ({_TOKS})),

@@ -195,3 +195,81 @@ class TestStreaming:
         assert {r["lang"]: bytes(r["sketch"]) for r in merged.collect()} == {
             r["lang"]: bytes(r["sketch"]) for r in full.collect()
         }
+
+
+class TestStatefulStream:
+    def test_engine_state_matches_batch_and_counts_exactly(self, spark):
+        """applyInPandasWithState per-day HLLs: final estimates must be
+        identical to the batch build (max-monoid state is micro-batch-
+        boundary-free) and n_updates must count every event once."""
+        import tempfile
+
+        from pyspark.sql import Window, functions as F
+
+        from dashing_spark.functions import HLL
+        from dashing_spark.streaming.stateful import stateful_sketch_stream
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        src = tempfile.mkdtemp(prefix="tst_state_src_")
+        ck = tempfile.mkdtemp(prefix="tst_state_ck_")
+        out = tempfile.mkdtemp(prefix="tst_state_out_")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+            .withColumn("__h", F.xxhash64("user_id"))
+        )
+        q = stateful_sketch_stream(stream, ["day"], lambda: HLL.empty(10), "__h")
+
+        def sink(bdf, eid):
+            bdf.withColumn("epoch", F.lit(eid)).write.mode("append").parquet(out)
+
+        sq = (
+            q.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        res = spark.read.parquet(out)
+        w = Window.partitionBy("day").orderBy(
+            F.col("n_updates").desc(), F.col("epoch").desc()
+        )
+        final = {
+            r["day"]: (r["estimate"], r["n_updates"])
+            for r in res.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .collect()
+        }
+        # batch reference: same sketch over all rows per day
+        from dashing_spark.operators import agg
+
+        batch = agg.sketch_hash_col_by_key(
+            ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+            .withColumn("__h", F.xxhash64("user_id")),
+            ["day"],
+            lambda: HLL.empty(10),
+            "__h",
+        )
+        best = {
+            r["day"]: r["e"]
+            for r in batch.select(
+                "day", agg.estimate_expr()("sketch").alias("e")
+            ).collect()
+        }
+        counts = {
+            r["day"]: r["n"]
+            for r in ev.withColumn(
+                "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+            )
+            .groupBy("day")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert set(final) == set(best)
+        for day, (est, n) in final.items():
+            assert est == best[day]  # identical monoid state => identical estimate
+            assert n == counts[day]
