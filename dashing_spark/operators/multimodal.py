@@ -240,6 +240,64 @@ def decode_features(
     ).mapInPandas(fn, schema=schema)
 
 
+def resize_decoded(
+    media: DataFrame,
+    target_len: int = 64,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Decode payload -> fixed-length resample (array<float>, length
+    ``target_len``) — the resize step of a media pipeline. Mean-pool
+    over equal strides of the decoded sample array: for PCM audio this
+    IS a (box-filter) resample; for images it is the honest 1-D
+    stand-in until a real pixel codec is registered (PIL is not in this
+    container). Same registry/fake/raise contract as decode_features."""
+    ensure_shipped(media.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("resized", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    decoders = dict(DECODERS)  # snapshot: ships in the closure to executors
+
+    def _pool(vals: np.ndarray) -> np.ndarray:
+        v = np.asarray(vals, dtype=np.float64)
+        if len(v) == 0:
+            return np.zeros(target_len, dtype=np.float32)
+        # mean over target_len equal strides (boundaries by rounding)
+        bounds = np.linspace(0, len(v), target_len + 1).round().astype(np.int64)
+        sums = np.add.reduceat(v, np.minimum(bounds[:-1], len(v) - 1))
+        widths = np.maximum(np.diff(bounds), 1)
+        return (sums[:target_len] / widths).astype(np.float32)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                raw = bytes(payload)
+                dec = decoders.get(mime)
+                if dec is not None:
+                    vals = dec(raw)
+                elif deterministic_fake:
+                    vals = np.frombuffer(raw, dtype=np.uint8)
+                else:
+                    raise NotImplementedError(
+                        f"no registered decoder for {mime}; register one or "
+                        "pass deterministic_fake=True for the plumbing path"
+                    )
+                out.append(_pool(vals))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "resized": out,
+                }
+            )
+
+    return media.select(
+        "media_id", F.col("meta.mime").alias("mime"), "payload"
+    ).mapInPandas(fn, schema=schema)
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> DataFrame:
     """Deterministic frame sampling stub: slice the payload into
     n_frames evenly-spaced byte windows (the batching/explode shape a

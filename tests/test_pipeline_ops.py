@@ -449,3 +449,55 @@ class TestConnectedComponents:
         )
         ids_cc = {r["doc_id"] for r in kept_cc.select("doc_id").collect()}
         assert ids_cc == {1}
+
+
+class TestMultimodalResize:
+    def test_wav_resample_mean_pool(self, spark, docs):
+        """resize_decoded on real RIFF/WAVE payloads: output length is
+        exactly target_len and values equal the numpy box-filter means
+        of the decoded PCM."""
+        import numpy as np
+        import wave, io
+
+        from dashing_spark.operators import multimodal
+
+        media = multimodal.media_with_codecs(docs.limit(8))
+        wavs = media.filter(F.col("meta.mime") == "audio/wav")
+        out = {
+            r["media_id"]: np.array(r["resized"])
+            for r in multimodal.resize_decoded(wavs, target_len=16).collect()
+        }
+        rows = wavs.select("media_id", "payload").collect()
+        assert out and len(out) == len(rows)
+        for r in rows:
+            with wave.open(io.BytesIO(bytes(r["payload"]))) as w:
+                pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+            v = pcm.astype(np.float64)
+            bounds = np.linspace(0, len(v), 17).round().astype(np.int64)
+            expect = np.array([
+                v[bounds[i]:max(bounds[i+1], bounds[i]+1)].mean()
+                if bounds[i] < len(v) else v[-1]
+                for i in range(16)
+            ])
+            got = out[r["media_id"]]
+            assert len(got) == 16
+            assert np.allclose(got, expect, rtol=1e-5)
+
+    def test_unregistered_mime_raises_or_fakes(self, spark, docs):
+        from dashing_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(docs.limit(4)).withColumn(
+            "meta",
+            F.struct(
+                F.lit("video/mp4").alias("mime"),
+                F.col("meta.width"),
+                F.col("meta.height"),
+                F.col("meta.duration_ms"),
+            ),
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="no registered decoder"):
+            multimodal.resize_decoded(media).collect()
+        ok = multimodal.resize_decoded(media, deterministic_fake=True).collect()
+        assert all(len(r["resized"]) == 64 for r in ok)
