@@ -269,7 +269,14 @@ def _sketch_tokens_weighted_cm(
     Vectorization: occurrences of a shingle within one Arrow batch get
     consecutive indices base..base+c-1 with base = the CM estimate
     carried across batches, then one batched CM update per batch —
-    batch-granularity CM streaming, same ε bound as element-at-a-time."""
+    batch-granularity CM streaming, same ε bound as element-at-a-time.
+
+    Skew: one key = one stream = one task, so a giant key serializes
+    through a single executor — inherent to streaming occurrence
+    indexing (the reference's per-file counter has the same property),
+    and bounded by that key's own data, not the table. Keys needing
+    parallel exactness should use the exact mode (whose window shuffle
+    parallelizes by (key, shingle))."""
     ensure_shipped(df.sparkSession)
     src = df.repartition(*key_cols).select(*key_cols, text_col)
     partial_schema = _partial_schema(src.select(*key_cols), key_cols)
