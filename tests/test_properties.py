@@ -166,3 +166,35 @@ def test_kmv_batch_matches_scalar_property(seed, k, sizes):
         t0, t1, t2 = set_triple_any(a, b)
         for s, v in ((t0, t0b[i]), (t1, t1b[i]), (t2, t2b[i])):
             assert abs(s - v) <= 1e-9 * max(1.0, abs(s)), (i, s, v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(st.text(max_size=40), min_size=0, max_size=8),
+    n=st.sampled_from([2, 3, 4]),
+)
+def test_char_gram_kernel_matches_python_grams(texts, n):
+    """char_gram_hashes_arrow (codepoint windows, UTF-32 batch decode)
+    must emit exactly the per-doc gram counts of Python slicing, and a
+    CONSISTENT gram -> hash mapping across docs (same codepoint window
+    ⇒ same hash, regardless of the byte widths around it)."""
+    import pyarrow as pa
+
+    from dashing_spark.functions.hashing import char_gram_hashes_arrow
+
+    h, counts = char_gram_hashes_arrow(pa.array(texts, type=pa.string()), n=n)
+    expect_counts = [max(len(t) - n + 1, 0) for t in texts]
+    assert counts.tolist() == expect_counts
+    mapping = {}
+    i = 0
+    for t in texts:
+        for j in range(max(len(t) - n + 1, 0)):
+            gram = t[j : j + n]
+            hv = int(h[i])
+            i += 1
+            if gram in mapping:
+                assert mapping[gram] == hv, (gram, mapping[gram], hv)
+            else:
+                mapping[gram] = hv
+    # distinct grams should not collide on this tiny scale
+    assert len(set(mapping.values())) == len(mapping)
