@@ -198,3 +198,30 @@ def test_char_gram_kernel_matches_python_grams(texts, n):
                 mapping[gram] = hv
     # distinct grams should not collide on this tiny scale
     assert len(set(mapping.values())) == len(mapping)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(st.text(max_size=40), min_size=0, max_size=8))
+def test_token_hash_kernel_matches_split_semantics(texts):
+    """hash_tokens_arrow must emit exactly split(' ')'s token multiset
+    per doc — including empty tokens from leading/trailing/double
+    spaces and the single empty token of an empty string — with a
+    consistent token -> hash mapping across docs."""
+    import pyarrow as pa
+
+    from dashing_spark.functions.hashing import hash_tokens_arrow
+
+    h, counts = hash_tokens_arrow(pa.array(texts, type=pa.string()))
+    expect = [t.split(" ") for t in texts]
+    assert counts.tolist() == [len(e) for e in expect]
+    mapping = {}
+    i = 0
+    for toks in expect:
+        for tok in toks:
+            hv = int(h[i])
+            i += 1
+            if tok in mapping:
+                assert mapping[tok] == hv, (repr(tok), mapping[tok], hv)
+            else:
+                mapping[tok] = hv
+    assert len(set(mapping.values())) == len(mapping)
