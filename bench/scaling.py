@@ -29,6 +29,7 @@ from dashing_spark.operators import agg
 from dashing_spark.sources.tables import synth_pages
 
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
+job = sys.argv[4] if len(sys.argv) > 4 else "sketch"
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
     .config("spark.sql.adaptive.enabled", "true")
@@ -39,10 +40,19 @@ spark.sparkContext.setLogLevel("ERROR")
 # measure sketch-build compute scaling, not disk or generation
 pages = synth_pages(spark, n_docs).repartition(64).cache()
 n = pages.count()
+def run_once():
+    if job == "shuffle":
+        # shuffle-bound: exact (key, token) counts — every token
+        # occurrence crosses the exchange (post map-side combine)
+        (pages.select("lang", F.explode(F.split("text", " ", -1)).alias("t"))
+         .groupBy("lang", "t").count().count())
+    else:
+        agg.sketch_tokens_by_key(pages, ["lang"], lambda: HLL.empty(14)).count()
+
 best = None
 for _ in range(reps):
     t0 = time.time()
-    agg.sketch_tokens_by_key(pages, ["lang"], lambda: HLL.empty(14)).count()
+    run_once()
     dt = time.time() - t0
     best = dt if best is None else min(best, dt)
 print(json.dumps({{"cpus": cpus, "sec": round(best, 3),
@@ -51,10 +61,10 @@ spark.stop()
 """
 
 
-def run_job(cpus: int, n_docs: int, reps: int = 3) -> dict:
+def run_job(cpus: int, n_docs: int, reps: int = 3, job: str = "sketch") -> dict:
     script = JOB.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_docs), str(reps)],
+        [sys.executable, "-c", script, str(cpus), str(n_docs), str(reps), job],
         capture_output=True,
         text=True,
         timeout=1800,
@@ -65,22 +75,34 @@ def run_job(cpus: int, n_docs: int, reps: int = 3) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+JOB_DESCRIPTIONS = {
+    "sketch": "per-lang HLL sketch build over JVM-synthesized pages (cached)",
+    "shuffle": "exact (lang, token) counts — every token occurrence crosses "
+               "the exchange (shuffle-bound variant)",
+}
+
+
 def main() -> None:
     n = 2
+    job = "sketch"
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n = int(a.split("=")[1])
         if a.startswith("--sf="):
             sf = a.split("=")[1]
+        if a.startswith("--job="):
+            job = a.split("=")[1]
+    if job not in JOB_DESCRIPTIONS:
+        raise SystemExit(f"unknown --job={job}; one of {sorted(JOB_DESCRIPTIONS)}")
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(n)))
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "16000000"))
-    lo = run_job(n, n_docs)
-    hi = run_job(4 * n, n_docs)
-    xhi = run_job(16 * n, n_docs) if 16 * n <= (os.cpu_count() or 32) else None
+    lo = run_job(n, n_docs, job=job)
+    hi = run_job(4 * n, n_docs, job=job)
+    xhi = run_job(16 * n, n_docs, job=job) if 16 * n <= (os.cpu_count() or 32) else None
     eff = (lo["sec"] / hi["sec"]) / 4.0
     report = {
-        "job": "per-lang HLL sketch build over JVM-synthesized pages (cached)",
+        "job": JOB_DESCRIPTIONS[job],
         "sf": f"synth_pages n={n_docs}",
         "N_cpus": lo["cpus"],
         "N_sec": lo["sec"],
@@ -99,8 +121,11 @@ def main() -> None:
         report["16N_docs_per_sec"] = xhi["docs_per_sec"]
     print(json.dumps(report))
     md = os.path.join(REPO, "BENCH.md")
+    title = "## N vs 4N parallelism scaling (north rule, BASELINE.md §c)"
+    if job != "sketch":
+        title = f"## N vs 4N parallelism scaling — {job}-bound variant"
     lines = [
-        "## N vs 4N parallelism scaling (north rule, BASELINE.md §c)",
+        title,
         "",
         "Same job, same input, two parallelism levels (no real cluster in",
         "this sandbox — local[N] thread-executors stand in for executors):",
@@ -131,8 +156,10 @@ def main() -> None:
         "",
     ]
     # splice into BENCH.md between the scaling markers, preserving every
-    # other section (the operator-suite record lives in the same file)
-    begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    # other section (the operator-suite record lives in the same file);
+    # non-default jobs get their own marker pair so variants coexist
+    tag = "scaling" if job == "sketch" else f"scaling-{job}"
+    begin, end = f"<!-- {tag}:begin -->", f"<!-- {tag}:end -->"
     block = begin + "\n" + "\n".join(lines) + "\n" + end
     try:
         old = open(md).read()
