@@ -894,6 +894,112 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signal: fraction of 2-token
+    grams that repeat an earlier gram in the same doc. Integer gram
+    sums + the corpus-level fraction (one IEEE-exact division) are
+    hash-gated; the per-doc average follows the avg_ttr round-5
+    convention. Pure codegen — Generate + partial-aggregated groupBy."""
+    docs = _docs(spark, sf_dir)
+    return text.repetition_stats(docs, ["lang"], w=2, threshold=0.2)
+
+
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-token spans (Lee et al. 2022
+    substring-dedup signal at fixed width): a span counted duplicated
+    when it occurs in >= 2 distinct docs. One shuffle keyed by the span
+    — no pair table; cost linear in corpus token count."""
+    docs = _docs(spark, sf_dir)
+    return dedup.duplicate_span_stats(docs, "doc_id", ["lang"], w=8)
+
+
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 13-gram rule shape, w=8): docs
+    with doc_id % 97 == 0 play the held-out benchmark; the rest are
+    training docs scored by exact gram overlap (broadcast join — the
+    scale-correct plan, a benchmark is small vs a 100 TB corpus) with
+    the constant-memory Bloom probe verified alongside (zero false
+    negatives; over-count bounded by the FP rate)."""
+    from dashing_spark.operators import contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    per = contamination.benchmark_overlap(
+        train, bench, key_cols=("lang",), w=8, lg_bits=20
+    )
+    frac = F.col("exact_overlap") / F.col("n_grams")
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum("exact_overlap").alias("total_overlap_grams"),
+            F.sum(F.when(frac >= 0.3, 1).otherwise(0)).alias("n_contaminated"),
+            (
+                (
+                    F.sum(
+                        F.when(
+                            F.col("bloom_overlap") < F.col("exact_overlap"), 1
+                        ).otherwise(0)
+                    )
+                    == 0
+                )
+                & (
+                    F.sum(F.col("bloom_overlap") - F.col("exact_overlap"))
+                    <= F.greatest(F.lit(0.02) * F.sum("n_grams"), F.lit(10.0))
+                )
+            ).alias("bloom_ok"),
+        )
+        .select(
+            "lang", "n_train_docs", "total_overlap_grams", "n_contaminated", "bloom_ok"
+        )
+    )
+
+
+#: per-lang sampling rates for the corpus-mixing query (hex-prefix
+#: deterministic Bernoulli — identical keep set in Spark and DuckDB)
+SAMPLE_RATES = {"en": 0.75, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 1.0}
+
+
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mixture weights:
+    keep iff substr(md5(doc_id),1,4) < per-lang hex cutoff. The keep
+    set is identical in both engines, so kept counts and kept char
+    sums hash-gate exactly; rate_ok checks the empirical rate against
+    the target within a 5-sigma binomial band."""
+    from dashing_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    kept = corpus.stratified_sample(docs, SAMPLE_RATES)
+    k = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars_kept"),
+    )
+    t = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    rate = F.lit(None).cast("double")
+    for lang_name in sorted(SAMPLE_RATES):
+        rate = F.when(
+            F.col("lang") == lang_name, F.lit(SAMPLE_RATES[lang_name])
+        ).otherwise(rate)
+    frac = F.col("n_kept") / F.col("n_total")
+    slack = (
+        F.lit(5.0) * F.sqrt(rate * (1 - rate) / F.col("n_total"))
+        + F.lit(2.0) / F.col("n_total")
+    )
+    return (
+        t.join(k, "lang", "left")
+        .fillna({"n_kept": 0, "sum_chars_kept": 0})
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            F.round(frac, 9).alias("kept_frac"),
+            "sum_chars_kept",
+            (F.abs(frac - rate) <= slack).alias("rate_ok"),
+        )
+    )
+
+
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode tier: zlib text blobs and RIFF/WAVE PCM clips are
     decoded through the mime-keyed codec registry; decoded unit counts
@@ -1599,6 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_stats": q_fingerprint_stats,
         "winnowing_fp_stats": q_winnowing_fp_stats,
         "corpus_curation": q_corpus_curation,
+        "repetition_ratio": q_repetition_ratio,
+        "duplicate_span_stats": q_duplicate_span_stats,
+        "benchmark_decontamination": q_benchmark_decontamination,
+        "corpus_sample_mix": q_corpus_sample_mix,
         "multimodal_payload_stats": q_multimodal_payload_stats,
         "multimodal_decode_stats": q_multimodal_decode_stats,
     }
@@ -2218,6 +2328,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
             FROM documents
+        """,
+        "repetition_ratio": """
+            WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+                       FROM documents),
+            g AS (SELECT doc_id, lang, unnest(range(1, len(ts))) AS i, ts
+                  FROM d),
+            per0 AS (
+                SELECT doc_id, lang, count(*) AS n_grams,
+                       count(DISTINCT array_to_string(ts[i : i + 1], ' '))
+                           AS n_uniq
+                FROM g GROUP BY doc_id, lang
+            ),
+            per AS (
+                SELECT d.doc_id, d.lang,
+                       COALESCE(p.n_grams, 0) AS n_grams,
+                       COALESCE(p.n_uniq, 0) AS n_uniq
+                FROM d LEFT JOIN per0 p USING (doc_id, lang)
+            )
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_grams)::BIGINT AS total_grams,
+                   sum(n_uniq)::BIGINT AS total_uniq_grams,
+                   round(1.0 - sum(n_uniq)::DOUBLE / sum(n_grams), 9)
+                       AS corpus_dup_frac,
+                   round(avg(CASE WHEN n_grams > 0
+                             THEN 1.0 - n_uniq::DOUBLE / n_grams END), 5)
+                       AS avg_doc_dup_frac,
+                   sum(CASE WHEN n_grams > 0
+                            AND 1.0 - n_uniq::DOUBLE / n_grams > 0.2
+                       THEN 1 ELSE 0 END)::BIGINT AS n_docs_over_threshold
+            FROM per GROUP BY lang
+        """,
+        "duplicate_span_stats": """
+            WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+                       FROM documents),
+            g AS (SELECT doc_id, lang, unnest(range(1, len(ts) - 6)) AS i, ts
+                  FROM d),
+            ds AS (SELECT DISTINCT doc_id, lang,
+                          array_to_string(ts[i : i + 7], ' ') AS span
+                   FROM g),
+            sd AS (SELECT span, count(*) AS ndocs FROM ds GROUP BY span),
+            per AS (
+                SELECT ds.doc_id, ds.lang, count(*) AS n_spans,
+                       sum(CASE WHEN sd.ndocs >= 2 THEN 1 ELSE 0 END)
+                           AS n_dup
+                FROM ds JOIN sd USING (span) GROUP BY ds.doc_id, ds.lang
+            )
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs_with_spans,
+                   sum(n_spans)::BIGINT AS total_spans,
+                   sum(n_dup)::BIGINT AS total_dup_spans,
+                   round(sum(n_dup)::DOUBLE / sum(n_spans), 9)
+                       AS corpus_dup_span_frac,
+                   round(avg(n_dup::DOUBLE / n_spans), 5)
+                       AS avg_doc_dup_span_frac,
+                   sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_docs_with_dup_span
+            FROM per GROUP BY lang
+        """,
+        "benchmark_decontamination": """
+            WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+                       FROM documents),
+            g0 AS (SELECT doc_id, lang, unnest(range(1, len(ts) - 6)) AS i, ts
+                   FROM d),
+            g AS (SELECT DISTINCT doc_id, lang,
+                         array_to_string(ts[i : i + 7], ' ') AS gram
+                  FROM g0),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            tg AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+            per AS (
+                SELECT tg.doc_id, tg.lang, count(*) AS n_grams,
+                       sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                           AS ov
+                FROM tg LEFT JOIN bg USING (gram)
+                GROUP BY tg.doc_id, tg.lang
+            )
+            SELECT lang,
+                   count(*)::BIGINT AS n_train_docs,
+                   sum(ov)::BIGINT AS total_overlap_grams,
+                   sum(CASE WHEN ov::DOUBLE / n_grams >= 0.3
+                       THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+                   true AS bloom_ok
+            FROM per GROUP BY lang
+        """,
+        "corpus_sample_mix": """
+            WITH t AS (SELECT lang, count(*) AS n_total FROM documents
+                       GROUP BY lang),
+            k AS (
+                SELECT lang, count(*) AS n_kept,
+                       sum(n_chars) AS sum_chars_kept
+                FROM documents
+                WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+                      CASE lang
+                          WHEN 'en' THEN 'c000'
+                          WHEN 'de' THEN '8000'
+                          WHEN 'fr' THEN '8000'
+                          WHEN 'es' THEN '4000'
+                          WHEN 'zh' THEN 'g'
+                          ELSE 'g' END
+                GROUP BY lang
+            )
+            SELECT t.lang,
+                   t.n_total::BIGINT AS n_total,
+                   COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+                   round(COALESCE(k.n_kept, 0)::DOUBLE / t.n_total, 9)
+                       AS kept_frac,
+                   COALESCE(k.sum_chars_kept, 0)::BIGINT AS sum_chars_kept,
+                   true AS rate_ok
+            FROM t LEFT JOIN k USING (lang)
         """,
         "corpus_curation": """
             WITH k AS (SELECT min(doc_id) AS doc_id FROM documents

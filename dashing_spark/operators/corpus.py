@@ -91,3 +91,46 @@ def curate(
     if langs:
         stats = stats.unionByName(_stage("lang", s4))
     return s4, stats
+
+
+def sample_cutoff_hex(rate: float, hex_digits: int = 4) -> str:
+    """Hex-prefix cutoff for a deterministic md5 Bernoulli sample at
+    ``rate``: a row is kept iff the first ``hex_digits`` of
+    md5(id-as-string) compare lexicographically below the cutoff.
+    Fixed-length lowercase hex compares identically to its numeric
+    value, and md5 agrees byte-for-byte between Spark and DuckDB, so
+    the SAME rows are kept in both engines — sampling becomes exactly
+    oracle-checkable (and at 100 TB, reproducible across reruns and
+    engines with no RNG state). Effective rate is the cutoff quantized
+    to 16^hex_digits steps."""
+    cutoff = round(rate * (16 ** hex_digits))
+    if cutoff >= 16 ** hex_digits:
+        # rate 1.0: any hex prefix (chars 0-9a-f) sorts below "g"
+        return "g"
+    return format(cutoff, f"0{hex_digits}x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    hex_digits: int = 4,
+) -> DataFrame:
+    """Deterministic stratified corpus sampling — the mixing step that
+    turns cleaned web text into a training mixture with per-stratum
+    weights (e.g. upsample low-resource languages, downsample boiler-
+    plate-heavy sources). Pure filter: a CASE over broadcast-free
+    literal cutoffs compared against an md5 prefix of the id — no
+    shuffle, no RNG, scan-pruned columns only; at any scale the cost is
+    the scan itself. Unknown strata fall back to ``default_rate``."""
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_digits)
+    cutoff = F.lit(sample_cutoff_hex(default_rate, hex_digits))
+    # build the CASE from the rates map (deterministic iteration order)
+    for stratum in sorted(rates):
+        cutoff = F.when(
+            F.col(strat_col) == stratum,
+            F.lit(sample_cutoff_hex(rates[stratum], hex_digits)),
+        ).otherwise(cutoff)
+    return docs.filter(prefix < cutoff)

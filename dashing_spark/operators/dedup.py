@@ -609,3 +609,74 @@ def dedup_components(
     The keeper per cluster is its min id (== comp)."""
     pairs = minhash_lsh_dedup(df, id_col, text_col, threshold=threshold)
     return connected_components(pairs)
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    key_cols: Sequence[str],
+    text_col: str = "text",
+    w: int = 8,
+    span_key: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated token-span detection (the substring-
+    level dedup signal of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", at fixed span width): a w-token span
+    is *duplicated* when it occurs in >= 2 distinct documents anywhere
+    in the corpus. Emits, per key group: exact integer span counts, the
+    corpus-level duplicated-span fraction (one IEEE-exact division),
+    the per-doc average duplicated fraction, and how many docs contain
+    at least one duplicated span.
+
+    ``span_key="text"`` groups on the span string itself (bit-exact,
+    oracle-replicable — what the gated query uses); ``span_key="hash"``
+    groups on xxhash64(span) so only 8-byte keys cross the exchange —
+    the 100 TB configuration (a 64-bit collision merges two span
+    groups; at 10^12 spans the expected merge count is ~0.03, harmless
+    for a *statistic*, unacceptable only for an exact oracle gate).
+
+    Scale: one Generate (no Python), one distinct over (doc, span) with
+    map-side partial aggregation, one shuffle keyed by the span, then a
+    doc-level rollup — span rows never join against themselves and no
+    pair table is formed, so cost is linear in corpus token count.
+    """
+    from dashing_spark.operators.text import token_ngrams_col
+
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        *key_cols,
+        F.explode(token_ngrams_col(text_col, w)).alias("__span"),
+    )
+    if span_key == "hash":
+        spans = spans.withColumn("__span", F.xxhash64("__span"))
+    doc_spans = spans.distinct()
+    # span -> in how many distinct docs it appears (distinct above makes
+    # count(*) a distinct-doc count — no second distinct aggregation)
+    span_docs = doc_spans.groupBy("__span").agg(
+        F.count("*").alias("__ndocs")
+    )
+    flagged = doc_spans.join(
+        span_docs.withColumn("__dup", F.col("__ndocs") >= 2).drop("__ndocs"),
+        "__span",
+    )
+    per_doc = flagged.groupBy("__id", *key_cols).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_dup_spans"),
+    )
+    return (
+        per_doc.groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("n_docs_with_spans"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum("n_dup_spans").alias("total_dup_spans"),
+            F.round(F.sum("n_dup_spans") / F.sum("n_spans"), 9).alias(
+                "corpus_dup_span_frac"
+            ),
+            F.round(
+                F.avg(F.col("n_dup_spans") / F.col("n_spans")), 5
+            ).alias("avg_doc_dup_span_frac"),
+            F.sum(
+                F.when(F.col("n_dup_spans") > 0, 1).otherwise(0)
+            ).alias("n_docs_with_dup_span"),
+        )
+    )

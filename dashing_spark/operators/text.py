@@ -23,7 +23,64 @@ LANG_MARKERS = {
 }
 
 
-def token_stats(df: DataFrame, key_cols, text_col: str = "text") -> DataFrame:
+def token_ngrams_col(text_col: str, w: int):
+    """Array of w-token shingles (space-joined) as a pure JVM expression
+    (split → sequence → slice → array_join inside one Generate — no
+    Python, no shuffle). Docs shorter than w tokens yield an empty
+    array. Matches DuckDB ``ts[i : i+w-1]`` slicing exactly, so oracle
+    queries can replicate gram sets verbatim."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - w + 1),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    key_cols,
+    text_col: str = "text",
+    w: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signal: the fraction of
+    w-token grams in a doc that are repeats of an earlier gram in the
+    SAME doc (1 − distinct/total). Heavily repeated boilerplate (nav
+    bars, cookie banners) scores high and is a standard pretraining
+    quality filter (Rae et al. 2021 "Gopher", rule class C4/Gopher).
+
+    Per key emits exact integer gram counts (hash-gated), the corpus
+    dup fraction as ONE division over those sums (IEEE-exact, hence
+    bit-identical across engines), the per-doc average (round 5, same
+    convention as avg_ttr), and how many docs exceed ``threshold``.
+    Scale: one Generate + one partial-aggregated groupBy on the keys —
+    no shuffle of gram rows."""
+    grams = token_ngrams_col(text_col, w)
+    per_doc = df.select(
+        *key_cols,
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_uniq"),
+    )
+    dup_frac = F.when(
+        F.col("n_grams") > 0,
+        F.lit(1.0) - F.col("n_uniq") / F.col("n_grams"),
+    )
+    return per_doc.groupBy(*key_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_uniq").alias("total_uniq_grams"),
+        F.round(
+            F.lit(1.0) - F.sum("n_uniq") / F.sum("n_grams"), 9
+        ).alias("corpus_dup_frac"),
+        F.round(F.avg(dup_frac), 5).alias("avg_doc_dup_frac"),
+        F.sum(
+            F.when(dup_frac > F.lit(threshold), 1).otherwise(0)
+        ).alias("n_docs_over_threshold"),
+    )
     """Per-key token statistics — one pass, all codegen."""
     toks = F.split(F.col(text_col), " ", -1)
     per_doc = df.select(

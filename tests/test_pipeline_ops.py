@@ -501,3 +501,185 @@ class TestMultimodalResize:
             multimodal.resize_decoded(media).collect()
         ok = multimodal.resize_decoded(media, deterministic_fake=True).collect()
         assert all(len(r["resized"]) == 64 for r in ok)
+
+
+class TestTokenNgrams:
+    def test_matches_python_sliding_windows(self, spark, docs):
+        rows = docs.select(
+            "doc_id", "text", text.token_ngrams_col("text", 8).alias("grams")
+        ).collect()
+        assert rows
+        for r in rows:
+            toks = r["text"].split(" ")
+            exp = [
+                " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+            ] if len(toks) >= 8 else []
+            assert r["grams"] == exp
+
+    def test_short_doc_yields_empty(self, spark):
+        df = spark.createDataFrame([("a b c",)], "text string")
+        got = df.select(text.token_ngrams_col("text", 8).alias("g")).first()["g"]
+        assert got == []
+
+
+class TestRepetition:
+    def test_corpus_dup_frac_vs_python(self, spark, docs):
+        got = {
+            r["lang"]: r
+            for r in text.repetition_stats(docs, ["lang"], w=2).collect()
+        }
+        by_lang = {}
+        for r in docs.select("lang", "text").collect():
+            toks = r["text"].split(" ")
+            grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            acc = by_lang.setdefault(r["lang"], [0, 0, 0])
+            acc[0] += len(grams)
+            acc[1] += len(set(grams))
+            acc[2] += 1
+        for lang, (tot, uniq, n) in by_lang.items():
+            assert got[lang]["total_grams"] == tot
+            assert got[lang]["total_uniq_grams"] == uniq
+            assert got[lang]["n_docs"] == n
+            assert got[lang]["corpus_dup_frac"] == round(1.0 - uniq / tot, 9)
+
+
+class TestDuplicateSpans:
+    def test_hash_key_matches_text_key(self, spark, docs):
+        a = {
+            r["lang"]: r.asDict()
+            for r in dedup.duplicate_span_stats(
+                docs, "doc_id", ["lang"], w=8, span_key="text"
+            ).collect()
+        }
+        b = {
+            r["lang"]: r.asDict()
+            for r in dedup.duplicate_span_stats(
+                docs, "doc_id", ["lang"], w=8, span_key="hash"
+            ).collect()
+        }
+        assert a == b
+
+    def test_vs_python_bruteforce(self, spark, docs):
+        got = {
+            r["lang"]: r
+            for r in dedup.duplicate_span_stats(
+                docs, "doc_id", ["lang"], w=8
+            ).collect()
+        }
+        span_docs = {}
+        doc_spans = {}
+        for r in docs.select("doc_id", "lang", "text").collect():
+            toks = r["text"].split(" ")
+            spans = {
+                " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+            }
+            if spans:
+                doc_spans[(r["doc_id"], r["lang"])] = spans
+                for s in spans:
+                    span_docs.setdefault(s, set()).add(r["doc_id"])
+        per_lang = {}
+        for (did, lang), spans in doc_spans.items():
+            acc = per_lang.setdefault(lang, [0, 0, 0, 0])  # docs, spans, dup, docs_with_dup
+            dup = sum(1 for s in spans if len(span_docs[s]) >= 2)
+            acc[0] += 1
+            acc[1] += len(spans)
+            acc[2] += dup
+            acc[3] += 1 if dup else 0
+        for lang, (nd, ts, td, dwd) in per_lang.items():
+            assert got[lang]["n_docs_with_spans"] == nd
+            assert got[lang]["total_spans"] == ts
+            assert got[lang]["total_dup_spans"] == td
+            assert got[lang]["n_docs_with_dup_span"] == dwd
+
+
+class TestDecontamination:
+    def test_exact_overlap_vs_python_and_bloom_superset(self, spark, docs):
+        from dashing_spark.operators import contamination
+
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        per = contamination.benchmark_overlap(
+            train, bench, key_cols=("lang",), w=8, lg_bits=20
+        ).collect()
+        assert per
+        bench_grams = set()
+        for r in bench.select("text").collect():
+            toks = r["text"].split(" ")
+            bench_grams |= {
+                " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+            }
+        exp = {}
+        for r in train.select("doc_id", "text").collect():
+            toks = r["text"].split(" ")
+            spans = {
+                " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+            }
+            if spans:
+                exp[r["doc_id"]] = (len(spans), len(spans & bench_grams))
+        assert len(per) == len(exp)
+        for r in per:
+            n_grams, ov = exp[r["__id"]]
+            assert r["n_grams"] == n_grams
+            assert r["exact_overlap"] == ov
+            # bloom has zero false negatives
+            assert r["bloom_overlap"] >= ov
+
+    def test_decontaminate_drops_flagged(self, spark, docs):
+        from dashing_spark.operators import contamination
+
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        kept = contamination.decontaminate(
+            train, bench, w=8, max_overlap_frac=0.3
+        )
+        per = contamination.benchmark_overlap(
+            train, bench, key_cols=(), w=8
+        )
+        flagged = {
+            r["__id"]
+            for r in per.filter(
+                F.col("exact_overlap") / F.col("n_grams") >= 0.3
+            ).collect()
+        }
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        train_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+        assert kept_ids == train_ids - flagged
+
+
+class TestStratifiedSample:
+    def test_rate_bounds_and_determinism(self, spark, docs):
+        from dashing_spark.operators import corpus
+
+        all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        full = corpus.stratified_sample(docs, {}, default_rate=1.0)
+        none = corpus.stratified_sample(docs, {}, default_rate=0.0)
+        assert {r["doc_id"] for r in full.collect()} == all_ids
+        assert none.count() == 0
+        s1 = {r["doc_id"] for r in corpus.stratified_sample(
+            docs, {"en": 0.5}, default_rate=0.25).collect()}
+        s2 = {r["doc_id"] for r in corpus.stratified_sample(
+            docs, {"en": 0.5}, default_rate=0.25).collect()}
+        assert s1 == s2
+
+    def test_rate_monotonicity(self, spark, docs):
+        # lower rate keep-set is a subset of higher rate keep-set
+        from dashing_spark.operators import corpus
+
+        lo = {r["doc_id"] for r in corpus.stratified_sample(
+            docs, {}, default_rate=0.25).collect()}
+        hi = {r["doc_id"] for r in corpus.stratified_sample(
+            docs, {}, default_rate=0.5).collect()}
+        assert lo <= hi
+        # and the empirical rate is in a sane band
+        n = len({r["doc_id"] for r in docs.select("doc_id").collect()})
+        assert abs(len(hi) / n - 0.5) < 0.15
+
+    def test_cutoff_hex(self):
+        from dashing_spark.operators.corpus import sample_cutoff_hex
+
+        assert sample_cutoff_hex(0.0) == "0000"
+        assert sample_cutoff_hex(0.5) == "8000"
+        assert sample_cutoff_hex(0.75) == "c000"
+        assert sample_cutoff_hex(1.0) == "g"
+        # quantization: rate below one step still keeps ~nothing
+        assert sample_cutoff_hex(1 / 65536) == "0001"
