@@ -275,6 +275,28 @@ def main() -> None:
         "q17_connected_components_1m",
         lambda: _dedup.connected_components(chain).groupBy("comp").count().count(),
     )
+    # q18: cross-doc duplicated 8-token spans over the full docs table in
+    # the production (hash-key) configuration — one shuffle keyed by an
+    # 8-byte span hash, cost linear in corpus token count
+    run(
+        "q18_duplicate_spans",
+        lambda: _dedup.duplicate_span_stats(
+            docs, "doc_id", ["lang"], w=8, span_key="hash"
+        ).count(),
+    )
+    # q19: benchmark decontamination — exact broadcast-join overlap plus
+    # the Bloom probe over every training gram (two mapInPandas passes)
+    from dashing_spark.operators import contamination as _contam
+
+    run(
+        "q19_benchmark_decontamination",
+        lambda: _contam.benchmark_overlap(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            key_cols=(),
+            w=8,
+        ).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     sketch_docs_per_sec = round(n_synth / timings["q0_synth_sketch_build_1m"], 1)

@@ -81,6 +81,9 @@ def repetition_stats(
             F.when(dup_frac > F.lit(threshold), 1).otherwise(0)
         ).alias("n_docs_over_threshold"),
     )
+
+
+def token_stats(df: DataFrame, key_cols, text_col: str = "text") -> DataFrame:
     """Per-key token statistics — one pass, all codegen."""
     toks = F.split(F.col(text_col), " ", -1)
     per_doc = df.select(

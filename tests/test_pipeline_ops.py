@@ -521,6 +521,39 @@ class TestTokenNgrams:
         got = df.select(text.token_ngrams_col("text", 8).alias("g")).first()["g"]
         assert got == []
 
+    def test_adversarial_inputs_match_python(self, spark):
+        # empty tokens from repeated/leading/trailing spaces, unicode,
+        # single-token docs — Spark split(_, " ", -1) must agree with
+        # Python str.split(" ") everywhere the oracles rely on it
+        cases = [
+            "",
+            " ",
+            "a",
+            "a b",
+            "a  b",                # empty token in the middle
+            " a b ",               # leading/trailing empties
+            "a b c d",
+            "héllo wörld ünïcode tokens a b",
+            "日本 語 の テスト a b c",
+            "x " * 10,             # trailing empty token
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "text string")
+        for w in (2, 3):
+            got = {
+                r["text"]: r["g"]
+                for r in df.select(
+                    "text", text.token_ngrams_col("text", w).alias("g")
+                ).collect()
+            }
+            for c in cases:
+                toks = c.split(" ")
+                exp = (
+                    [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+                    if len(toks) >= w
+                    else []
+                )
+                assert got[c] == exp, (c, w)
+
 
 class TestRepetition:
     def test_corpus_dup_frac_vs_python(self, spark, docs):
