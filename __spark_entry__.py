@@ -894,6 +894,40 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats
 
 
+def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup at ingestion time: documents
+    replayed as a file stream (one file per micro-batch); each batch is
+    compared against the accumulated band index, never corpus-vs-corpus.
+    The union of per-epoch pair emissions must equal the exact JI >= 0.9
+    pair set (LSH miss bound <= 1e-8 at the threshold) — the same
+    guarantee the batch operator carries, now under streaming arrival."""
+    import tempfile
+
+    from dashing_spark.streaming import dedup_stream
+
+    docs = _docs(spark, sf_dir)
+    src_dir = tempfile.mkdtemp(prefix="dash_dd_src_")
+    state_dir = tempfile.mkdtemp(prefix="dash_dd_state_")
+    ckpt_dir = tempfile.mkdtemp(prefix="dash_dd_ckpt_")
+    docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = dedup_stream.incremental_dedup_query(
+        stream,
+        id_col="doc_id",
+        state_dir=state_dir,
+        checkpoint_dir=ckpt_dir,
+        threshold=0.9,
+    )
+    q.awaitTermination(600)
+    return dedup_stream.read_pairs(spark, state_dir).select(
+        "a_id", "b_id", F.round("ji", 9).alias("ji")
+    )
+
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signal: fraction of 2-token
     grams that repeat an earlier gram in the same doc. Integer gram
@@ -1705,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_stats": q_fingerprint_stats,
         "winnowing_fp_stats": q_winnowing_fp_stats,
         "corpus_curation": q_corpus_curation,
+        "streaming_dedup_pairs": q_streaming_dedup_pairs,
         "repetition_ratio": q_repetition_ratio,
         "duplicate_span_stats": q_duplicate_span_stats,
         "benchmark_decontamination": q_benchmark_decontamination,
@@ -2328,6 +2363,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
             FROM documents
+        """,
+        "streaming_dedup_pairs": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS it
+                FROM documents
+            ),
+            sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+            i AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS t2
+                FROM toks a JOIN toks b ON a.it = b.it AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a_id, b_id,
+                   round(CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2), 9) AS ji
+            FROM i JOIN sz sa ON sa.doc_id = i.a_id
+                   JOIN sz sb ON sb.doc_id = i.b_id
+            WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.9
         """,
         "repetition_ratio": """
             WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts

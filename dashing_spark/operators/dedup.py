@@ -154,6 +154,29 @@ def pick_lsh_bands(n_hashes: int, threshold: float, max_miss: float = 1e-8) -> i
     return n_hashes  # r=1: every hash its own band (exact for any t>0)
 
 
+def lsh_band_rows(
+    signatures: DataFrame, id_col: str, *, n_hashes: int = 128, bands: int = 32
+) -> DataFrame:
+    """(id, band, bhash) rows — one per (doc, band), the banded-LSH key
+    table. Deterministic in the signature alone, so band keys computed
+    in different batches/epochs collide iff they would in one batch
+    (the property the streaming dedup index relies on)."""
+    if bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
+    rows_per_band = n_hashes // bands
+    band_exprs = [
+        F.xxhash64(
+            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band", "bhash")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, *, n_hashes: int = 128, bands: int = 32
 ) -> DataFrame:
@@ -176,20 +199,7 @@ def lsh_candidate_pairs(
     Keyword-only params: a positional ``16`` meant ``bands`` before
     round 3 but would now set ``n_hashes`` — with bands > n_hashes that
     silently made rows_per_band 0 (every doc collides in every band)."""
-    if bands > n_hashes or n_hashes % bands:
-        raise ValueError(
-            f"bands ({bands}) must divide n_hashes ({n_hashes})"
-        )
-    rows_per_band = n_hashes // bands
-    band_exprs = [
-        F.xxhash64(
-            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-        ).alias(f"__b{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band", "bhash")
-    )
+    banded = lsh_band_rows(signatures, id_col, n_hashes=n_hashes, bands=bands)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
     return (
@@ -230,6 +240,29 @@ def _char_gram_set_expr(text_col: str, n: int):
     )
 
 
+def hashed_item_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_w: int = 1,
+    char_n: int | None = None,
+) -> DataFrame:
+    """(id, items array<long>) — each doc's distinct item set as
+    xxhash64 values. Items ship as int64 arrays, not strings: ~2.5× less
+    data through pair joins and integer array_intersect. Set sizes are
+    unchanged (distinct strings → distinct hashes up to a ~1e-14
+    per-pair collision probability — far below the LSH miss rate the
+    candidate stage already carries). ``char_n`` switches items from
+    word w-shingles to character n-grams."""
+    item_expr = (
+        _char_gram_set_expr(text_col, char_n)
+        if char_n is not None
+        else _shingle_set_expr(text_col, shingle_w)
+    )
+    item_expr = F.transform(item_expr, lambda x: F.xxhash64(x))
+    return df.select(F.col(id_col).alias("id"), item_expr.alias("items"))
+
+
 def exact_ji_for_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -253,18 +286,9 @@ def exact_ji_for_pairs(
         .distinct()
     )
     docs = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
-    item_expr = (
-        _char_gram_set_expr(text_col, char_n)
-        if char_n is not None
-        else _shingle_set_expr(text_col, shingle_w)
+    sets = hashed_item_sets(
+        docs, id_col, text_col=text_col, shingle_w=shingle_w, char_n=char_n
     )
-    # items ship as xxhash64 int64 arrays, not strings: ~2.5× less data
-    # through the two pair joins and integer array_intersect. Set sizes
-    # are unchanged (distinct strings → distinct hashes up to a ~1e-14
-    # per-pair collision probability — far below the LSH miss rate the
-    # candidate stage already carries).
-    item_expr = F.transform(item_expr, lambda x: F.xxhash64(x))
-    sets = docs.select(F.col(id_col).alias("id"), item_expr.alias("items"))
     out = (
         pairs.join(
             sets.select(F.col("id").alias("a_id"), F.col("items").alias("a_items")),

@@ -1,0 +1,230 @@
+"""Incremental MinHash-LSH dedup over a document stream.
+
+Continuous corpus ingestion needs near-dup detection AT ARRIVAL TIME —
+batch `minhash_lsh_dedup` (operators/dedup.py) answers "which pairs in
+this corpus", this module answers "which earlier docs does each arriving
+doc duplicate" without ever recomparing the accumulated corpus to
+itself. The state is the standard streaming dedup index:
+
+- ``docs_epoch_{id}``:  (id, signature array<long>, items array<long>)
+  — each NEW doc's MinHash signature and hashed distinct item set;
+- ``bands_epoch_{id}``: (id, band, bhash) — its banded-LSH keys;
+- ``pairs_epoch_{id}``: (a_id, b_id, ji) — pairs found this epoch.
+
+Per micro-batch the work is: signatures/items/bands for the batch docs
+(O(batch)), a band-key equi-join of batch bands against the committed
+band index (shuffle bounded by colliding keys, the LSH guarantee), the
+batch's internal candidate self-join, then the exact item-array verify
+on candidates only. Nothing is ever rewritten — state grows append-only
+by one epoch directory per batch, so per-epoch cost is independent of
+corpus age (at 100 TB the band index would be a bucketed table on
+(band, bhash) so the join prunes to matching buckets).
+
+Exactness: signatures and band keys are deterministic pure functions of
+the document text (counter-based randomness, no RNG state), so a pair
+collides across epochs iff it collides in a single-shot batch run. The
+union of ``pairs_epoch_*`` therefore equals the batch pipeline
+signatures → lsh_candidate_pairs → exact_ji_for_pairs ≥ threshold on
+the full corpus — asserted bit-identically in tests.
+
+Crash/retry safety follows streaming/incremental.py's protocol, with a
+LIST manifest (state is the union of committed epochs, not one rolling
+table): epoch dirs are written first, the manifest append is committed
+with an atomic rename, and a foreachBatch retry of a committed epoch is
+a no-op. A crash mid-epoch leaves unreferenced (and deterministically
+rebuilt) directories, never a half-counted pair.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dashing_spark.operators import dedup
+
+_MANIFEST = "_EPOCHS"
+
+
+def committed_epochs(state_dir: str) -> list[int]:
+    """Epoch ids the manifest records, oldest first."""
+    path = os.path.join(state_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return [int(x) for x in fh.read().split() if x.strip()]
+
+
+def _commit_epoch(state_dir: str, epoch_id: int) -> None:
+    """Atomically append an epoch id (write-then-rename of the list)."""
+    epochs = committed_epochs(state_dir) + [epoch_id]
+    tmp = os.path.join(state_dir, f"{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(str(e) for e in epochs))
+    os.replace(tmp, os.path.join(state_dir, _MANIFEST))
+
+
+def _epoch_union(
+    spark: SparkSession, state_dir: str, prefix: str, epochs: Sequence[int]
+) -> DataFrame | None:
+    paths = [os.path.join(state_dir, f"{prefix}_epoch_{e}") for e in epochs]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def apply_dedup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    id_col: str,
+    state_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    n_hashes: int = 128,
+    shingle_w: int = 1,
+    char_n: int | None = None,
+) -> None:
+    """Index one micro-batch and emit its near-dup pairs — idempotent
+    per epoch (see module docstring)."""
+    if batch_df.isEmpty():
+        return
+    done = committed_epochs(state_dir)
+    if epoch_id in done:
+        return  # retried epoch already committed
+    spark = batch_df.sparkSession
+    bands_n = dedup.pick_lsh_bands(n_hashes, threshold)
+
+    sigs = dedup.minhash_signatures(
+        batch_df, id_col, text_col, n_hashes=n_hashes,
+        shingle_w=shingle_w, char_n=char_n,
+    ).withColumnRenamed(id_col, "id")
+    items = dedup.hashed_item_sets(
+        batch_df, id_col, text_col=text_col, shingle_w=shingle_w, char_n=char_n
+    )
+    # empty item sets carry the all-sentinel signature and would collide
+    # pairwise in every band — same filter as the batch operator
+    new_docs = (
+        sigs.join(items, "id")
+        .filter(F.size("items") > 0)
+        .select("id", "signature", "items")
+    )
+    docs_out = os.path.join(state_dir, f"docs_epoch_{epoch_id}")
+    new_docs.write.mode("overwrite").parquet(docs_out)
+    new_docs = spark.read.parquet(docs_out)  # cut lineage; reuse below
+
+    new_bands = dedup.lsh_band_rows(
+        new_docs.select("id", "signature"), "id",
+        n_hashes=n_hashes, bands=bands_n,
+    )
+    bands_out = os.path.join(state_dir, f"bands_epoch_{epoch_id}")
+    new_bands.write.mode("overwrite").parquet(bands_out)
+    new_bands = spark.read.parquet(bands_out)
+
+    # candidates within the batch (a < b) …
+    a = new_bands.select(F.col("id").alias("a_id"), "band", "bhash")
+    b = new_bands.select(F.col("id").alias("b_id"), "band", "bhash")
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    # … plus batch-vs-index candidates, normalized to (min, max) ids so
+    # the emitted pair set is order-independent
+    old_bands = _epoch_union(spark, state_dir, "bands", done)
+    if old_bands is not None:
+        cross = old_bands.select(
+            F.col("id").alias("old_id"), "band", "bhash"
+        ).join(
+            new_bands.select(F.col("id").alias("new_id"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        cand = cand.unionByName(
+            cross.select(
+                F.least("old_id", "new_id").alias("a_id"),
+                F.greatest("old_id", "new_id").alias("b_id"),
+            )
+        )
+    cand = cand.distinct()
+
+    # verify on stored item arrays (index docs ∪ this batch)
+    old_docs = _epoch_union(spark, state_dir, "docs", done)
+    all_items = (
+        new_docs.select("id", "items")
+        if old_docs is None
+        else new_docs.select("id", "items").unionByName(
+            old_docs.select("id", "items")
+        )
+    )
+    verified = (
+        cand.join(
+            all_items.select(
+                F.col("id").alias("a_id"), F.col("items").alias("a_items")
+            ),
+            "a_id",
+        )
+        .join(
+            all_items.select(
+                F.col("id").alias("b_id"), F.col("items").alias("b_items")
+            ),
+            "b_id",
+        )
+        .withColumn("t2", F.size(F.array_intersect("a_items", "b_items")))
+        .withColumn(
+            "ji",
+            F.col("t2").cast("double")
+            / (F.size("a_items") + F.size("b_items") - F.col("t2")),
+        )
+        .filter(F.col("ji") >= threshold)
+        .select("a_id", "b_id", "ji")
+    )
+    verified.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"pairs_epoch_{epoch_id}")
+    )
+    _commit_epoch(state_dir, epoch_id)
+
+
+def incremental_dedup_query(
+    stream: DataFrame,
+    *,
+    id_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.9,
+    n_hashes: int = 128,
+    shingle_w: int = 1,
+    char_n: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query maintaining the dedup index; returns the
+    StreamingQuery. Late/out-of-order arrival needs no watermark: a doc
+    is compared against exactly the docs indexed before it, whatever
+    wall-clock order that is."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_dedup_batch(
+            batch_df, epoch_id, id_col=id_col, state_dir=state_dir,
+            text_col=text_col, threshold=threshold, n_hashes=n_hashes,
+            shingle_w=shingle_w, char_n=char_n,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All near-dup pairs found across committed epochs."""
+    out = _epoch_union(spark, state_dir, "pairs", committed_epochs(state_dir))
+    if out is None:
+        raise FileNotFoundError(f"no committed pairs under {state_dir}")
+    return out

@@ -273,3 +273,79 @@ class TestStatefulStream:
         for day, (est, n) in final.items():
             assert est == best[day]  # identical monoid state => identical estimate
             assert n == counts[day]
+
+
+class TestStreamingDedup:
+    def test_streamed_pairs_equal_batch_pipeline(self, spark, docs, tmp_path):
+        from dashing_spark.operators import dedup
+        from dashing_spark.streaming import dedup_stream
+
+        src_dir = str(tmp_path / "dd_src")
+        docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        state_dir = str(tmp_path / "dd_state")
+        q = dedup_stream.incremental_dedup_query(
+            stream,
+            id_col="doc_id",
+            state_dir=state_dir,
+            checkpoint_dir=str(tmp_path / "dd_ckpt"),
+            threshold=0.9,
+        )
+        q.awaitTermination(300)
+        assert len(dedup_stream.committed_epochs(state_dir)) >= 2
+        streamed = {
+            (r["a_id"], r["b_id"], r["ji"])
+            for r in dedup_stream.read_pairs(spark, state_dir).collect()
+        }
+
+        # batch reference: same primitives, one shot over the full corpus
+        items = dedup.hashed_item_sets(docs, "doc_id")
+        valid = items.filter(F.size("items") > 0).select("id")
+        sigs = dedup.minhash_signatures(docs, "doc_id", n_hashes=128)
+        sigs = sigs.join(valid, sigs["doc_id"] == valid["id"]).select(
+            "doc_id", "signature"
+        )
+        bands_n = dedup.pick_lsh_bands(128, 0.9)
+        cand = dedup.lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes=128, bands=bands_n
+        )
+        batch = {
+            (r["a_id"], r["b_id"], r["ji"])
+            for r in dedup.exact_ji_for_pairs(docs, cand, "doc_id")
+            .filter(F.col("ji") >= 0.9)
+            .collect()
+        }
+        assert streamed == batch
+        assert streamed  # fixture has ~8% near-dups: non-vacuous
+
+    def test_epoch_retry_is_noop(self, spark, docs, tmp_path):
+        from dashing_spark.streaming import dedup_stream
+
+        state_dir = str(tmp_path / "dd_state2")
+        os.makedirs(state_dir, exist_ok=True)
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        dedup_stream.apply_dedup_batch(
+            half, 0, id_col="doc_id", state_dir=state_dir, threshold=0.9
+        )
+        n0 = dedup_stream.read_pairs(spark, state_dir).count()
+        # retry of a committed epoch must not re-index or re-emit
+        dedup_stream.apply_dedup_batch(
+            half, 0, id_col="doc_id", state_dir=state_dir, threshold=0.9
+        )
+        assert dedup_stream.committed_epochs(state_dir) == [0]
+        assert dedup_stream.read_pairs(spark, state_dir).count() == n0
+        # a later epoch sees the earlier index: new-vs-old pairs appear
+        other = docs.filter(F.col("doc_id") % 2 == 1)
+        dedup_stream.apply_dedup_batch(
+            other, 1, id_col="doc_id", state_dir=state_dir, threshold=0.9
+        )
+        assert dedup_stream.committed_epochs(state_dir) == [0, 1]
+        pairs = dedup_stream.read_pairs(spark, state_dir)
+        cross = pairs.filter(
+            (F.col("a_id") % 2) != (F.col("b_id") % 2)
+        ).count()
+        assert cross > 0
