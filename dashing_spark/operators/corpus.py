@@ -39,6 +39,11 @@ def curate(
     min_quality: float = 0.5,
     langs: list[str] | None = None,
     near_mode: str = "keep_first",
+    max_repetition: float | None = None,
+    bench: DataFrame | None = None,
+    max_overlap_frac: float = 0.3,
+    sample_rates: dict[str, float] | None = None,
+    strat_col: str = "lang",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline. Returns (kept_docs, stats) where
     stats is a lazy one-row-per-stage frame: (stage, n_out).
@@ -48,7 +53,15 @@ def curate(
     every non-min member of each CONNECTED COMPONENT of the pair graph
     — true transitive closure: A~B, B~C collapse to one keeper even
     when A~C was never emitted as a pair; costs O(log diameter)
-    label-propagation rounds on ids only)."""
+    label-propagation rounds on ids only).
+
+    Optional later stages, each deterministic and off by default:
+    ``max_repetition`` drops docs whose within-doc duplicate 2-gram
+    fraction exceeds the bound (Gopher repetition rule);
+    ``bench`` drops docs overlapping the benchmark frame at >=
+    ``max_overlap_frac`` of their 8-grams (decontamination);
+    ``sample_rates`` applies the stratified md5-prefix sampler last
+    (mixture weighting happens after all quality gates)."""
     # stage 1: exact dedup (min-id keeper per byte-identical text)
     keepers = (
         docs.select(F.md5(F.col(text_col)).alias("__dg"), F.col(id_col))
@@ -90,7 +103,32 @@ def curate(
     )
     if langs:
         stats = stats.unionByName(_stage("lang", s4))
-    return s4, stats
+    out = s4
+    # stage 5: optional Gopher repetition gate (per-doc, pure codegen)
+    if max_repetition is not None:
+        grams = text.token_ngrams_col(text_col, 2)
+        dup = F.when(
+            F.size(grams) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
+        ).otherwise(F.lit(0.0))
+        out = out.filter(dup <= max_repetition)
+        stats = stats.unionByName(_stage("repetition", out))
+    # stage 6: optional benchmark decontamination
+    if bench is not None:
+        from dashing_spark.operators import contamination
+
+        out = contamination.decontaminate(
+            out, bench, id_col=id_col, text_col=text_col,
+            max_overlap_frac=max_overlap_frac,
+        )
+        stats = stats.unionByName(_stage("decontaminate", out))
+    # stage 7: optional mixture sampling (after every quality gate)
+    if sample_rates is not None:
+        out = stratified_sample(
+            out, sample_rates, strat_col=strat_col, id_col=id_col
+        )
+        stats = stats.unionByName(_stage("sample", out))
+    return out, stats
 
 
 def sample_cutoff_hex(rate: float, hex_digits: int = 4) -> str:

@@ -324,6 +324,43 @@ class TestCorpusCuration:
             "input", "exact_dedup", "near_dedup", "quality", "lang"
         }
 
+    def test_full_chain_matches_standalone_stages(self, spark, docs):
+        from dashing_spark.operators import contamination, corpus
+
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        rates = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+        kept, stats = corpus.curate(
+            docs,
+            near_threshold=0.9,
+            min_quality=0.5,
+            max_repetition=0.5,
+            bench=bench,
+            max_overlap_frac=0.3,
+            sample_rates=rates,
+        )
+        s = {r["stage"]: r["n_out"] for r in stats.collect()}
+        order = [
+            "input", "exact_dedup", "near_dedup", "quality",
+            "repetition", "decontaminate", "sample",
+        ]
+        assert list(s) == order or set(s) == set(order)
+        vals = [s[k] for k in order]
+        assert vals == sorted(vals, reverse=True)
+        assert s["sample"] == kept.count()
+        # chain equals the standalone operators applied in sequence
+        base, _ = corpus.curate(docs, near_threshold=0.9, min_quality=0.5)
+        grams = text.token_ngrams_col("text", 2)
+        dup = F.when(
+            F.size(grams) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
+        ).otherwise(F.lit(0.0))
+        step = base.filter(dup <= 0.5)
+        step = contamination.decontaminate(step, bench, max_overlap_frac=0.3)
+        step = corpus.stratified_sample(step, rates)
+        assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {
+            r["doc_id"] for r in step.select("doc_id").collect()
+        }
+
 
 class TestAdaptiveBanding:
     def test_low_threshold_recall_exact(self, spark, docs):
