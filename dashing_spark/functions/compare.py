@@ -351,19 +351,32 @@ def hll_joint_triple_batch(
     lb0 = np.maximum(cu - ca, 1.0)
     lx0 = np.maximum(ca + cb - cu, 1.0)
 
-    # per-cell branch classification and rates (fixed across iterations)
+    # per-cell branch classification and rates (fixed across iterations).
+    # Every cell belongs to exactly one branch, so the iteration loop
+    # gathers each branch's cells ONCE and evaluates its formula only
+    # there — the per-cell values (hence the bincount below) are
+    # bit-identical to evaluating every formula full-width and masking,
+    # at ~1/3 the exp/expm1 work (dll dominates the bisection cost).
     br_gt = s > t
     br_lt = s < t
     br_eq0 = (s == t) & (s == 0)
     br_eqk = (s == t) & (s >= 1)          # includes the saturated cell
-    eq_sat = (s == t) & (s == q + 1)
-    sat_s = s == q + 1
-    sat_t = t == q + 1
     pow2 = 2.0 ** -np.arange(q + 2, dtype=np.float64)
     r_s = pow2[np.minimum(s, q)] / m      # s = q+1 uses the z(q) rate
     r_t = pow2[np.minimum(t, q)] / m
-    t_zero = t == 0
-    s_zero = s == 0
+    i_gt = np.flatnonzero(br_gt)
+    i_lt = np.flatnonzero(br_lt)
+    i_eq0 = np.flatnonzero(br_eq0)
+    i_eqk = np.flatnonzero(br_eqk)
+    rows_gt, rows_lt, rows_eqk = rows[i_gt], rows[i_lt], rows[i_eqk]
+    rs_gt, rt_gt = r_s[i_gt], r_t[i_gt]
+    rs_lt, rt_lt = r_s[i_lt], r_t[i_lt]
+    rs_eqk = r_s[i_eqk]
+    sat_s_gt = s[i_gt] == q + 1
+    sat_t_lt = t[i_lt] == q + 1
+    tzero_gt = t[i_gt] == 0
+    szero_lt = s[i_lt] == 0
+    eq_sat = s[i_eqk] == q + 1
 
     def _dlog_pair_factor(wv, r, sat):
         """d/dλ of log[e^{−w}(1−e^{−w})] = r(2e^{−w}−1)/(1−e^{−w}),
@@ -375,29 +388,38 @@ def hll_joint_triple_batch(
     def dll(la, lb, lx, ci):
         """Per-row ∂logL/∂λ_ci, assembled from the analytic per-branch
         derivatives of the stable cell-probability forms."""
-        lar, lbr, lxr = la[rows], lb[rows], lx[rows]
         contrib = np.zeros(len(s))
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             if ci == 0:
-                d_gt = _dlog_pair_factor(lar * r_s, r_s, sat_s)
+                d_gt = _dlog_pair_factor(la[rows_gt] * rs_gt, rs_gt, sat_s_gt)
             else:  # λb and λx enter the s>t branch only via (λb+λx)·r_t
                 d_gt = np.where(
-                    t_zero, -r_t, _dlog_pair_factor((lbr + lxr) * r_t, r_t, False)
+                    tzero_gt,
+                    -rt_gt,
+                    _dlog_pair_factor(
+                        (lb[rows_gt] + lx[rows_gt]) * rt_gt, rt_gt, False
+                    ),
                 )
-            contrib = np.where(br_gt, d_gt, contrib)
+            contrib[i_gt] = d_gt
             if ci == 1:
-                d_lt = _dlog_pair_factor(lbr * r_t, r_t, sat_t)
+                d_lt = _dlog_pair_factor(lb[rows_lt] * rt_lt, rt_lt, sat_t_lt)
             else:  # λa and λx enter the s<t branch only via (λa+λx)·r_s
                 d_lt = np.where(
-                    s_zero, -r_s, _dlog_pair_factor((lar + lxr) * r_s, r_s, False)
+                    szero_lt,
+                    -rs_lt,
+                    _dlog_pair_factor(
+                        (la[rows_lt] + lx[rows_lt]) * rs_lt, rs_lt, False
+                    ),
                 )
-            contrib = np.where(br_lt, d_lt, contrib)
+            contrib[i_lt] = d_lt
             # s == t == 0: P = exp(−(λa+λb+λx)/m), same dlog for all coords
-            contrib = np.where(br_eq0, -1.0 / m, contrib)
+            contrib[i_eq0] = -1.0 / m
             # s == t == k ≥ 1 (r_k = r_s = r_t here)
-            u = (lar + lxr) * r_s
-            v = (lbr + lxr) * r_s
-            xi = lxr * r_s
+            lar, lbr, lxr = la[rows_eqk], lb[rows_eqk], lx[rows_eqk]
+            r_s_k = rs_eqk
+            u = (lar + lxr) * r_s_k
+            v = (lbr + lxr) * r_s_k
+            xi = lxr * r_s_k
             e1 = np.expm1(-u)
             e2 = np.expm1(-v)
             e3 = np.exp(-(u + v))
@@ -411,9 +433,8 @@ def hll_joint_triple_batch(
                 dnum = di_dv
             else:
                 dnum = di_du + di_dv + np.exp(xi - u - v)
-            lead = np.where(eq_sat, 0.0, -r_s)  # d(−g)/dλ; absent at q+1
-            d_eq = lead + r_s * dnum / inner
-            contrib = np.where(br_eqk, d_eq, contrib)
+            lead = np.where(eq_sat, 0.0, -r_s_k)  # d(−g)/dλ; absent at q+1
+            contrib[i_eqk] = lead + r_s_k * dnum / inner
         return np.bincount(rows, weights=w * contrib, minlength=n)
 
     params = [la0, lb0, lx0]
