@@ -206,3 +206,56 @@ class TestPlanInvariants:
             docs, ["lang"], lambda: HLL.empty(10), weighted=True
         )
         assert "Window" in _plan(exact)  # the exact mode pays for exactness
+
+
+class TestPipelineOpPlans:
+    def test_stratified_sample_is_pure_filter(self, spark, docs):
+        # the sampler's claim: no shuffle, no Python — just a filter on
+        # an md5-prefix expression over the scan
+        from dashing_spark.operators import corpus
+
+        kept = corpus.stratified_sample(docs, {"en": 0.5}, default_rate=0.25)
+        plan = _plan(kept)
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "MapInPandas" not in plan
+
+    def test_repetition_stats_single_agg_exchange(self, spark, docs):
+        from dashing_spark.operators import text
+
+        out = text.repetition_stats(docs, ["lang"], w=2)
+        plan = _plan(out)
+        # per-doc gram counting is codegen (Generate-free select over
+        # array exprs — no explode, no Python); one agg shuffle on lang
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Python" not in plan
+
+    def test_duplicate_spans_no_pair_join(self, spark, docs):
+        from dashing_spark.operators import dedup
+
+        out = dedup.duplicate_span_stats(
+            docs, "doc_id", ["lang"], w=8, span_key="hash"
+        )
+        plan = _plan(out)
+        # linear pipeline: span rows join span-counts by key — never a
+        # doc×doc or span×span cross/theta join
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # hash-key mode: the span string is hashed before any exchange,
+        # so only 8-byte keys cross shuffles (xxhash64 sits upstream)
+        assert "xxhash64" in plan
+
+    def test_decontamination_exact_join_broadcasts_bench(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from dashing_spark.operators import contamination
+
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        per = contamination.benchmark_overlap(
+            train, bench, key_cols=("lang",), w=8
+        )
+        plan = _plan(per)
+        # the benchmark gram side must be the broadcast build side —
+        # the training side streams, nothing corpus-sized shuffles for
+        # the membership join
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
