@@ -327,6 +327,21 @@ def hll_joint_triple_batch(
     Exploits the per-register PAIRING that inclusion–exclusion throws
     away — substantially lower variance at low/moderate overlap."""
     n, m_i = a_regs.shape
+    # rows are independent (lockstep bisection never couples pairs), so
+    # large batches are processed in chunks that cap the (chunk, m)
+    # int64 temporaries (va/vb/cell-id/group-id ≈ 32 B/register) at
+    # ~256 MB — a 20k-pair p=14 batch would otherwise materialize ~8 GB.
+    # Chunking is bit-identical: each row's COO cells, seeds, and
+    # bisection path are untouched.
+    chunk = max(1, (8 << 20) // max(m_i, 1))
+    if n > chunk:
+        parts = [
+            hll_joint_triple_batch(
+                a_regs[s : s + chunk], b_regs[s : s + chunk], p, n_cycles
+            )
+            for s in range(0, n, chunk)
+        ]
+        return tuple(np.concatenate(col) for col in zip(*parts))
     m = float(m_i)
     q = 64 - p
     va = a_regs.astype(np.int64)
@@ -458,13 +473,18 @@ def hll_joint_triple_batch(
                 if not need.any():
                     break
                 hi[need] *= 2.0
+            # per-row gated: a converged row's bracket never moves again,
+            # so every row's trajectory depends only on its own cells —
+            # results are independent of batch composition (which makes
+            # the chunked recursion above exactly reproducible)
             for _ in range(60):
+                act = hi - lo > 1e-9 * hi
+                if not act.any():
+                    break
                 mid = 0.5 * (lo + hi)
                 gt = d_at(mid) > 0.0
-                lo = np.where(gt, mid, lo)
-                hi = np.where(gt, hi, mid)
-                if np.all(hi - lo <= 1e-9 * hi):
-                    break
+                lo = np.where(act & gt, mid, lo)
+                hi = np.where(act & ~gt, mid, hi)
             params[ci] = 0.5 * (lo + hi)
     la, lb, lx = params
     # degenerate rows: empty sketches have no information at all
