@@ -678,16 +678,12 @@ def kmv_triple_batch(
     )
 
 
-def bbmh_triple_batch(
-    U: np.ndarray, ia: np.ndarray, ib: np.ndarray, lg_r: int, b_bits: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batch b-bit MinHash triples; U = (n_uniq, r) uint64 registers."""
+def _bbmh_cards_batch(U: np.ndarray, lg_r: int) -> np.ndarray:
+    """Distinct-cardinality estimates for (n, r) one-permutation
+    register matrices — the BBitMinHash.estimate formula whole-batch
+    (shared by the plain and counting b-bit kernels)."""
     r = 1 << lg_r
-    occ = U != _U64_SENT                       # (n_uniq, r) bool
-    # compared signature: low b bits, narrowed so per-pair traffic is
-    # 2 bytes/register instead of 8
-    sig = (U & np.uint64((1 << b_bits) - 1)).astype(np.uint16)
-
+    occ = U != _U64_SENT
     nf = occ.sum(axis=1).astype(np.float64)
     under = nf < r
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -698,7 +694,19 @@ def bbmh_triple_batch(
         sat = np.where(
             mean_min > 0.0, r * np.maximum(0.0, 1.0 / mean_min - 1.0), np.inf
         )
-    cards = np.where(nf == 0, 0.0, np.where(under, lin, sat))
+    return np.where(nf == 0, 0.0, np.where(under, lin, sat))
+
+
+def bbmh_triple_batch(
+    U: np.ndarray, ia: np.ndarray, ib: np.ndarray, lg_r: int, b_bits: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch b-bit MinHash triples; U = (n_uniq, r) uint64 registers."""
+    r = 1 << lg_r
+    occ = U != _U64_SENT                       # (n_uniq, r) bool
+    # compared signature: low b bits, narrowed so per-pair traffic is
+    # 2 bytes/register instead of 8
+    sig = (U & np.uint64((1 << b_bits) - 1)).astype(np.uint16)
+    cards = _bbmh_cards_batch(U, lg_r)
 
     def _pairwise(ja: np.ndarray, jb: np.ndarray):
         occ_a, occ_b = occ[ja], occ[jb]
@@ -824,6 +832,126 @@ def bloom_triple_batch(
     )
 
 
+def crmh_triple_batch(
+    uniq_blobs, ia: np.ndarray, ib: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch CountingKMV weighted triples — the histogram-intersection
+    JI (Σ min(ca,cb) / Σ max over the union bottom-k, dashing's
+    wjaccard semantics) via one provenance-carrying row sort per pair
+    chunk. Multiset sizes are mean-sampled-count × distinct estimate,
+    exactly the scalar path's formula; integer count sums keep the
+    division bit-identical to the scalar kernel."""
+    import struct
+
+    k = struct.unpack_from("<I", uniq_blobs[0], 5)[0]
+    lens = np.array(
+        [struct.unpack_from("<I", x, 9)[0] for x in uniq_blobs], np.int64
+    )
+
+    def _pad(x: bytes, ln: int):
+        mins = x[13 : 13 + 8 * ln] + b"\xff" * (8 * (k - ln))
+        cnts = x[13 + 8 * ln : 13 + 16 * ln] + b"\x00" * (8 * (k - ln))
+        return mins, cnts
+
+    padded = [_pad(x, int(l)) for x, l in zip(uniq_blobs, lens)]
+    M = np.frombuffer(b"".join(p[0] for p in padded), np.uint64).reshape(-1, k)
+    CNT = np.frombuffer(b"".join(p[1] for p in padded), np.int64).reshape(-1, k)
+
+    u64 = float(2**64)
+    kth = M[:, k - 1].astype(np.float64) + 1.0
+    cards = np.where(lens < k, lens.astype(np.float64), (k - 1) * u64 / kth)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        wsize = np.where(
+            lens > 0, (CNT.sum(axis=1) / lens) * cards, 0.0
+        )
+
+    # dense-rank values to int32 codes (order-preserving); sentinel pads
+    # sort last. A genuine hash equal to the sentinel (P = 2^-64) is
+    # ignored, as in the plain-KMV kernel.
+    uvals, codes_flat = np.unique(M, return_inverse=True)
+    C = codes_flat.reshape(M.shape).astype(np.int32)
+    sent_code = np.int32(len(uvals) - 1) if uvals[-1] == _U64_SENT else np.int32(-2)
+
+    def _pairwise(ja: np.ndarray, jb: np.ndarray):
+        V = np.concatenate([C[ja], C[jb]], axis=1)          # (n, 2k)
+        W = np.concatenate([CNT[ja], CNT[jb]], axis=1)
+        order = np.argsort(V, axis=1, kind="stable")
+        Vs = np.take_along_axis(V, order, axis=1)
+        Ws = np.take_along_axis(W, order, axis=1)
+        dupn = (Vs[:, 1:] == Vs[:, :-1]) & (Vs[:, 1:] != sent_code)
+        dup = np.zeros_like(Vs, dtype=bool)
+        dup[:, 1:] = dupn
+        genuine = Vs != sent_code
+        rank_dt = np.int16 if 2 * k < 32767 else np.int32
+        rank = np.arange(2 * k, dtype=rank_dt)[None, :] - np.cumsum(
+            dup, axis=1, dtype=rank_dt
+        )
+        in_k = rank < k
+        # shared union elements sit as equal-adjacent runs of length 2:
+        # min/max of the run's two counts, attributed at the dup position
+        pmin = np.minimum(Ws[:, 1:], Ws[:, :-1])
+        pmax = np.maximum(Ws[:, 1:], Ws[:, :-1])
+        shared = dupn & in_k[:, 1:]
+        smin = np.where(shared, pmin, 0).sum(axis=1)
+        smax = np.where(shared, pmax, 0).sum(axis=1)
+        # singletons (present one side only): max contribution = own count
+        first_of_pair = np.zeros_like(dup)
+        first_of_pair[:, :-1] = dupn
+        single = genuine & ~dup & ~first_of_pair & in_k
+        smax = smax + np.where(single, Ws, 0).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ji = np.where(smax > 0, smin / smax, 0.0)
+        return _triple_from_ji_batch(ji, wsize[ja], wsize[jb])
+
+    return _concat_triples(
+        [_pairwise(ia[s:e], ib[s:e]) for s, e in _pair_chunks(len(ia), 24 * k)]
+    )
+
+
+def cbbmh_triple_batch(
+    M: np.ndarray,
+    CNT: np.ndarray,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    lg_r: int,
+    b_bits: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch counting-b-bit-MinHash weighted triples (Ruzicka JI from
+    matched b-bit registers with the collision correction, multiset
+    sizes as filled-bucket mean count × BBMH distinct estimate —
+    mirror of the scalar cbbmh branch of set_triple_any)."""
+    r = 1 << lg_r
+    filled = M != _U64_SENT
+    sig = (M & np.uint64((1 << b_bits) - 1)).astype(np.uint16)
+    cards = _bbmh_cards_batch(M, lg_r)
+    nfill = filled.sum(axis=1)
+    csum = np.where(filled, CNT, 0).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        wsize = np.where(nfill > 0, (csum / nfill) * cards, 0.0)
+
+    c = 2.0 ** (-b_bits)
+
+    def _pairwise(ja: np.ndarray, jb: np.ndarray):
+        fa, fb = filled[ja], filled[jb]
+        either = fa | fb
+        match = (sig[ja] == sig[jb]) & fa & fb
+        ca_i, cb_i = CNT[ja], CNT[jb]
+        num = np.where(match, np.minimum(ca_i, cb_i), 0).sum(axis=1)
+        den = np.where(
+            either,
+            np.maximum(np.where(fa, ca_i, 0), np.where(fb, cb_i, 0)),
+            0,
+        ).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.where(den > 0, num / den, 0.0)
+        ji = np.where(den > 0, np.maximum(0.0, (raw - c) / (1.0 - c)), 0.0)
+        return _triple_from_ji_batch(ji, wsize[ja], wsize[jb])
+
+    return _concat_triples(
+        [_pairwise(ia[s:e], ib[s:e]) for s, e in _pair_chunks(len(ia), 16 * r)]
+    )
+
+
 def hll_pair_triple_batch(
     U: np.ndarray, ia: np.ndarray, ib: np.ndarray, p: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -903,6 +1031,27 @@ def triple_batch_from_blobs(a_blobs, b_blobs, estimator: str = "default"):
         uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
         (mm,) = struct.unpack_from("<I", first, 5)
         return smh_triple_batch(_stack_payloads(uniq, 9, 8 * mm, np.float64), ia, ib)
+    if tid == 8:  # CountingKMV — <I k at 5, <I len at 9 (len varies)
+        kk = first[5:9]
+        if any(x[4] != tid or x[5:9] != kk for bl in (a_blobs, b_blobs) for x in bl):
+            return None
+        uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
+        return crmh_triple_batch(uniq, ia, ib)
+    if tid == 11:  # CountingBBMH — (lg_r, b), uint64[r] mins + uint32[r] counts at 7
+        hdr = first[5:7]
+        if any(x[4] != tid or x[5:7] != hdr for bl in (a_blobs, b_blobs) for x in bl):
+            return None
+        uniq, ia, ib = _dedupe_blobs(a_blobs, b_blobs)
+        lg_r = first[5]
+        r = 1 << lg_r
+        return cbbmh_triple_batch(
+            _stack_payloads(uniq, 7, 8 * r, np.uint64),
+            _stack_payloads(uniq, 7 + 8 * r, 4 * r, np.uint32),
+            ia,
+            ib,
+            lg_r,
+            first[6],
+        )
     if tid == 2:  # Bloom — (lg_bits, k), payload uint64[m/64] at 7
         hdr = first[5:7]
         if any(x[4] != tid or x[5:7] != hdr for bl in (a_blobs, b_blobs) for x in bl):

@@ -572,6 +572,49 @@ class TestTripleBatchKernels:
                 else:
                     assert abs(s - v) <= 1e-6 * max(1.0, abs(s)), (i, s, v)
 
+    def test_counting_batch_matches_scalar(self):
+        """CountingKMV / CountingBBitMinHash (weighted) batch kernels vs
+        the scalar set_triple_any path, with real multiplicities (hashes
+        repeated with skewed counts) and full-range uint64 hashes (the
+        bottom-k estimators assume them)."""
+        from dashing_spark.functions.cbbmh import CountingBBitMinHash
+        from dashing_spark.functions.compare import (
+            set_triple_any,
+            triple_batch_from_blobs,
+        )
+        from dashing_spark.functions.crmh import CountingKMV
+        from dashing_spark.functions.hashing import splitmix64
+
+        rng = np.random.default_rng(23)
+        for factory in (lambda: CountingKMV(128), lambda: CountingBBitMinHash(6, 16)):
+            pairs = []
+            for _ in range(25):
+                na, nb, ns = (int(x) for x in rng.integers(0, 1200, 3))
+                mk = lambda n: splitmix64(
+                    rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+                )
+                shared, oa, ob = mk(ns), mk(na), mk(nb)
+                reps = lambda h: np.repeat(
+                    h, rng.integers(1, 6, size=len(h))
+                )
+                a, b = factory(), factory()
+                a.update_hashes(reps(np.concatenate([shared, oa])))
+                b.update_hashes(reps(np.concatenate([shared, ob])))
+                pairs.append((a, b))
+            pairs.append((factory(), factory()))
+            e, f = factory(), factory()
+            f.update_hashes(mk(64))
+            pairs.append((e, f))
+            al = [a.to_bytes() for a, _ in pairs]
+            bl = [b.to_bytes() for _, b in pairs]
+            batch = triple_batch_from_blobs(al, bl, "default")
+            assert batch is not None
+            t0b, t1b, t2b = batch
+            for i, (a, b) in enumerate(pairs):
+                t0, t1, t2 = set_triple_any(a, b, "default")
+                for s, v in ((t0, t0b[i]), (t1, t1b[i]), (t2, t2b[i])):
+                    assert abs(s - v) <= 1e-6 * max(1.0, abs(s)), (i, s, v)
+
     def test_heterogeneous_batch_falls_back(self):
         from dashing_spark.functions.compare import triple_batch_from_blobs
 
