@@ -872,12 +872,27 @@ def crmh_triple_batch(
     C = codes_flat.reshape(M.shape).astype(np.int32)
     sent_code = np.int32(len(uvals) - 1) if uvals[-1] == _U64_SENT else np.int32(-2)
 
+    # fast path: pack (code, count) into one int64 sort key when every
+    # count fits 31 bits (codes are dense ranks, far below 2^32, so the
+    # packed key fits int64) — one plain row sort instead of argsort +
+    # two gathers, ~3x less memory traffic. Count order within an
+    # equal-code run doesn't matter: min/max of the run's two counts is
+    # taken either way, so packed and argsort paths are value-identical.
+    packable = bool(CNT.max(initial=0) < (1 << 31))
+
     def _pairwise(ja: np.ndarray, jb: np.ndarray):
         V = np.concatenate([C[ja], C[jb]], axis=1)          # (n, 2k)
         W = np.concatenate([CNT[ja], CNT[jb]], axis=1)
-        order = np.argsort(V, axis=1, kind="stable")
-        Vs = np.take_along_axis(V, order, axis=1)
-        Ws = np.take_along_axis(W, order, axis=1)
+        if packable:
+            Ks = np.sort(
+                (V.astype(np.int64) << np.int64(31)) | W, axis=1
+            )
+            Vs = (Ks >> np.int64(31)).astype(np.int32)
+            Ws = Ks & np.int64((1 << 31) - 1)
+        else:
+            order = np.argsort(V, axis=1, kind="stable")
+            Vs = np.take_along_axis(V, order, axis=1)
+            Ws = np.take_along_axis(W, order, axis=1)
         dupn = (Vs[:, 1:] == Vs[:, :-1]) & (Vs[:, 1:] != sent_code)
         dup = np.zeros_like(Vs, dtype=bool)
         dup[:, 1:] = dupn
