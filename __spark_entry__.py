@@ -922,7 +922,11 @@ def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=ckpt_dir,
         threshold=0.9,
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 600s"
+        )
     return dedup_stream.read_pairs(spark, state_dir).select(
         "a_id", "b_id", F.round("ji", 9).alias("ji")
     )
@@ -1172,7 +1176,11 @@ def q_streaming_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["day"], lambda: HLL.empty(P_HLL), state_dir, ckpt_dir,
         build_fn=day_sketches,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s"
+        )
     streamed = {
         r["day"]: bytes(r["sketch"]) for r in read_state(spark, state_dir).collect()
     }
@@ -1232,7 +1240,11 @@ def q_stateful_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    sq.awaitTermination(300)
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s"
+        )
     res = spark.read.parquet(out_dir)
     w = Window.partitionBy("day").orderBy(
         F.col("n_updates").desc(), F.col("epoch").desc()
@@ -1289,7 +1301,11 @@ def q_streaming_kll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["event_type"], lambda: KLL.empty(200), state_dir, ckpt_dir,
         build_fn=type_sketches,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not finish within 300s"
+        )
     state = read_state(spark, state_dir)
     qhat = state.select(
         "event_type",

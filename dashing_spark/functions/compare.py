@@ -604,6 +604,9 @@ def _pair_chunks(n_pairs: int, row_bytes: int, target: int = 8 << 20):
 
 
 def _concat_triples(parts):
+    if not parts:  # zero-pair batch: keep the (t0, t1, t2) empty-array shape
+        z = np.zeros(0, dtype=np.float64)
+        return z, z.copy(), z.copy()
     return tuple(np.concatenate(c) for c in zip(*parts))
 
 
@@ -678,6 +681,17 @@ def kmv_triple_batch(
     )
 
 
+def _sig_dtype(b_bits: int):
+    """Narrowest unsigned dtype holding a b-bit signature — truncating
+    to uint16 for b > 16 would spuriously match registers differing
+    only in bits 16+ (the serialized b byte allows up to 64)."""
+    if b_bits <= 16:
+        return np.uint16
+    if b_bits <= 32:
+        return np.uint32
+    return np.uint64
+
+
 def _bbmh_cards_batch(U: np.ndarray, lg_r: int) -> np.ndarray:
     """Distinct-cardinality estimates for (n, r) one-permutation
     register matrices — the BBitMinHash.estimate formula whole-batch
@@ -703,9 +717,9 @@ def bbmh_triple_batch(
     """Batch b-bit MinHash triples; U = (n_uniq, r) uint64 registers."""
     r = 1 << lg_r
     occ = U != _U64_SENT                       # (n_uniq, r) bool
-    # compared signature: low b bits, narrowed so per-pair traffic is
-    # 2 bytes/register instead of 8
-    sig = (U & np.uint64((1 << b_bits) - 1)).astype(np.uint16)
+    # compared signature: low b bits, narrowed (by b) so per-pair
+    # traffic is 2-8 bytes/register instead of always 8
+    sig = (U & np.uint64((1 << b_bits) - 1)).astype(_sig_dtype(b_bits))
     cards = _bbmh_cards_batch(U, lg_r)
 
     def _pairwise(ja: np.ndarray, jb: np.ndarray):
@@ -937,7 +951,7 @@ def cbbmh_triple_batch(
     mirror of the scalar cbbmh branch of set_triple_any)."""
     r = 1 << lg_r
     filled = M != _U64_SENT
-    sig = (M & np.uint64((1 << b_bits) - 1)).astype(np.uint16)
+    sig = (M & np.uint64((1 << b_bits) - 1)).astype(_sig_dtype(b_bits))
     cards = _bbmh_cards_batch(M, lg_r)
     nfill = filled.sum(axis=1)
     csum = np.where(filled, CNT, 0).sum(axis=1)

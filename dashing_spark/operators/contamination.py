@@ -53,13 +53,17 @@ def benchmark_overlap(
     w: int = 8,
     lg_bits: int = 20,
     n_bloom_hashes: int = 4,
+    with_bloom: bool = True,
 ) -> DataFrame:
     """Per-training-doc overlap against the benchmark gram set.
 
     Returns (``__id``, *key_cols, ``n_grams``, ``exact_overlap``,
     ``bloom_overlap``) — one row per training doc that has >= 1 gram
     (docs shorter than w tokens carry no contamination evidence and are
-    excluded, symmetrically in the oracle).
+    excluded, symmetrically in the oracle). ``with_bloom=False`` skips
+    the Bloom blob build (a driver-side collect) and the probe pass
+    over every training gram, dropping the ``bloom_overlap`` column —
+    for consumers that only read the exact counts.
     """
     from dashing_spark.functions import BloomFilter, sketch_from_bytes
     from dashing_spark.functions import hashing
@@ -69,6 +73,20 @@ def benchmark_overlap(
     bench_grams = _doc_grams(bench, id_col, (), text_col, w).select(
         "__gram"
     ).distinct()
+
+    train_grams = _doc_grams(train, id_col, key_cols, text_col, w)
+    if not with_bloom:
+        hit = train_grams.join(
+            F.broadcast(bench_grams.withColumn("__exact_hit", F.lit(True))),
+            "__gram",
+            "left",
+        ).fillna({"__exact_hit": False})
+        return hit.groupBy("__id", *key_cols).agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("__exact_hit"), 1).otherwise(0)).alias(
+                "exact_overlap"
+            ),
+        )
 
     # bloom blob over benchmark gram hashes, built distributed then
     # merged driver-side (one blob — the only collect, O(2^lg_bits) bits)
@@ -88,7 +106,6 @@ def benchmark_overlap(
         bf = bf.merge(sketch_from_bytes(bytes(row["blob"])))
     blob = bf.to_bytes()
 
-    train_grams = _doc_grams(train, id_col, key_cols, text_col, w)
 
     probe_schema = T.StructType(
         [
@@ -132,7 +149,9 @@ def decontaminate(
 ) -> DataFrame:
     """Keeper frame: training docs whose exact benchmark-gram overlap
     fraction is below ``max_overlap_frac`` (docs with no grams are kept
-    — no evidence). Returns the filtered training DataFrame."""
+    — no evidence). Returns the filtered training DataFrame. Only the
+    exact counts drive the filter, so the Bloom build/probe is skipped."""
+    kwargs.setdefault("with_bloom", False)
     per_doc = benchmark_overlap(
         train, bench, id_col=id_col, key_cols=(), text_col=text_col, w=w, **kwargs
     )

@@ -92,8 +92,18 @@ def apply_dedup_batch(
     if batch_df.isEmpty():
         return
     done = committed_epochs(state_dir)
-    if epoch_id in done:
-        return  # retried epoch already committed
+    if done and epoch_id <= max(done):
+        if epoch_id == max(done):
+            return  # retry of the last committed epoch: no-op
+        # the streaming engine replays at most the LAST batch; a lower
+        # epoch id means this query's counter restarted (fresh
+        # checkpoint_dir pointed at an old state_dir, or two queries
+        # sharing one state_dir). Silently treating it as a retry would
+        # drop genuinely-new documents — refuse instead.
+        raise ValueError(
+            f"epoch {epoch_id} precedes committed epochs {done} in "
+            f"{state_dir}: state_dir/checkpoint_dir mismatch"
+        )
     spark = batch_df.sparkSession
     bands_n = dedup.pick_lsh_bands(n_hashes, threshold)
 
@@ -110,7 +120,17 @@ def apply_dedup_batch(
         sigs.join(items, "id")
         .filter(F.size("items") > 0)
         .select("id", "signature", "items")
+        # at-least-once sources can redeliver a document: within the
+        # batch keep one row per id, and drop ids the index already
+        # holds — re-indexing would emit self-pairs and row-multiply
+        # every later verify join against all_items
+        .dropDuplicates(["id"])
     )
+    old_docs_pre = _epoch_union(spark, state_dir, "docs", done)
+    if old_docs_pre is not None:
+        new_docs = new_docs.join(
+            old_docs_pre.select("id"), "id", "left_anti"
+        )
     docs_out = os.path.join(state_dir, f"docs_epoch_{epoch_id}")
     new_docs.write.mode("overwrite").parquet(docs_out)
     new_docs = spark.read.parquet(docs_out)  # cut lineage; reuse below
@@ -142,7 +162,7 @@ def apply_dedup_batch(
             ["band", "bhash"],
         )
         cand = cand.unionByName(
-            cross.select(
+            cross.filter(F.col("old_id") != F.col("new_id")).select(
                 F.least("old_id", "new_id").alias("a_id"),
                 F.greatest("old_id", "new_id").alias("b_id"),
             )
@@ -150,7 +170,7 @@ def apply_dedup_batch(
     cand = cand.distinct()
 
     # verify on stored item arrays (index docs ∪ this batch)
-    old_docs = _epoch_union(spark, state_dir, "docs", done)
+    old_docs = old_docs_pre
     all_items = (
         new_docs.select("id", "items")
         if old_docs is None

@@ -546,11 +546,12 @@ class TestTripleBatchKernels:
         [
             lambda: KMV(128),
             lambda: BBitMinHash(6, 16),
+            lambda: BBitMinHash(6, 24),
             lambda: SuperMinHash(64),
             lambda: HyperMinHash(8, 10),
             lambda: BloomFilter(10, 4),
         ],
-        ids=["kmv", "bbmh", "smh", "hmh", "bloom"],
+        ids=["kmv", "bbmh", "bbmh24", "smh", "hmh", "bloom"],
     )
     def test_batch_matches_scalar(self, factory):
         from dashing_spark.functions.compare import (
@@ -586,7 +587,11 @@ class TestTripleBatchKernels:
         from dashing_spark.functions.hashing import splitmix64
 
         rng = np.random.default_rng(23)
-        for factory in (lambda: CountingKMV(128), lambda: CountingBBitMinHash(6, 16)):
+        for factory in (
+            lambda: CountingKMV(128),
+            lambda: CountingBBitMinHash(6, 16),
+            lambda: CountingBBitMinHash(6, 24),  # b > 16: sig must widen
+        ):
             pairs = []
             for _ in range(25):
                 na, nb, ns = (int(x) for x in rng.integers(0, 1200, 3))
@@ -765,3 +770,19 @@ class TestCountingSketchTriples:
         # identical multisets: ji = 1, sizes near total weight
         assert t0 <= 1e-6 and t1 <= 1e-6
         assert abs(t2 - len(h)) / len(h) <= 0.15
+
+
+class TestEmptyPairBatch:
+    def test_zero_pair_batches_keep_triple_shape(self):
+        from dashing_spark.functions.compare import kmv_triple_batch
+
+        rng = np.random.default_rng(1)
+        blobs = []
+        for _ in range(3):
+            s = KMV(64)
+            s.update_hashes(rng.integers(0, 2**63, 100, dtype=np.int64).astype(np.uint64))
+            blobs.append(s.to_bytes())
+        empty = np.zeros(0, dtype=np.int64)
+        out = kmv_triple_batch(blobs, empty, empty)
+        assert isinstance(out, tuple) and len(out) == 3
+        assert all(len(x) == 0 for x in out)

@@ -134,7 +134,11 @@ class TestStreaming:
             state_dir,
             str(tmp_path / "stream_ckpt"),
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 120s"
+            )
         final = {
             r["lang"]: bytes(r["sketch"]) for r in read_state(spark, state_dir).collect()
         }
@@ -233,7 +237,11 @@ class TestStatefulStream:
             .trigger(availableNow=True)
             .start()
         )
-        sq.awaitTermination(300)
+        if not sq.awaitTermination(300):
+            sq.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 300s"
+            )
         res = spark.read.parquet(out)
         w = Window.partitionBy("day").orderBy(
             F.col("n_updates").desc(), F.col("epoch").desc()
@@ -295,7 +303,11 @@ class TestStreamingDedup:
             checkpoint_dir=str(tmp_path / "dd_ckpt"),
             threshold=0.9,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 300s"
+            )
         assert len(dedup_stream.committed_epochs(state_dir)) >= 2
         streamed = {
             (r["a_id"], r["b_id"], r["ji"])
@@ -349,3 +361,39 @@ class TestStreamingDedup:
             (F.col("a_id") % 2) != (F.col("b_id") % 2)
         ).count()
         assert cross > 0
+
+    def test_redelivered_docs_not_reindexed(self, spark, docs, tmp_path):
+        # at-least-once delivery: epoch 1 redelivers every doc of epoch 0
+        from dashing_spark.streaming import dedup_stream
+
+        state_dir = str(tmp_path / "dd_state3")
+        os.makedirs(state_dir, exist_ok=True)
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        dedup_stream.apply_dedup_batch(
+            half, 0, id_col="doc_id", state_dir=state_dir, threshold=0.9
+        )
+        n0 = dedup_stream.read_pairs(spark, state_dir).count()
+        # epoch 1 = ALL docs (the even half redelivered + the odd half new)
+        dedup_stream.apply_dedup_batch(
+            docs, 1, id_col="doc_id", state_dir=state_dir, threshold=0.9
+        )
+        pairs = dedup_stream.read_pairs(spark, state_dir)
+        rows = pairs.collect()
+        # no self-pairs, no duplicated pair rows
+        assert all(r["a_id"] != r["b_id"] for r in rows)
+        assert len(rows) == len({(r["a_id"], r["b_id"]) for r in rows})
+        assert len(rows) > n0  # the genuinely-new odd docs added pairs
+
+    def test_epoch_counter_restart_raises(self, spark, docs, tmp_path):
+        from dashing_spark.streaming import dedup_stream
+
+        state_dir = str(tmp_path / "dd_state4")
+        os.makedirs(state_dir, exist_ok=True)
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        dedup_stream.apply_dedup_batch(
+            half, 5, id_col="doc_id", state_dir=state_dir, threshold=0.9
+        )
+        with pytest.raises(ValueError, match="mismatch"):
+            dedup_stream.apply_dedup_batch(
+                docs, 3, id_col="doc_id", state_dir=state_dir, threshold=0.9
+            )
