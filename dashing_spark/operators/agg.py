@@ -110,6 +110,26 @@ def _shingle_hash_df(
     return src.mapInPandas(fn, schema=schema)
 
 
+def _batch_key_codes(rb, n_keys: int):
+    """Per-row group codes + unique key tuples for one Arrow batch.
+
+    Single key column: Arrow dictionary-encode yields the codes without
+    materializing a Python object per row — only the len(uniq)
+    dictionary values cross into Python (as acc keys). Multi-key (or
+    null-bearing) batches fall back to pandas factorize. Shared by the
+    plain and weighted-CM partial stages so the fast path cannot drift
+    between them.
+    """
+    enc = rb.column(0).dictionary_encode() if n_keys == 1 else None
+    if enc is not None and enc.indices.null_count == 0:
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = [(v,) for v in enc.dictionary.to_pylist()]
+    else:
+        keys = list(zip(*(rb.column(i).to_pylist() for i in range(n_keys))))
+        codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
+    return codes, uniq
+
+
 def sketch_tokens_by_key(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -121,6 +141,8 @@ def sketch_tokens_by_key(
     weighted: bool = False,
     hasher: str = "arrow",
     counters: dict | None = None,
+    cm_lg_width: int = 16,
+    cm_depth: int = 4,
 ) -> DataFrame:
     """One sketch per key over the w-shingle hashes of ``text_col``.
 
@@ -153,7 +175,8 @@ def sketch_tokens_by_key(
     key_cols = list(key_cols)
     if weighted == "cm":
         return _sketch_tokens_weighted_cm(
-            df, key_cols, make_sketch, text_col, shingle_w, seed, salt
+            df, key_cols, make_sketch, text_col, shingle_w, seed, salt,
+            cm_lg_width=cm_lg_width, cm_depth=cm_depth,
         )
     if weighted:
         from pyspark.sql import Window
@@ -198,17 +221,7 @@ def sketch_tokens_by_key(
             else:
                 th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
             sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
-            enc = rb.column(0).dictionary_encode() if n_keys == 1 else None
-            if enc is not None and enc.indices.null_count == 0:
-                # single key column: Arrow dictionary-encode yields the
-                # group codes without materializing a Python object per
-                # row; only the len(uniq) dictionary values cross into
-                # Python (as acc keys)
-                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                uniq = [(v,) for v in enc.dictionary.to_pylist()]
-            else:
-                keys = list(zip(*(rb.column(i).to_pylist() for i in range(n_keys))))
-                codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
+            codes, uniq = _batch_key_codes(rb, n_keys)
             if len(sh):
                 shingle_codes = codes[doc_idx]
                 order = np.argsort(shingle_codes, kind="stable")
@@ -271,6 +284,14 @@ def _sketch_tokens_weighted_cm(
     carried across batches, then one batched CM update per batch —
     batch-granularity CM streaming, same ε bound as element-at-a-time.
 
+    Memory: each live key holds a depth x 2^lg_width int64 counter
+    matrix in the executor (2 MiB at the 16/4 defaults). With the
+    repartition by key, a partition carries ~(#keys / #partitions)
+    counters — for high-cardinality keys (url/site rather than lang)
+    size ``cm_lg_width`` down (the eps = e/2^lg_width overcount bound
+    trades directly against it) or prefer the exact mode, whose window
+    shuffle holds no per-key executor state.
+
     Skew: one key = one stream = one task, so a giant key serializes
     through a single executor — inherent to streaming occurrence
     indexing (the reference's per-file counter has the same property),
@@ -294,13 +315,7 @@ def _sketch_tokens_weighted_cm(
         for rb in batches:
             th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
             sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
-            enc = rb.column(0).dictionary_encode() if n_keys == 1 else None
-            if enc is not None and enc.indices.null_count == 0:
-                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                uniq = [(v,) for v in enc.dictionary.to_pylist()]
-            else:
-                keys = list(zip(*(rb.column(i).to_pylist() for i in range(n_keys))))
-                codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
+            codes, uniq = _batch_key_codes(rb, n_keys)
             if len(sh):
                 shingle_codes = codes[doc_idx]
                 order = np.argsort(shingle_codes, kind="stable")

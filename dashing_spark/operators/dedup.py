@@ -520,7 +520,16 @@ def ngram_jaccard_pairs(
     # pairwise in every band: a quadratic candidate blowup among short
     # docs that verify would then discard)
     df = df.filter(F.length(F.col(text_col)) >= n)
-    if cluster_exact and not block_cols:
+    if cluster_exact and block_cols:
+        # the clustered path delegates to minhash_lsh_dedup, which has
+        # no blocking support — silently ignoring the caller's opt-in
+        # would re-expose exactly the quadratic risk they asked to avoid
+        raise ValueError(
+            "cluster_exact=True is not supported together with "
+            "block_cols; pre-partition the input by the block columns "
+            "and run the clustered path per block instead"
+        )
+    if cluster_exact:
         # exact-duplicate gram sets collapse to one representative
         # before the quadratic LSH stage. Use when boilerplate clusters
         # are big (real web corpora); on the low-dup bench slice the
@@ -570,12 +579,14 @@ def connected_components(
     plan DAG is the classic Spark iterative-algorithm failure).
 
     At 10^12-doc scale this is the standard formulation: the label
-    table is (id, comp) longs only, edges shuffle once per round, and
+    table is (id, comp) pairs only, edges shuffle once per round, and
     the early-exit action reads a single count.
+
+    Ids keep their incoming type — min-label needs any total order, so
+    string/UUID ids component-label lexicographically (a cast to long
+    would NULL them out and silently emit zero components).
     """
-    edges = pairs.select(
-        F.col("a_id").cast("long").alias("u"), F.col("b_id").cast("long").alias("v")
-    )
+    edges = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()

@@ -133,8 +133,8 @@ def min_count_filter(
     min_count: int,
     text_col: str = "text",
     use_cms: bool = False,
-    lg_width: int = 20,
-    depth: int = 1,
+    lg_width: int | None = None,
+    depth: int | None = None,
     backend: str | None = None,
 ) -> DataFrame:
     """(key, token) rows whose token frequency within the key ≥ min_count
@@ -149,9 +149,17 @@ def min_count_filter(
     nothing infrequent slips through, but a flow decayed out of its
     buckets can be dropped — the right trade for top-heavy filters.
     ``use_cms`` is the legacy spelling of backend="cms".
+
+    ``lg_width``/``depth`` default per backend (CMS: 20/1, HK: 12/2);
+    explicit values are honored as given — the sketch constructor
+    validates them, nothing is silently clamped.
     """
     if backend is None:
         backend = "cms" if use_cms else "exact"
+    if lg_width is None:
+        lg_width = 12 if backend == "hk" else 20
+    if depth is None:
+        depth = 2 if backend == "hk" else 1
     counts = token_counts(df, key_cols, text_col)
     if backend == "exact":
         return counts.filter(F.col("cnt") >= min_count)
@@ -161,7 +169,7 @@ def min_count_filter(
         return est.filter(F.col("cm_est") >= min_count)
     if backend == "hk":
         sketches = heavykeeper_by_key(
-            df, key_cols, text_col, lg_width=min(lg_width, 16), depth=max(depth, 2)
+            df, key_cols, text_col, lg_width=lg_width, depth=depth
         )
         est = cms_point_query(
             counts.drop("cnt"), sketches, key_cols, est_col="hk_est"

@@ -44,7 +44,11 @@ def stateful_sketch_stream(
     attach your own writeStream sink."""
     ensure_shipped(stream.sparkSession)
     key_cols = list(key_cols)
-    key_fields = [f for f in stream.schema.fields if f.name in key_cols]
+    # fields MUST follow key_cols order — the groupBy key tuple arrives
+    # in that order, and schema-order fields would silently transpose
+    # key values whenever the stream schema lists them differently
+    by_name = {f.name: f for f in stream.schema.fields}
+    key_fields = [by_name[c] for c in key_cols]
     out_schema = T.StructType(
         key_fields
         + [

@@ -753,3 +753,31 @@ class TestStratifiedSample:
         assert sample_cutoff_hex(1.0) == "g"
         # quantization: rate below one step still keeps ~nothing
         assert sample_cutoff_hex(1 / 65536) == "0001"
+
+
+class TestConnectedComponentsStringIds:
+    def test_string_ids_label_lexicographically(self, spark):
+        from dashing_spark.operators import dedup
+
+        pairs = spark.createDataFrame(
+            [("urlB", "urlA"), ("urlB", "urlC"), ("urlX", "urlY")],
+            "a_id string, b_id string",
+        )
+        labels = {
+            r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert labels == {
+            "urlA": "urlA", "urlB": "urlA", "urlC": "urlA",
+            "urlX": "urlX", "urlY": "urlX",
+        }
+
+
+class TestNgramClusterExactBlockCols:
+    def test_combination_raises(self, spark, docs):
+        from dashing_spark.operators import dedup
+
+        with pytest.raises(ValueError, match="block_cols"):
+            dedup.ngram_jaccard_pairs(
+                docs, "doc_id", block_cols=["lang"], cluster_exact=True
+            )

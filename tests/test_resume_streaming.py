@@ -397,3 +397,40 @@ class TestStreamingDedup:
             dedup_stream.apply_dedup_batch(
                 docs, 3, id_col="doc_id", state_dir=state_dir, threshold=0.9
             )
+
+
+class TestStatefulKeyOrder:
+    def test_key_cols_order_differs_from_schema(self, spark, tmp_path):
+        # stream schema lists (site, day); group by ["day", "site"] —
+        # output keys must not transpose
+        import pandas as pd
+
+        from dashing_spark.functions import HLL
+        from dashing_spark.streaming.stateful import stateful_sketch_stream
+
+        src_dir = str(tmp_path / "sk_src")
+        df = spark.createDataFrame(
+            [("s1", "d1", i) for i in range(50)]
+            + [("s2", "d2", i) for i in range(30)],
+            "site string, day string, uid long",
+        ).withColumn("__h", F.xxhash64("uid"))
+        df.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(df.schema).parquet(src_dir)
+        out = stateful_sketch_stream(
+            stream, ["day", "site"], lambda: HLL.empty(12), "__h"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("keyorder_t")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("stateful stream did not finish")
+        rows = {
+            (r["day"], r["site"]): r["n_updates"]
+            for r in spark.sql("select * from keyorder_t").collect()
+        }
+        assert rows == {("d1", "s1"): 50, ("d2", "s2"): 30}
