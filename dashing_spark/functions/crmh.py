@@ -66,6 +66,8 @@ class CountingKMV:
             hu, cu = np.unique(h, return_counts=True)
             cu = cu.astype(np.int64)
         else:
+            # integer-count semantics (same as CMS/HeavyKeeper):
+            # fractional weights truncate toward zero — pass integers
             order = np.argsort(h, kind="stable")
             hs, ws = h[order], np.asarray(weights, dtype=np.int64)[order]
             mask = np.empty(len(hs), dtype=bool)

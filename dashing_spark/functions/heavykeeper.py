@@ -48,7 +48,7 @@ _B = 1.08  # decay base (paper's recommended default)
 
 
 class HeavyKeeper:
-    __slots__ = ("lg_width", "depth", "fps", "counts")
+    __slots__ = ("lg_width", "depth", "fps", "counts", "_draws")
 
     def __init__(
         self,
@@ -70,6 +70,7 @@ class HeavyKeeper:
         self.counts = (
             np.zeros((depth, w), dtype=np.int64) if counts is None else counts
         )
+        self._draws = 0  # per-call decay-draw counter (not serialized)
 
     @classmethod
     def empty(cls, lg_width: int = 12, depth: int = 2) -> "HeavyKeeper":
@@ -86,10 +87,20 @@ class HeavyKeeper:
         if weights is None:
             u, m = np.unique(h, return_counts=True)
         else:
+            # integer-count semantics (same as CMS): fractional weight
+            # sums truncate toward zero — pass integer weights
             u, inv = np.unique(h, return_inverse=True)
             m = np.bincount(inv, weights=np.asarray(weights, dtype=np.float64))
-            m = m.astype(np.int64)
         m = m.astype(np.int64)
+        # per-call draw counter: the decay Bernoulli must not be a pure
+        # function of the (challenger, occupant) fingerprints — for a
+        # recurring collision pair with a steady rate, count and frac are
+        # constant across batches, so a fp-only draw that lands dec=0
+        # once lands dec=0 FOREVER and the challenger can never evict
+        # (the "same expectation as sequential trials" claim breaks).
+        # Mixing a counter re-rolls each batch; runs stay reproducible
+        # (same update sequence -> same draws).
+        self._draws += 1
         for r in range(self.depth):
             idx = self._buckets(u, r)
             # one winner per bucket this batch: largest m, ties by fp
@@ -114,7 +125,10 @@ class HeavyKeeper:
                 base = np.floor(exp_dec)
                 frac = exp_dec - base
                 with np.errstate(over="ignore"):
-                    draw = splitmix64(fw[conflict] ^ occ_f[conflict])
+                    salt = splitmix64(
+                        np.uint64(((self._draws << 8) | r) & 0xFFFFFFFFFFFFFFFF)
+                    )
+                    draw = splitmix64(fw[conflict] ^ occ_f[conflict] ^ salt)
                 dec = (base + (draw < frac * float(2**64))).astype(np.int64)
                 new_c = occ_c[conflict] - dec
                 evict = new_c <= 0

@@ -156,6 +156,11 @@ class KLL:
         for _ in range(nlev):
             (m,) = struct.unpack_from("<I", b, off)
             off += 4
+            if off + 8 * m > len(b):
+                # a silently-short frombuffer slice would deserialize
+                # fewer items than the recorded level length while n
+                # still claims the full count — wrong quantiles, no error
+                raise ValueError("truncated KLL blob")
             s.levels.append(np.frombuffer(b[off : off + 8 * m], dtype=np.float64).copy())
             off += 8 * m
         if not s.levels:

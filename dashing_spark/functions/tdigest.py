@@ -44,6 +44,12 @@ class TDigest:
 
     # -- core merge pass -----------------------------------------------------
     def _compress(self) -> None:
+        if not self.buf:
+            # the merge pass is idempotent on already-compressed
+            # centroids (re-merging emitted centroids reproduces the
+            # same boundaries), so re-running it per quantile()/rank()
+            # call is pure wasted O(centroids) Python looping
+            return
         parts_m = [self.means] + [m for m, _ in self.buf]
         parts_w = [self.weights] + [w for _, w in self.buf]
         self.buf = []
@@ -135,9 +141,13 @@ class TDigest:
         if b[:4] != _MAGIC or b[4] != TYPE_ID:
             raise ValueError("not a t-digest blob")
         delta, n, nc = struct.unpack_from("<dQI", b, 5)
+        off = 25
+        if off + 16 * nc > len(b):
+            # a truncated blob would yield len(weights) < len(means) and
+            # crash later inside np.interp, far from the corruption site
+            raise ValueError("truncated t-digest blob")
         s = cls(delta)
         s.n = float(n)
-        off = 25
         s.means = np.frombuffer(b[off : off + 8 * nc], dtype=np.float64).copy()
         off += 8 * nc
         s.weights = np.frombuffer(b[off : off + 8 * nc], dtype=np.float64).copy()

@@ -38,6 +38,10 @@ def containment_scores(
     variance in the low-containment regime the cutoff lives in, at
     roughly 0.2–0.5 ms/row of extra numpy work.
     """
+    if estimator not in ("inclusion_exclusion", "ertl_joint_mle", "ertl_joint"):
+        # a typo like "ertl_mle" must not silently fall through to the
+        # higher-variance inclusion–exclusion path
+        raise ValueError(f"unknown containment estimator: {estimator!r}")
     ensure_shipped(df.sparkSession)
     ref = HLL.from_bytes(bytes(reference_blob))
     if ref.p != p:
@@ -89,9 +93,13 @@ def containment_scores(
                 union_card = hll_estimate_batch(union, p)
                 inter = np.maximum(0.0, doc_card + ref_card - union_card)
                 ci = np.where(doc_card > 0, inter / np.maximum(doc_card, 1e-12), 0.0)
-            out = rb.to_pandas()
-            out["containment"] = np.clip(ci, 0.0, 1.0)
-            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+            # append Arrow-native: a pandas round-trip re-infers dtypes
+            # (nullable long + nulls -> float64 "double"), breaking the
+            # declared out_schema for pass-through columns — and copies
+            # the whole batch twice
+            yield rb.append_column(
+                "containment", pa.array(np.clip(ci, 0.0, 1.0), type=pa.float64())
+            )
 
     return df.mapInArrow(fn, schema=out_schema)
 

@@ -104,11 +104,9 @@ def read_packed_binary(path: str, keys: list[str] | None = None) -> pd.DataFrame
     if len(tri) != nelem:
         raise ValueError("truncated packed matrix payload")
     m = np.ones((n, n), dtype=np.float32)
-    k = 0
-    for i in range(n):
-        for j in range(i + 1, n):
-            m[i, j] = m[j, i] = tri[k]
-            k += 1
+    iu = np.triu_indices(n, 1)  # row-major upper triangle = pack order
+    m[iu] = tri
+    m[iu[1], iu[0]] = tri
     return pd.DataFrame(m, index=keys, columns=keys)
 
 

@@ -786,3 +786,50 @@ class TestEmptyPairBatch:
         out = kmv_triple_batch(blobs, empty, empty)
         assert isinstance(out, tuple) and len(out) == 3
         assert all(len(x) == 0 for x in out)
+
+
+class TestHeavyKeeperDecayProgress:
+    def test_recurring_challenger_eventually_evicts(self):
+        """The decay Bernoulli must re-roll across batches: a recurring
+        challenger against a constant-count occupant decays it with
+        probability ~1.08^-C per batch, so after many batches eviction
+        is (1 - eps)-certain for EVERY fingerprint pair — a draw that is
+        a pure function of the two fingerprints gets stuck at dec=0
+        forever for ~a third of pairs."""
+        from dashing_spark.functions.heavykeeper import HeavyKeeper
+
+        rng = np.random.default_rng(5)
+        stuck = 0
+        for trial in range(20):
+            hk = HeavyKeeper(lg_width=4, depth=1)
+            occupant = np.uint64(rng.integers(1, 2**63))
+            challenger = np.uint64(rng.integers(1, 2**63))
+            # plant the occupant with count 3 in every bucket row
+            hk.update_hashes(np.repeat(np.array([occupant]), 3))
+            for _ in range(200):
+                hk.update_hashes(np.array([challenger]))
+            # if challenger and occupant share a bucket, challenger must
+            # have evicted by now; if not, it owns its own bucket — in
+            # both cases its estimate is positive
+            est = int(hk.query_hashes(np.array([challenger]))[0])
+            if est == 0:
+                stuck += 1
+            # one-sided: never above the true count
+            assert est <= 200
+        assert stuck == 0
+
+
+class TestSerdeTruncation:
+    def test_kll_truncated_blob_raises(self):
+        s = KLL(128)
+        s.update_batch(np.arange(10000, dtype=np.float64))
+        blob = s.to_bytes()
+        with pytest.raises(ValueError, match="truncated"):
+            sketch_from_bytes(blob[: len(blob) - 8])
+
+    def test_tdigest_truncated_blob_raises(self):
+        t = TDigest(100.0)
+        t.update_batch(np.arange(5000, dtype=np.float64))
+        blob = t.to_bytes()
+        with pytest.raises(ValueError, match="truncated"):
+            sketch_from_bytes(blob[: len(blob) - 8])

@@ -186,3 +186,38 @@ class TestMinCountBackends:
         assert {(r["lang"], r["token"]) for r in kept} <= {
             (r["lang"], r["token"]) for r in exact
         }
+
+
+class TestContainmentSchemaFidelity:
+    def test_nullable_long_column_with_nulls_passes_through(self, spark, docs):
+        # a pandas round-trip would re-infer a null-bearing long column
+        # as double and break the declared mapInArrow schema
+        from dashing_spark.functions import HLL
+        from dashing_spark.operators import agg
+        from dashing_spark.operators.filter import containment_scores
+
+        blob = (
+            agg.sketch_tokens_by_key(
+                docs.limit(50), ["lang"], lambda: HLL.empty(10)
+            )
+            .select("sketch")
+            .first()[0]
+        )
+        src = docs.limit(20).withColumn(
+            "maybe",
+            F.when(F.col("doc_id") % 2 == 0, F.col("doc_id")).otherwise(
+                F.lit(None).cast("long")
+            ),
+        )
+        out = containment_scores(src, bytes(blob))
+        assert dict(out.dtypes)["maybe"] == "bigint"
+        rows = out.collect()
+        assert len(rows) == 20
+        assert any(r["maybe"] is None for r in rows)
+        assert all(0.0 <= r["containment"] <= 1.0 for r in rows)
+
+    def test_unknown_estimator_raises(self, spark, docs):
+        from dashing_spark.operators.filter import containment_scores
+
+        with pytest.raises(ValueError, match="estimator"):
+            containment_scores(docs, b"", estimator="ertl_mle")
