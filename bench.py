@@ -126,6 +126,8 @@ def main() -> None:
             sks, ["source"], measures=("ji", "mash_dist", "containment"), ksinv=1 / 3
         ).count(),
     )
+    sk.unpersist(blocking=True)
+    sks.unpersist(blocking=True)
     # q5: CMS heavy hitters per lang
     run(
         "q5_cms_heavy_hitters",
@@ -207,6 +209,8 @@ def main() -> None:
             qsk, rsk, ["key"], measures=("containment",), estimator="ertl_joint_mle"
         ).count(),
     )
+    qsk.unpersist(blocking=True)
+    rsk.unpersist(blocking=True)
     # q14: char-n-gram exact-Jaccard near-dup pairs (capped to 2000 docs so
     # the suite stays bounded; the full-table cost is tracked in BENCH.md)
     from dashing_spark.operators import dedup as _dedup

@@ -112,9 +112,17 @@ def cosine_topk_blocked(
             r_mat = r_mat / np.linalg.norm(r_mat, axis=1, keepdims=True)
             sims = q_mat @ r_mat.T  # (q, batch)
             kk = min(k + 1, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            qi = np.repeat(np.arange(len(q_ids)), kk)
-            ni = top.ravel()
+            if kk == sims.shape[1]:
+                qi, ni = np.nonzero(np.ones_like(sims, dtype=bool))
+            else:
+                # keep every candidate >= the kk-th best cos, INCLUDING
+                # boundary ties: argpartition alone keeps an arbitrary kk
+                # of the tied rows and can drop the one the final
+                # (cos desc, n_id asc) tie-break would select — exactness
+                # vs cosine_topk_exact would then depend on batch bounds
+                part = np.argpartition(-sims, kk - 1, axis=1)
+                thresh = sims[np.arange(sims.shape[0]), part[:, kk - 1]]
+                qi, ni = np.nonzero(sims >= thresh[:, None])
             yield pd.DataFrame(
                 {
                     "q_id": q_ids[qi],

@@ -52,12 +52,14 @@ def params_fingerprint(
     key_cols: Sequence[str],
     input_token: str = "",
     sketch_tag: str = "",
+    text_col: str = "text",
 ) -> str:
     """Checkpoint key. ``input_token`` identifies the input dataset
-    (semantic plan hash / source file list) and ``sketch_tag`` the
-    sketch constructor (serialized header bytes) — without them a rerun
-    against different data or a different sketch type would silently
-    resume from a stale snapshot."""
+    (semantic plan hash / source file list), ``sketch_tag`` the sketch
+    constructor (serialized header bytes), and ``text_col`` the sketched
+    column — without any of them a rerun against different data, a
+    different sketch type, or a different column of the SAME table
+    would silently resume from a stale snapshot."""
     import hashlib
 
     blob = json.dumps(
@@ -66,10 +68,37 @@ def params_fingerprint(
             "keys": list(key_cols),
             "input": input_token,
             "sketch": sketch_tag,
+            "text_col": text_col,
         },
         sort_keys=True,
     )
     return hashlib.md5(blob.encode()).hexdigest()[:16]
+
+
+def _fs_path(spark, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop filesystem of the path — works
+    on s3a/gs/hdfs URIs where driver-local os.path.exists silently
+    returns False (which would make resume inert on a real cluster)."""
+    p = _fs_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _fs_write_text(spark, path: str, content: str) -> None:
+    """Small-text write through the Hadoop filesystem (metrics JSON) —
+    driver-local open() cannot create s3a/gs/hdfs objects."""
+    p = _fs_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def input_token_for(df: DataFrame) -> str:
@@ -119,14 +148,21 @@ def build_or_resume_sketch_table(
     text_col: str = "text",
     salt: int | None = None,
     force: bool = False,
+    lineage: bool = True,
 ) -> tuple[DataFrame, RunMetrics]:
     """Build the sketch table, or read it back if this exact
     (params, keys) snapshot already exists. Returns (sketches, metrics).
+
+    ``lineage=False`` skips the per-partition lineage table: it is a
+    SECOND full scan of the source (a separate count+bit_xor job), which
+    at the 10^12-row regime doubles input I/O — disable it when the
+    audit trail isn't needed, or when the metrics counters suffice.
     """
     spark = df.sparkSession
     params = params or SketchParams()
     fp = params_fingerprint(
-        params, key_cols, input_token_for(df), sketch_tag_for(make_sketch)
+        params, key_cols, input_token_for(df), sketch_tag_for(make_sketch),
+        text_col=text_col,
     )
     snap = os.path.join(checkpoint_dir, f"sketches_{fp}")
     lineage_path = os.path.join(checkpoint_dir, f"lineage_{fp}")
@@ -134,7 +170,7 @@ def build_or_resume_sketch_table(
     t0 = time.time()
 
     success = os.path.join(snap, "_SUCCESS")
-    if not force and os.path.exists(success):
+    if not force and _fs_exists(spark, success):
         sketches = spark.read.parquet(snap)
         m = RunMetrics(
             rows_in=0,
@@ -168,7 +204,10 @@ def build_or_resume_sketch_table(
     )
 
     sketches.write.mode("overwrite").parquet(snap)
-    partition_lineage(src, [text_col]).write.mode("overwrite").parquet(lineage_path)
+    if lineage:
+        partition_lineage(src, [text_col]).write.mode("overwrite").parquet(
+            lineage_path
+        )
     out = spark.read.parquet(snap)
     m = RunMetrics(
         rows_in=acc_rows.value,
@@ -180,6 +219,5 @@ def build_or_resume_sketch_table(
         checkpoint=snap,
         params=params.to_dict(),
     )
-    with open(metrics_path, "w") as f:
-        f.write(m.to_json())
+    _fs_write_text(spark, metrics_path, m.to_json())
     return out, m

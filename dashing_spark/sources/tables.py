@@ -34,7 +34,15 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, catalog: str | None = None
+) -> DataFrame:
+    """Read a fixture table. With ``catalog`` set (e.g. "warehouse") and
+    Iceberg on the classpath, reads `catalog.name` as an Iceberg table —
+    the production path (snapshot isolation, partition evolution);
+    otherwise the plain parquet directory, same DataFrame downstream."""
+    if catalog is not None and iceberg_available(spark):
+        return spark.table(f"{catalog}.{name}")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -63,7 +71,6 @@ def synth_pages(spark: SparkSession, n: int = 1000, n_sites: int = 50) -> DataFr
         "table", "row", "batch", "scan", "join", "sort", "key", "value",
         "filter", "agg", "window", "stream", "cache", "shard", "node", "net",
     ]
-    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")])
     # skewed lang assignment: 60/20/10/7/3 (exercises salting)
     df = spark.range(n).withColumn(
         "lang",
@@ -109,7 +116,6 @@ def synth_pages(spark: SparkSession, n: int = 1000, n_sites: int = 50) -> DataFr
             "UTF-8",
         ),
     )
-    _ = langs  # documented layout; selection below fixes column order
     return df.select("url", "warc_ts", "html", "text", "lang")
 
 

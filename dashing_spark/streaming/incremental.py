@@ -92,7 +92,15 @@ def _gc_old_epochs(state_dir: str, keep_epoch: int) -> None:
     """Best-effort removal of epoch dirs older than the committed one."""
     try:
         for name in os.listdir(state_dir):
-            if name.startswith("epoch_") and int(name[6:]) < keep_epoch:
+            # tolerate stray entries like "epoch_9.bak" (int() raises
+            # ValueError, which must not kill a just-committed batch)
+            if not name.startswith("epoch_"):
+                continue
+            try:
+                epoch = int(name[6:])
+            except ValueError:
+                continue
+            if epoch < keep_epoch:
                 shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
     except OSError:
         pass
@@ -115,7 +123,17 @@ def apply_sketch_batch(
         return
     prev = committed_epoch(state_dir)
     if prev is not None and prev >= epoch_id:
-        return  # retried epoch already committed: no double-merge
+        if prev == epoch_id:
+            return  # retried epoch already committed: no double-merge
+        # the engine replays at most the LAST batch; a lower epoch id
+        # means the query's counter restarted against an old state_dir
+        # (fresh checkpoint, or two queries sharing state). Silently
+        # skipping would drop every new batch up to the old counter —
+        # refuse instead (same contract as dedup_stream.apply_dedup_batch)
+        raise ValueError(
+            f"epoch {epoch_id} precedes committed epoch {prev} in "
+            f"{state_dir}: state_dir/checkpoint_dir mismatch"
+        )
     spark = batch_df.sparkSession
     if build_fn is not None:
         batch_sketches = build_fn(batch_df)

@@ -781,3 +781,35 @@ class TestNgramClusterExactBlockCols:
             dedup.ngram_jaccard_pairs(
                 docs, "doc_id", block_cols=["lang"], cluster_exact=True
             )
+
+
+class TestBlockedTopkTies:
+    def test_duplicate_embeddings_resolve_like_exact(self, spark):
+        # 12 identical reference vectors vs k=10: the partial top-k must
+        # keep boundary ties so the final (cos desc, n_id asc) order
+        # matches the exact path regardless of batch boundaries
+        import pandas as pd
+
+        vec = [1.0, 0.0, 0.0, 0.0]
+        rows = [(i, vec) for i in range(12)] + [(100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(5)]
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+        ).repartition(4)
+        q = [(999, vec)]
+        exact = {
+            (r["rank"], r["n_id"])
+            for r in similarity.cosine_topk_exact(
+                spark.createDataFrame(
+                    pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+                ),
+                spark.createDataFrame(pd.DataFrame({"vec_id": [999], "embedding": [vec]})),
+                k=10,
+            ).collect()
+        }
+        blocked = {
+            (r["rank"], r["n_id"])
+            for r in similarity.cosine_topk_blocked(df, q, k=10).collect()
+        }
+        assert blocked == exact
+        # deterministic: the ten smallest ids of the twelve tied vectors
+        assert {n for _, n in blocked} == set(range(10))

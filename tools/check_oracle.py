@@ -20,10 +20,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# one source of truth for the fixture tables — a second copy here would
+# silently leave a newly-added table's DuckDB view uncreated
+from dashing_spark.sources.tables import TABLES  # noqa: E402
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -75,11 +74,27 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":
+            # the space-separated form the usage line documents — without
+            # this branch the DIR would be treated as a query name and
+            # every query would silently run at the default sf
+            if i + 1 >= len(argv):
+                raise SystemExit("--sf requires a directory argument")
+            i += 1
+            sf_dir = argv[i]
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag: {a}")
+        else:
+            args.append(a)
+        i += 1
 
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
