@@ -363,6 +363,33 @@ def q_smh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_wji_pairs(docs: DataFrame) -> DataFrame:
+    """Exact per-lang-pair weighted (multiset) JI frame
+    (a_key, b_key, ..., wji) — the Spark twin of _wji_pairs_oracle,
+    shared by every weighted/counting-sketch dist query so the wji
+    definition cannot drift between them."""
+    c = freq.token_counts(docs, ["lang"])
+    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    a = c.select(F.col("lang").alias("a_key"), "token", F.col("cnt").alias("ca"))
+    b = c.select(F.col("lang").alias("b_key"), "token", F.col("cnt").alias("cb"))
+    smin = (
+        a.join(b, "token")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .groupBy("a_key", "b_key")
+        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
+    )
+    ta = tot.select(F.col("lang").alias("a_key"), F.col("n").alias("na"))
+    tb = tot.select(F.col("lang").alias("b_key"), F.col("n").alias("nb"))
+    return (
+        smin.join(ta, "a_key")
+        .join(tb, "b_key")
+        .withColumn(
+            "wji",
+            F.col("smin").cast("double") / (F.col("na") + F.col("nb") - F.col("smin")),
+        )
+    )
+
+
 def q_cbbmh_weighted_ji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNTING_BB_MINHASH (/root/reference/src/dashing.h:233): b-bit
     minhash with per-bucket multiplicity counters; Ruzicka weighted JI
@@ -378,26 +405,7 @@ def q_cbbmh_weighted_ji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = agg.sketch_hash_col_by_key(
         toks, ["lang"], lambda: CountingBBitMinHash.empty(12, 16), "__h"
     )
-    c = freq.token_counts(docs, ["lang"])
-    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
-    a = c.select(F.col("lang").alias("a_key"), "token", F.col("cnt").alias("ca"))
-    b = c.select(F.col("lang").alias("b_key"), "token", F.col("cnt").alias("cb"))
-    smin = (
-        a.join(b, "token")
-        .filter(F.col("a_key") < F.col("b_key"))
-        .groupBy("a_key", "b_key")
-        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
-    )
-    ta = tot.select(F.col("lang").alias("a_key"), F.col("n").alias("na"))
-    tb = tot.select(F.col("lang").alias("b_key"), F.col("n").alias("nb"))
-    exact = (
-        smin.join(ta, "a_key")
-        .join(tb, "b_key")
-        .withColumn(
-            "wji",
-            F.col("smin").cast("double") / (F.col("na") + F.col("nb") - F.col("smin")),
-        )
-    )
+    exact = _exact_wji_pairs(docs)
     blobs = {r["lang"]: bytes(r["sketch"]) for r in sk.collect()}
 
     @F.udf(T.DoubleType())
@@ -483,27 +491,7 @@ def q_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted/multiset Jaccard (WeightedSketcher semantics): exact via
     Σ min(cnt) / Σ max(cnt); sketch check via weighted HLL pairs."""
     docs = _docs(spark, sf_dir)
-    c = freq.token_counts(docs, ["lang"])
-    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
-    a = c.select(F.col("lang").alias("a_key"), "token", F.col("cnt").alias("ca"))
-    b = c.select(F.col("lang").alias("b_key"), "token", F.col("cnt").alias("cb"))
-    smin = (
-        a.join(b, "token")
-        .filter(F.col("a_key") < F.col("b_key"))
-        .groupBy("a_key", "b_key")
-        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
-    )
-    ta = tot.select(F.col("lang").alias("a_key"), F.col("n").alias("na"))
-    tb = tot.select(F.col("lang").alias("b_key"), F.col("n").alias("nb"))
-    exact = (
-        smin.join(ta, "a_key")
-        .join(tb, "b_key")
-        .withColumn(
-            "wji",
-            F.col("smin").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("smin")),
-        )
-    )
+    exact = _exact_wji_pairs(docs)
     wsk = agg.sketch_tokens_by_key(
         docs, ["lang"], lambda: HLL.empty(P_HLL), weighted=True
     )
@@ -529,27 +517,7 @@ def q_weighted_jaccard_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound: 0.05 (HLL p=14 JI error) — CM occurrence inflation is ≤ εN
     one-sided and negligible at this width (2^16)."""
     docs = _docs(spark, sf_dir)
-    c = freq.token_counts(docs, ["lang"])
-    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
-    a = c.select(F.col("lang").alias("a_key"), "token", F.col("cnt").alias("ca"))
-    b = c.select(F.col("lang").alias("b_key"), "token", F.col("cnt").alias("cb"))
-    smin = (
-        a.join(b, "token")
-        .filter(F.col("a_key") < F.col("b_key"))
-        .groupBy("a_key", "b_key")
-        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
-    )
-    ta = tot.select(F.col("lang").alias("a_key"), F.col("n").alias("na"))
-    tb = tot.select(F.col("lang").alias("b_key"), F.col("n").alias("nb"))
-    exact = (
-        smin.join(ta, "a_key")
-        .join(tb, "b_key")
-        .withColumn(
-            "wji",
-            F.col("smin").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("smin")),
-        )
-    )
+    exact = _exact_wji_pairs(docs)
     wsk = agg.sketch_tokens_by_key(
         docs, ["lang"], lambda: HLL.empty(14), weighted="cm"
     )
@@ -668,12 +636,15 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, and every byte-identical (md5-equal, Hamming 0) pair — which
     DuckDB can count independently — must be covered."""
     docs = _docs(spark, sf_dir)
-    banded = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3).select(
-        "a_id", "b_id"
-    )
-    brute = dedup.simhash_bruteforce_pairs(docs, "doc_id", max_hamming=3).select(
-        "a_id", "b_id"
-    )
+    # one fingerprint pass feeds both the banded path and its oracle —
+    # each used to recompute the full-corpus mapInPandas fingerprints
+    fps = dedup.simhash_fingerprints(docs, "doc_id").cache()
+    banded = dedup.simhash_near_dups(
+        docs, "doc_id", max_hamming=3, fps=fps
+    ).select("a_id", "b_id")
+    brute = dedup.simhash_bruteforce_pairs(
+        docs, "doc_id", max_hamming=3, fps=fps
+    ).select("a_id", "b_id")
     nb = banded.agg(F.count("*").alias("n_banded"))
     nf = brute.agg(F.count("*").alias("n_brute"))
     nc = banded.join(brute, ["a_id", "b_id"]).agg(F.count("*").alias("n_common"))
@@ -1121,8 +1092,15 @@ def q_hll_card_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("t").alias("exact_distinct"))
     )
+    # the gate's slack must match THIS query's precision (p=12), not the
+    # suite default p=14 — an under-slack bound would flake on larger docs
+    slack12 = F.greatest(
+        F.lit(3 * 1.04 / math.sqrt(1 << 12)) * F.col("exact_distinct"), F.lit(2.0)
+    )
     return est.join(exact, "doc_id").select(
-        "doc_id", "exact_distinct", _hll_ok(F.col("est"), F.col("exact_distinct"))
+        "doc_id",
+        "exact_distinct",
+        (F.abs(F.col("est") - F.col("exact_distinct")) <= slack12).alias("hll_ok"),
     )
 
 
@@ -1438,25 +1416,7 @@ def q_crmh_weighted_ji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = agg.sketch_hash_col_by_key(
         toks, ["lang"], lambda: CountingKMV.empty(2048), "__h"
     )
-    c = freq.token_counts(docs, ["lang"])
-    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
-    a = c.select(F.col("lang").alias("a_key"), "token", F.col("cnt").alias("ca"))
-    b = c.select(F.col("lang").alias("b_key"), "token", F.col("cnt").alias("cb"))
-    smin = (
-        a.join(b, "token")
-        .filter(F.col("a_key") < F.col("b_key"))
-        .groupBy("a_key", "b_key")
-        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
-    )
-    ta = tot.select(F.col("lang").alias("a_key"), F.col("n").alias("na"))
-    tb = tot.select(F.col("lang").alias("b_key"), F.col("n").alias("nb"))
-    exact = (
-        smin.join(ta, "a_key").join(tb, "b_key")
-        .withColumn(
-            "wji",
-            F.col("smin").cast("double") / (F.col("na") + F.col("nb") - F.col("smin")),
-        )
-    )
+    exact = _exact_wji_pairs(docs)
     blobs = {r["lang"]: bytes(r["sketch"]) for r in sk.collect()}
 
     @F.udf(T.DoubleType())

@@ -45,11 +45,12 @@ def token_hashes_col(text_col: str, seed: int = 0):
     ever sees int64 arrays — no per-token Python string objects, which
     is the difference between allocator-bound and memory-bandwidth-bound
     scaling at high core counts."""
+    col = f"`{text_col}`"  # backticks: names with '-'/' ' must still parse
     if seed:
         return F.expr(
-            f"transform(split({text_col}, ' ', -1), t -> xxhash64(t, {int(seed)}L))"
+            f"transform(split({col}, ' ', -1), t -> xxhash64(t, {int(seed)}L))"
         )
-    return F.expr(f"transform(split({text_col}, ' ', -1), t -> xxhash64(t))")
+    return F.expr(f"transform(split({col}, ' ', -1), t -> xxhash64(t))")
 
 
 def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> list[T.StructField]:
@@ -366,10 +367,18 @@ def sketch_numeric_by_key(
     value_col: str,
     salt: int | None = None,
 ) -> DataFrame:
-    """One sketch per key over a numeric column (KLL / t-digest path)."""
+    """One sketch per key over a numeric column (KLL / t-digest path).
+
+    Null / NaN values are dropped JVM-side before sketching — a NaN fed
+    into a quantile sketch poisons its compactions (comparisons against
+    NaN are false), while exact rank oracles skip nulls; both sides
+    must agree on the population."""
     ensure_shipped(df.sparkSession)
     key_cols = list(key_cols)
-    src = df.select(*key_cols, value_col)
+    keep = F.col(value_col).isNotNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        keep = keep & ~F.isnan(value_col)
+    src = df.filter(keep).select(*key_cols, value_col)
     partial_schema = _partial_schema(src, key_cols)
 
     def partial_fn(batches):
@@ -560,15 +569,3 @@ def fold_expr(p_new: int):
     return _fold
 
 
-def cms_query_expr(sketch_blob: bytes):
-    """pandas UDF over an int64 hash column: CM point query against a
-    broadcast-serialized CM sketch (the readfilt point-query shape,
-    /root/reference/src/readfilt.cpp:36-139)."""
-
-    @F.pandas_udf(T.LongType())
-    def _q(hashes: pd.Series) -> pd.Series:
-        cm = sketch_from_bytes(sketch_blob)
-        h = hashes.to_numpy(dtype=np.int64).view(np.uint64)
-        return pd.Series(cm.query_hashes(h))
-
-    return _q

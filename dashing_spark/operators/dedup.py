@@ -76,7 +76,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 128,
     shingle_w: int = 1,
-    seed: int = 0,
+    seed: int | None = None,
     char_n: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature (array<long>, length n_hashes).
@@ -84,7 +84,10 @@ def minhash_signatures(
     Whole-batch numpy: one token-hash pass, then per-permutation rehash
     + segmented min (np.minimum.reduceat over document boundaries).
     ``char_n`` switches the item universe from word w-shingles to
-    character n-grams (byte-level rolling hash)."""
+    character n-grams (byte-level rolling hash). ``seed`` selects the
+    hash family; None means the default family (an explicit 0 is a
+    DISTINCT family — `seed or default` would conflate them, making two
+    deliberately-decorrelated LSH passes perfectly correlated)."""
     from dashing_spark.operators.agg import token_hashes_col
 
     ensure_shipped(df.sparkSession)
@@ -97,7 +100,8 @@ def minhash_signatures(
         [id_field, T.StructField("signature", T.ArrayType(T.LongType()), False)]
     )
     seeds = hashing.hash_int_array(
-        np.arange(1, n_hashes + 1, dtype=np.uint64), seed=seed or 0x5EED
+        np.arange(1, n_hashes + 1, dtype=np.uint64),
+        seed=0x5EED if seed is None else seed,
     )
 
     def fn(batches):
@@ -151,7 +155,15 @@ def pick_lsh_bands(n_hashes: int, threshold: float, max_miss: float = 1e-8) -> i
         b = n_hashes // r
         if b * math.log1p(-(threshold**r)) <= target:
             return b
-    return n_hashes  # r=1: every hash its own band (exact for any t>0)
+    # even r=1 misses the bound: (1-t)^n_hashes > max_miss. Silently
+    # returning r=1 anyway would violate the documented miss guarantee
+    # by orders of magnitude at low thresholds (t=0.1, n=128:
+    # 1.4e-6 vs the promised 1e-8) — make the caller choose.
+    need = math.ceil(math.log(max_miss) / math.log1p(-threshold))
+    raise ValueError(
+        f"no banding of {n_hashes} hashes meets miss <= {max_miss:g} at "
+        f"threshold {threshold}; use n_hashes >= {need} or relax max_miss"
+    )
 
 
 def lsh_band_rows(
@@ -417,6 +429,7 @@ def simhash_near_dups(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming, exact recall.
 
@@ -429,7 +442,10 @@ def simhash_near_dups(
     but keys carry ~3·64/B ≥ 32 bits, so the expected bucket size is
     n/2³² instead of n/2¹⁶ and the within-bucket self-join stays linear
     well past 10⁹ documents (the old bands go quadratic at ~10⁸).
-    Verify is JVM bit_count(a^b) — no Python in the pair stage."""
+    Verify is JVM bit_count(a^b) — no Python in the pair stage.
+    ``fps`` optionally supplies a precomputed (id, simhash) frame so a
+    caller comparing against an oracle doesn't pay the fingerprint
+    mapInPandas pass twice."""
     n_blocks = max_hamming + 3
     bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     block_exprs = [
@@ -444,7 +460,8 @@ def simhash_near_dups(
         F.xxhash64(F.lit(ti), block_exprs[i], block_exprs[j], block_exprs[k])
         for ti, (i, j, k) in enumerate(combinations(range(n_blocks), 3))
     ]
-    fps = simhash_fingerprints(df, id_col, text_col)
+    if fps is None:
+        fps = simhash_fingerprints(df, id_col, text_col)
     banded = fps.select(
         F.col(id_col),
         F.col("simhash"),
@@ -475,10 +492,12 @@ def simhash_bruteforce_pairs(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs SimHash Hamming ≤ max_hamming by brute force — the
     O(n²) recall oracle for `simhash_near_dups` on small fixtures."""
-    fps = simhash_fingerprints(df, id_col, text_col)
+    if fps is None:
+        fps = simhash_fingerprints(df, id_col, text_col)
     a = fps.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"))
     b = fps.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"))
     return (

@@ -42,8 +42,25 @@ from dashing_spark.operators.agg import SKETCH_COL
 from dashing_spark.operators.ship import ensure_shipped
 
 
+#: measures whose value depends on the (a, b) direction — mirroring a
+#: pair row for these must recompute with the triple's sides swapped
+ASYMMETRIC_MEASURES = frozenset(
+    ("containment", "containment_dist", "full_containment_dist")
+)
+_SWAP_PREFIX = "swap:"
+
+
 def _measures_udf(measures: Sequence[str], ksinv: float, estimator: str):
     measures = list(measures)
+
+    def _one(t0, t1, t2, ms, batch):
+        # "swap:<measure>": the same measure evaluated in the b->a
+        # direction (triple sides exchanged) — used by nearest_neighbors
+        # to mirror asymmetric measures correctly
+        if ms.startswith(_SWAP_PREFIX):
+            t0, t1, ms = t1, t0, ms[len(_SWAP_PREFIX):]
+        fn = measure_from_triple_batch if batch else measure_from_triple
+        return fn(t0, t1, t2, ms, ksinv)
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _cmp(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
@@ -62,16 +79,14 @@ def _measures_udf(measures: Sequence[str], ksinv: float, estimator: str):
             triples = triple_batch_from_blobs(al, bl, estimator)
         if triples is not None:
             t0, t1, t2 = triples
-            cols = [
-                measure_from_triple_batch(t0, t1, t2, ms, ksinv) for ms in measures
-            ]
+            cols = [_one(t0, t1, t2, ms, True) for ms in measures]
             stacked = np.stack(cols, axis=1)
             return pd.Series(list(stacked))
         out = []
         for ab, bb in zip(a_blobs, b_blobs):
             sa, sb = sketch_from_bytes(bytes(ab)), sketch_from_bytes(bytes(bb))
             t0, t1, t2 = set_triple_any(sa, sb, estimator)
-            out.append([measure_from_triple(t0, t1, t2, ms, ksinv) for ms in measures])
+            out.append([_one(t0, t1, t2, ms, False) for ms in measures])
         return pd.Series(out)
 
     return _cmp
@@ -186,12 +201,31 @@ def nearest_neighbors(
     the measure's natural direction (emt2nntype, src/dashing.h:268-280).
     ``n_blocks`` selects the grid pair strategy (see all_pairs)."""
     key_cols = list(key_cols)
-    ut = all_pairs(sketches, key_cols, (measure,), ksinv, estimator, n_blocks=n_blocks)
-    swapped = ut.select(
-        *[F.col(f"b_{k}").alias(f"a_{k}") for k in key_cols],
-        *[F.col(f"a_{k}").alias(f"b_{k}") for k in key_cols],
-        F.col(measure),
-    )
+    if measure in ASYMMETRIC_MEASURES:
+        # directional measure: the mirrored row must carry the value
+        # evaluated b->a, not a copy of a->b (containment(X in Y) and
+        # containment(Y in X) differ whenever |X| != |Y|) — one pair
+        # stage computes both directions from the same triple
+        swap_name = _SWAP_PREFIX + measure
+        ut = all_pairs(
+            sketches, key_cols, (measure, swap_name), ksinv, estimator,
+            n_blocks=n_blocks,
+        )
+        swapped = ut.select(
+            *[F.col(f"b_{k}").alias(f"a_{k}") for k in key_cols],
+            *[F.col(f"a_{k}").alias(f"b_{k}") for k in key_cols],
+            F.col(swap_name).alias(measure),
+        )
+        ut = ut.drop(swap_name)
+    else:
+        ut = all_pairs(
+            sketches, key_cols, (measure,), ksinv, estimator, n_blocks=n_blocks
+        )
+        swapped = ut.select(
+            *[F.col(f"b_{k}").alias(f"a_{k}") for k in key_cols],
+            *[F.col(f"a_{k}").alias(f"b_{k}") for k in key_cols],
+            F.col(measure),
+        )
     both = ut.select(swapped.columns).unionByName(swapped)
     direction = (
         [F.col(measure).asc()] if measure in DISTANCE_MEASURES else [F.col(measure).desc()]

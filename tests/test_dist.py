@@ -114,3 +114,40 @@ class TestGridAllPairs:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "__bb" in plan  # block-id equi key reaches the join
         sk.unpersist()
+
+
+class TestAsymmetricNeighborMirroring:
+    def test_containment_direction_differs_per_row(self, spark):
+        # X (10 tokens) ⊂ Y (100 tokens): containment(X in Y) = 1.0 but
+        # containment(Y in X) = 0.1 — the mirrored kNN row must carry
+        # the b->a value, not a copy of a->b
+        import pandas as pd
+
+        from dashing_spark.functions import HLL
+        from dashing_spark.operators import agg
+
+        toks_y = " ".join(f"w{i}" for i in range(100))
+        toks_x = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["X", "Y"], "text": [toks_x, toks_y]})
+        )
+        sk = agg.sketch_tokens_by_key(df, ["k"], lambda: HLL.empty(14))
+        nn = {
+            r["a_k"]: r["containment"]
+            for r in dist.nearest_neighbors(
+                sk, ["k"], 1, measure="containment"
+            ).collect()
+        }
+        assert nn["X"] > 0.9   # X is (nearly) contained in Y
+        assert nn["Y"] < 0.3   # Y is NOT contained in X
+
+
+class TestLshBandBoundEnforced:
+    def test_unmeetable_threshold_raises(self):
+        from dashing_spark.operators import dedup
+
+        with pytest.raises(ValueError, match="n_hashes"):
+            dedup.pick_lsh_bands(128, 0.1)
+        # and the documented thresholds still resolve
+        assert dedup.pick_lsh_bands(128, 0.5) == 64   # r=2
+        assert dedup.pick_lsh_bands(128, 0.9) == 32   # r=4
