@@ -502,6 +502,27 @@ def _merge_partials(
     return partials.groupBy(*key_cols).applyInPandas(merge_fn, schema=result_schema)
 
 
+def merge_sketches_by_key(
+    sketches: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Merge a (key..., sketch) table down to one sketch per key — the
+    cross-table union path (`dashing union` over sketch files built in
+    separate runs, /root/reference/src/union.cpp:32-58). Input rows may
+    come from different builds (e.g. different precisions after
+    `fold_expr`); blobs under one key must be merge-compatible."""
+    ensure_shipped(sketches.sparkSession)
+    result_schema = _result_schema(sketches, key_cols)
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_rows(pdf, key_cols)
+
+    return (
+        sketches.select(*key_cols, SKETCH_COL)
+        .groupBy(*key_cols)
+        .applyInPandas(merge_fn, schema=result_schema)
+    )
+
+
 def union_all_sketches(sketches: DataFrame, sketch_col: str = SKETCH_COL) -> DataFrame:
     """Merge every sketch in a table into ONE — `dashing union`
     (/root/reference/src/union.cpp:32-58). Partition-level partial merge

@@ -112,6 +112,40 @@ def _attach_measures(
     return pairs.drop("__m", a_col, b_col)
 
 
+#: auto-dispatch cap on the pair-grid side count: 64² block pairs is
+#: plenty of reducer parallelism while the left-side replication factor
+#: (B) stays two orders below the O(n) a row-hash join would add
+_MAX_GRID_BLOCKS = 64
+
+
+def pick_pair_strategy(sketches: DataFrame) -> int | None:
+    """Size-based physical-strategy selector for the all-pairs stage —
+    the Spark analogue of the reference's distance-matrix mmap spill
+    decision (/root/reference/distmat/distmat.h:188-248): small table →
+    broadcast nested-loop (returns None), large table → grid theta-join
+    (returns the block count B).
+
+    Sizing comes from Catalyst's optimized-plan statistics, which are
+    real whenever the sketch table is materialized (the 100 TB flow:
+    `plans/pipeline.py::build_or_resume_sketch_table` writes sketch
+    parquet, so the re-read scan has file-size stats). When stats are
+    the unknown sentinel (un-materialized applyInPandas output), we
+    keep the broadcast default rather than taxing small panels with
+    B-way replication — materialize the sketch table to opt in to the
+    selector at scale."""
+    jconf = sketches.sparkSession._jsparkSession.sessionState().conf()
+    threshold = int(jconf.autoBroadcastJoinThreshold())
+    if threshold <= 0:
+        threshold = 10 * 1024 * 1024
+    size = int(
+        sketches._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    unknown = size >= (1 << 60)  # defaultSizeInBytes sentinel region
+    if unknown or size <= threshold:
+        return None
+    return max(2, min(_MAX_GRID_BLOCKS, -(-size // threshold)))
+
+
 def all_pairs(
     sketches: DataFrame,
     key_cols: Sequence[str],
@@ -119,7 +153,7 @@ def all_pairs(
     ksinv: float = 1.0,
     estimator: str = "default",
     broadcast: bool = True,
-    n_blocks: int | None = None,
+    n_blocks: int | str | None = "auto",
 ) -> DataFrame:
     """Upper-triangular all-pairs comparison: rows with a_key < b_key —
     the long-format equivalent of the packed UT float32 matrix
@@ -138,9 +172,15 @@ def all_pairs(
     cross — and the `a < b` condition keeps each unordered pair once.
     Total traffic n·(B+1) rows vs the O(n²) a cartesian would shuffle:
     the classic O(n·√P) theta-join cost, and no executor ever holds
-    more than two blocks."""
+    more than two blocks.
+
+    ``n_blocks="auto"`` (the default) picks the strategy from the
+    table's Catalyst size statistics via :func:`pick_pair_strategy`;
+    pass an int to force the grid, or None to force broadcast."""
     ensure_shipped(sketches.sparkSession)
     key_cols = list(key_cols)
+    if n_blocks == "auto":
+        n_blocks = pick_pair_strategy(sketches)
     a = _prefixed(sketches, key_cols, "a_")
     b = _prefixed(sketches, key_cols, "b_")
     cond = F.struct(*[F.col(f"a_{k}") for k in key_cols]) < F.struct(
@@ -194,7 +234,7 @@ def nearest_neighbors(
     measure: str = "ji",
     ksinv: float = 1.0,
     estimator: str = "default",
-    n_blocks: int | None = None,
+    n_blocks: int | str | None = "auto",
 ) -> DataFrame:
     """Top-k neighbors per key (`--nearest-neighbors`): symmetric pairs
     mirrored to both directions, then Window row_number ≤ k ordered by
@@ -258,18 +298,23 @@ def multi_k_measures(
     ks: Sequence[int],
     measure: str = "mash_dist",
 ) -> DataFrame:
-    """`mkdist` sweep (/root/reference/src/mkdistmain.cpp:12-142): the
-    same pairwise DAG per k (here: the distance transform at each k-mer
-    scale), unioned long-format with a `k` column. The reference shells
-    out one subprocess per k; Spark just unions the plans."""
-    parts = []
-    for k in ks:
-        m = exact_pair_measures(df, key_col, item_col, (measure,), k=float(k))
-        parts.append(m.withColumn("k", F.lit(int(k))))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """`mkdist` sweep (/root/reference/src/mkdistmain.cpp:12-142),
+    one-scan: the pair set-triples are computed ONCE (one distinct +
+    one intersection shuffle — the expensive part at 100 TB), then each
+    k's distance transform is applied over an exploded literal k array,
+    yielding long-format (a_key, b_key, measure, k) rows from a single
+    pass. The reference shells out one subprocess per k; the former
+    Spark shape unioned one full scan+join per k — at a 3-k sweep this
+    plan moves 3× less data for identical output (pinned by
+    tests/test_plans.py::test_multi_k_single_scan and the
+    multi_k_flatten oracle gate)."""
+    triples = _pair_set_triples(df, key_col, item_col)
+    expl = triples.withColumn(
+        "k", F.explode(F.array(*[F.lit(int(k)) for k in ks]))
+    )
+    kk = F.col("k").cast("double")
+    exprs = _measure_exprs(kk, F.lit(1.0) / kk)
+    return expl.select("a_key", "b_key", exprs[measure].alias(measure), "k")
 
 
 def flatten_multi_k(pairs_mk: DataFrame, measure: str, ks: Sequence[int]) -> DataFrame:
@@ -310,6 +355,20 @@ def exact_pair_measures(
     ``k`` is the shingle (k-mer) width. The Mash-family transforms divide
     by ``k`` (never multiply by a pre-rounded 1/k) so the arithmetic is
     bit-identical to an ANSI-SQL oracle writing ``-ln(...) / k``."""
+    pairs = _pair_set_triples(df, key_col, item_col)
+    # ksinv precomputed as a Python double: same IEEE value as SQL 1.0/k
+    exprs = _measure_exprs(F.lit(float(k)), F.lit(1.0 / float(k)))
+    out = pairs.select(
+        "a_key", "b_key", *[exprs[ms].alias(ms) for ms in measures]
+    )
+    return out
+
+
+def _pair_set_triples(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
+    """Exact all-pairs set triples from raw (key, item) rows:
+    (a_key, b_key, sz_a, sz_b, t2) with a_key < b_key, zero-intersection
+    pairs kept. One distinct + one intersection equi-join — the only
+    data-proportional shuffles any measure family needs."""
     d = df.select(key_col, item_col).distinct()
     sizes = d.groupBy(key_col).agg(F.count("*").alias("sz"))
     a = d.select(F.col(key_col).alias("a_key"), F.col(item_col).alias("it"))
@@ -323,12 +382,19 @@ def exact_pair_measures(
     sz_a = sizes.select(F.col(key_col).alias("a_key"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(key_col).alias("b_key"), F.col("sz").alias("sz_b"))
     # cross of all key pairs (a<b) keeps zero-intersection pairs too
-    pairs = (
+    return (
         sz_a.crossJoin(sz_b)
         .filter(F.col("a_key") < F.col("b_key"))
         .join(inter, ["a_key", "b_key"], "left")
         .fillna({"t2": 0})
     )
+
+
+def _measure_exprs(kk, ksinv) -> dict:
+    """Measure-name -> Column expression over a set-triple row
+    (sz_a, sz_b, t2). ``kk`` / ``ksinv`` are Column expressions so the
+    same transforms serve both a fixed k (exact_pair_measures) and a
+    per-row k column (multi_k_measures)."""
     t0 = (F.col("sz_a") - F.col("t2")).cast("double")
     t1 = (F.col("sz_b") - F.col("t2")).cast("double")
     t2 = F.col("t2").cast("double")
@@ -339,22 +405,17 @@ def exact_pair_measures(
         "symmetric_containment": t2 / (F.least(t0, t1) + t2),
     }
     ji = exprs["ji"]
-    kk = F.lit(float(k))
-    ksinv = 1.0 / float(k)  # for pow() exponents: same IEEE double as SQL 1.0/k
     exprs["mash_dist"] = F.when(
         ji > 0, -F.log(F.lit(2.0) * ji / (F.lit(1.0) + ji)) / kk
     ).otherwise(1.0)
     exprs["full_mash_dist"] = F.when(
-        ji > 0, F.lit(1.0) - F.pow(F.lit(2.0) * ji / (F.lit(1.0) + ji), F.lit(ksinv))
+        ji > 0, F.lit(1.0) - F.pow(F.lit(2.0) * ji / (F.lit(1.0) + ji), ksinv)
     ).otherwise(1.0)
     c = exprs["containment"]
     exprs["containment_dist"] = F.when(c > 0, -F.log(c) / kk).otherwise(1.0)
     exprs["full_containment_dist"] = F.when(
-        c > 0, F.lit(1.0) - F.pow(c, F.lit(ksinv))
+        c > 0, F.lit(1.0) - F.pow(c, ksinv)
     ).otherwise(1.0)
     sci = exprs["symmetric_containment"]
     exprs["symmetric_containment_dist"] = F.when(sci > 0, -F.log(sci) / kk).otherwise(1.0)
-    out = pairs.select(
-        "a_key", "b_key", *[exprs[ms].alias(ms) for ms in measures]
-    )
-    return out
+    return exprs

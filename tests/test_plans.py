@@ -259,3 +259,74 @@ class TestPipelineOpPlans:
         # the training side streams, nothing corpus-sized shuffles for
         # the membership join
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestMultiKOneScan:
+    def test_multi_k_single_scan(self, spark, docs):
+        """VERDICT r3 #6: the k-sweep must share ONE scan + ONE
+        intersection join — per-k re-scans would multiply the dominant
+        shuffle by len(ks) at 100 TB. The 3-k sweep's exchange count
+        must equal a single-k exact_pair_measures plan's."""
+        from pyspark.sql import functions as F
+
+        toks = docs.select(
+            "lang", F.explode(F.split("text", " ", -1)).alias("token")
+        )
+        mk = dist.multi_k_measures(toks, "lang", "token", ks=(2, 3, 4))
+        single = dist.exact_pair_measures(
+            toks, "lang", "token", ("mash_dist",), k=2.0
+        )
+        n_mk = _plan(mk).count("Exchange hashpartitioning")
+        n_single = _plan(single).count("Exchange hashpartitioning")
+        assert n_mk == n_single, (n_mk, n_single)
+        # the per-k fan-out adds exactly ONE Generate (the literal k
+        # explode over the tiny pair table) on top of the single-k plan
+        # (the token explode itself appears in both)
+        assert (
+            _plan(mk).count("Generate explode")
+            == _plan(single).count("Generate explode") + 1
+        )
+
+
+class TestPairStrategyDispatch:
+    """VERDICT r3 #7: all_pairs auto-selects broadcast vs grid from the
+    sketch table's Catalyst size stats (reference analogue: the distmat
+    mmap spill decision)."""
+
+    def _materialized_sketches(self, spark, docs, tmp_path):
+        from pyspark.sql import functions as F
+
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+        path = str(tmp_path / "sk.parquet")
+        sk.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def test_small_table_broadcasts(self, spark, docs, tmp_path):
+        sk = self._materialized_sketches(spark, docs, tmp_path)
+        assert dist.pick_pair_strategy(sk) is None
+        plan = _plan(dist.all_pairs(sk, ["lang"]))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_large_table_gets_grid(self, spark, docs, tmp_path):
+        sk = self._materialized_sketches(spark, docs, tmp_path)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # shrink the threshold below the file size: the same table
+            # must now dispatch to the grid theta-join
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+            b = dist.pick_pair_strategy(sk)
+            assert b is not None and 2 <= b <= 64
+            plan = _plan(dist.all_pairs(sk, ["lang"]))
+            # grid signature: the tiny block-pair table is the broadcast
+            # side of an equi-join on the block id — no nested-loop of
+            # the full table against itself
+            assert "__bb" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_unknown_stats_keep_broadcast(self, spark, docs):
+        # un-materialized applyInPandas output has sentinel stats: the
+        # selector must NOT tax a small in-flight panel with B-way
+        # replication
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+        assert dist.pick_pair_strategy(sk) is None
