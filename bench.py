@@ -72,6 +72,8 @@ def main() -> None:
     # intrinsic cost) and carry the [min, max] band alongside
     repeats_default = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+    runs: dict[str, int] = {}
+
     def run(name, fn, repeats=None):
         times = []
         for _ in range(max(1, repeats or repeats_default)):
@@ -79,7 +81,9 @@ def main() -> None:
             fn()
             times.append(round(time.time() - t0, 3))
         timings[name] = min(times)
-        drift[name] = [min(times), max(times)]
+        runs[name] = len(times)
+        if len(times) > 1:  # a single run has no measured band
+            drift[name] = [min(times), max(times)]
 
     # q0: headline throughput at meaningful scale — 1M JVM-synthesized
     # pages (the sf tables are tiny; this is the docs/sec number that
@@ -339,10 +343,10 @@ def main() -> None:
         t0 = time.time()
         n_stream_pairs = dedup_stream.read_pairs(spark, state_dir).count()
         epoch_secs.append(round(time.time() - t0, 3))  # pair-union read
+        # single pass — epochs are stateful (committed epochs are no-op
+        # on retry), so q20 has runs=1 and no drift band
         timings["q20_streaming_dedup_3epochs"] = round(sum(epoch_secs), 3)
-        drift["q20_streaming_dedup_3epochs"] = [
-            timings["q20_streaming_dedup_3epochs"]
-        ] * 2
+        runs["q20_streaming_dedup_3epochs"] = 1
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
 
@@ -384,7 +388,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": repeats_default,
+                "runs_per_query": runs,
                 "drift_band": drift,
                 "streaming_epoch_secs": epoch_secs,
                 "streaming_pairs": n_stream_pairs,

@@ -511,15 +511,10 @@ def merge_sketches_by_key(
     come from different builds (e.g. different precisions after
     `fold_expr`); blobs under one key must be merge-compatible."""
     ensure_shipped(sketches.sparkSession)
-    result_schema = _result_schema(sketches, key_cols)
-
-    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_rows(pdf, key_cols)
-
-    return (
-        sketches.select(*key_cols, SKETCH_COL)
-        .groupBy(*key_cols)
-        .applyInPandas(merge_fn, schema=result_schema)
+    # the no-salt _merge_partials branch IS this operation (its
+    # drop(_PART_COL) is a no-op here) — one merge implementation
+    return _merge_partials(
+        sketches.select(*key_cols, SKETCH_COL), key_cols, salt=None
     )
 
 

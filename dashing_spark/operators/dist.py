@@ -128,18 +128,31 @@ def pick_pair_strategy(sketches: DataFrame) -> int | None:
     Sizing comes from Catalyst's optimized-plan statistics, which are
     real whenever the sketch table is materialized (the 100 TB flow:
     `plans/pipeline.py::build_or_resume_sketch_table` writes sketch
-    parquet, so the re-read scan has file-size stats). When stats are
-    the unknown sentinel (un-materialized applyInPandas output), we
-    keep the broadcast default rather than taxing small panels with
-    B-way replication — materialize the sketch table to opt in to the
-    selector at scale."""
+    parquet, so the re-read scan has file-size stats). Stats propagated
+    THROUGH a Python-eval node (un-materialized mapInPandas /
+    applyInPandas sketch builds) are input-scaled guesses — Catalyst
+    assumes UDF output ~ input size, so a 5-row sketch table over a
+    50M-doc scan "weighs" gigabytes. Those plans keep the broadcast
+    default rather than taxing small in-flight panels with B-way
+    replication — materialize the sketch table to opt in to the
+    selector at scale. Streaming plans also keep the default: the
+    optimizer pass would trip the batch-only checker, and sizing a
+    stream is meaningless anyway."""
+    if sketches.isStreaming:
+        return None
+    qe = sketches._jdf.queryExecution()
+    plan = qe.optimizedPlan()
+    plan_str = plan.toString()
+    if any(
+        tok in plan_str
+        for tok in ("InPandas", "MapInArrow", "PythonUDF", "MapPartitions")
+    ):
+        return None
     jconf = sketches.sparkSession._jsparkSession.sessionState().conf()
     threshold = int(jconf.autoBroadcastJoinThreshold())
     if threshold <= 0:
         threshold = 10 * 1024 * 1024
-    size = int(
-        sketches._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
+    size = int(plan.stats().sizeInBytes())
     unknown = size >= (1 << 60)  # defaultSizeInBytes sentinel region
     if unknown or size <= threshold:
         return None

@@ -324,9 +324,23 @@ class TestPairStrategyDispatch:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
-    def test_unknown_stats_keep_broadcast(self, spark, docs):
-        # un-materialized applyInPandas output has sentinel stats: the
-        # selector must NOT tax a small in-flight panel with B-way
-        # replication
-        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(10))
+    def test_unmaterialized_large_input_keeps_broadcast(self, spark):
+        # Catalyst propagates stats THROUGH Python-eval nodes as
+        # input-scaled guesses: a ~5-row sketch table over a 50M-doc
+        # scan "weighs" gigabytes. The selector must ignore such
+        # estimates — only materialized (file-backed) stats may engage
+        # the grid. Plan-only check: nothing executes.
+        from dashing_spark.sources.tables import synth_pages
+
+        sk = agg.sketch_tokens_by_key(
+            synth_pages(spark, 50_000_000), ["lang"], lambda: HLL.empty(10)
+        )
         assert dist.pick_pair_strategy(sk) is None
+
+    def test_streaming_plan_keeps_broadcast_without_throwing(self, spark):
+        # sizing a stream would trip the batch-only optimizer checker
+        # (AnalysisException at plan-construction time) — the selector
+        # must bail out before touching the optimized plan
+        stream = spark.readStream.format("rate").load()
+        assert stream.isStreaming
+        assert dist.pick_pair_strategy(stream) is None
