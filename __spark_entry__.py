@@ -208,10 +208,24 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/dashing.h:131-136) gated in a single query.
     One shared exact-count scan; each sketch build is its own
     two-stage aggregation."""
+    from dashing_spark.functions import CountMinSketch
+    from dashing_spark.functions.heavykeeper import HeavyKeeper
+
     docs = _docs(spark, sf_dir)
     top = freq.top_k_tokens(docs, ["lang"], k=5)
-    cms = freq.cms_by_key(docs, ["lang"], lg_width=16, depth=4)
-    hks = freq.heavykeeper_by_key(docs, ["lang"], lg_width=12, depth=2)
+    # one pass over the token-hash stream updates both frequency sketches
+    toks_h = _lang_tokens(docs).withColumn("__h", F.xxhash64("token"))
+    sk_all = agg.sketch_hash_col_multi_type(
+        toks_h,
+        ["lang"],
+        {
+            "cms": lambda: CountMinSketch.empty(16, 4),
+            "hk": lambda: HeavyKeeper(12, 2),
+        },
+        "__h",
+    )
+    cms = sk_all.filter(F.col("sketch_type") == "cms").drop("sketch_type")
+    hks = sk_all.filter(F.col("sketch_type") == "hk").drop("sketch_type")
     est = freq.cms_point_query(top, cms, ["lang"])
     est = freq.cms_point_query(
         est.select("lang", "token", "cnt", "rank", "cm_est"),
@@ -354,13 +368,18 @@ def q_minhash_family_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _lang_tokens(docs)
     out = dist.exact_pair_measures(toks, "lang", "token", ("ji",))
     families = [
-        ("kmv_ji_ok", lambda: KMV.empty(1024), 0.05),
-        ("bbmh_ji_ok", lambda: BBitMinHash.empty(12, 16), 0.08),
-        ("hmh_ji_ok", lambda: HyperMinHash.empty(12, 10), 0.08),
-        ("smh_ji_ok", lambda: SuperMinHash.empty(1024), 0.05),
+        ("kmv_ji_ok", "kmv", lambda: KMV.empty(1024), 0.05),
+        ("bbmh_ji_ok", "bbmh", lambda: BBitMinHash.empty(12, 16), 0.08),
+        ("hmh_ji_ok", "hmh", lambda: HyperMinHash.empty(12, 10), 0.08),
+        ("smh_ji_ok", "smh", lambda: SuperMinHash.empty(1024), 0.05),
     ]
-    for ok_name, make_sketch, tol in families:
-        sk = agg.sketch_tokens_by_key(docs, ["lang"], make_sketch)
+    # one scan builds all four families' sketches (the reference runs
+    # one process — one input pass — per sketch type)
+    sk_all = agg.sketch_tokens_multi_type(
+        docs, ["lang"], {name: mk for _, name, mk, _ in families}
+    )
+    for ok_name, name, _, tol in families:
+        sk = sk_all.filter(F.col("sketch_type") == name).drop("sketch_type")
         est = dist.all_pairs(sk, ["lang"], measures=("ji",)).select(
             F.col("a_lang").alias("a_key"),
             F.col("b_lang").alias("b_key"),
@@ -373,7 +392,7 @@ def q_minhash_family_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ji", 9).alias("ji"),
         *[
             (F.abs(F.col(f"__est_{ok}") - F.col("ji")) <= tol).alias(ok)
-            for ok, _, tol in families
+            for ok, _, _, tol in families
         ],
     )
 
@@ -425,15 +444,21 @@ def q_counting_wji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = _lang_tokens(docs).withColumn("__h", F.xxhash64("token"))
-    sk_cr = agg.sketch_hash_col_by_key(
-        toks, ["lang"], lambda: CountingKMV.empty(2048), "__h"
-    )
-    sk_cb = agg.sketch_hash_col_by_key(
-        toks, ["lang"], lambda: CountingBBitMinHash.empty(12, 16), "__h"
+    # one pass over the token-hash stream updates both counting sketches
+    sk_all = agg.sketch_hash_col_multi_type(
+        toks,
+        ["lang"],
+        {
+            "crmh": lambda: CountingKMV.empty(2048),
+            "cbbmh": lambda: CountingBBitMinHash.empty(12, 16),
+        },
+        "__h",
     )
     exact = _exact_wji_pairs(docs)
-    cr_blobs = {r["lang"]: bytes(r["sketch"]) for r in sk_cr.collect()}
-    cb_blobs = {r["lang"]: bytes(r["sketch"]) for r in sk_cb.collect()}
+    blobs: dict[str, dict] = {"crmh": {}, "cbbmh": {}}
+    for r in sk_all.collect():
+        blobs[r["sketch_type"]][r["lang"]] = bytes(r["sketch"])
+    cr_blobs, cb_blobs = blobs["crmh"], blobs["cbbmh"]
 
     @F.udf(T.DoubleType())
     def crmh_sim(a_key, b_key):  # 10 pairs — driver-side blobs, tiny
@@ -1562,8 +1587,14 @@ def q_multi_w_shingle_ji(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle widths are different item universes, so JI varies with w.
     Exact per-lang-pair JI at w∈{1,2} hash-gated; the w-shingle HLL
     sketch estimate bound-checked per w. Exercises the shingle_w>1
-    kernel end-to-end under the oracle gate."""
+    kernel end-to-end under the oracle gate. Sketches for BOTH widths
+    come from agg.sketch_tokens_multi_w — one input scan for the whole
+    width sweep (the 100 TB-correct shape; per-width bit-identity to
+    the single-w kernel is pytest-pinned)."""
     docs = _docs(spark, sf_dir)
+    sk_all = agg.sketch_tokens_multi_w(
+        docs, ["lang"], lambda: HLL.empty(P_HLL), ws=(1, 2)
+    )
     parts = []
     for w in (1, 2):
         if w == 1:
@@ -1579,9 +1610,7 @@ def q_multi_w_shingle_ji(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang", F.explode(sh).alias("token")
             )
         exact = dist.exact_pair_measures(items, "lang", "token", ("ji",))
-        sk = agg.sketch_tokens_by_key(
-            docs, ["lang"], lambda: HLL.empty(P_HLL), shingle_w=w
-        )
+        sk = sk_all.filter(F.col("w") == w).drop("w")
         est = dist.all_pairs(sk, ["lang"], measures=("ji",)).select(
             F.col("a_lang").alias("a_key"),
             F.col("b_lang").alias("b_key"),

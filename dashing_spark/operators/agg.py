@@ -252,6 +252,197 @@ def sketch_tokens_by_key(
     return _merge_partials(partials, key_cols, salt, counters)
 
 
+def sketch_tokens_multi_w(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    make_sketch: Callable[[], object],
+    ws: Sequence[int],
+    text_col: str = "text",
+    seed: int = 0,
+    salt: int | None = None,
+) -> DataFrame:
+    """One sketch per (w, key) for EVERY shingle width in ``ws`` from a
+    single scan: tokens are hashed once per Arrow batch, then each
+    width's shingle roll + sketch update runs over the same hash array.
+    The multi-width sweep analogue of the reference's mkdist regime
+    (/root/reference/src/mkdistmain.cpp:12-142, one subprocess — i.e.
+    one full input pass — per k); at 100 TB the input scan dominates,
+    so an n-width sweep must not cost n scans. Output columns:
+    (w:int, *key_cols, sketch). Each width's sketch is bit-identical to
+    ``sketch_tokens_by_key(df, key_cols, make_sketch, shingle_w=w)``
+    (pinned by tests)."""
+    ensure_shipped(df.sparkSession)
+    key_cols = list(key_cols)
+    ws = [int(w) for w in ws]
+    if len(set(ws)) != len(ws) or not ws:
+        raise ValueError(f"ws must be non-empty and distinct, got {ws}")
+    src = df.select(*key_cols, text_col)
+    out_keys = ["w"] + key_cols
+    partial_schema = T.StructType(
+        [T.StructField("w", T.IntegerType(), False)]
+        + _key_schema(src, key_cols)
+        + [
+            T.StructField(_PART_COL, T.IntegerType(), False),
+            T.StructField(SKETCH_COL, T.BinaryType(), False),
+        ]
+    )
+    n_keys = len(key_cols)
+
+    def partial_fn(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(partial_schema)
+        acc: dict[tuple, object] = {}
+        for rb in batches:
+            th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
+            codes, uniq = _batch_key_codes(rb, n_keys)
+            for w in ws:
+                sh, doc_idx = hashing.shingle_hashes(th, lens, w=w, seed=seed)
+                if len(sh):
+                    shingle_codes = codes[doc_idx]
+                    order = np.argsort(shingle_codes, kind="stable")
+                    bounds = np.searchsorted(
+                        shingle_codes[order], np.arange(len(uniq) + 1)
+                    )
+                for ci, key in enumerate(uniq):
+                    wk = (w, *key)
+                    sk = acc.get(wk)
+                    if sk is None:
+                        sk = acc[wk] = make_sketch()
+                    if len(sh):
+                        seg = order[bounds[ci] : bounds[ci + 1]]
+                        if len(seg):
+                            sk.update_hashes(sh[seg])
+        yield pa.RecordBatch.from_pandas(
+            _emit_partials(acc, out_keys),
+            schema=arrow_schema,
+            preserve_index=False,
+        )
+
+    partials = src.mapInArrow(partial_fn, schema=partial_schema)
+    return _merge_partials(partials, out_keys, salt)
+
+
+def sketch_tokens_multi_type(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    factories: "dict[str, Callable[[], object]]",
+    text_col: str = "text",
+    shingle_w: int = 1,
+    seed: int = 0,
+    salt: int | None = None,
+) -> DataFrame:
+    """One sketch of EVERY type in ``factories`` per key from a single
+    scan: tokens are hashed and shingled once per Arrow batch, then each
+    type's sketch consumes the same hash array. The reference runs one
+    process per sketch type (one full input pass each,
+    /root/reference/src/dashing.cpp sketch_core); at 100 TB an n-type
+    comparison study must not cost n scans. Output columns:
+    (sketch_type:string, *key_cols, sketch); each type's blobs are
+    bit-identical to ``sketch_tokens_by_key`` with that factory
+    (pinned by tests)."""
+    ensure_shipped(df.sparkSession)
+    key_cols = list(key_cols)
+    factories = dict(factories)
+    if not factories:
+        raise ValueError("factories must be non-empty")
+    src = df.select(*key_cols, text_col)
+    out_keys = ["sketch_type"] + key_cols
+    partial_schema = T.StructType(
+        [T.StructField("sketch_type", T.StringType(), False)]
+        + _key_schema(src, key_cols)
+        + [
+            T.StructField(_PART_COL, T.IntegerType(), False),
+            T.StructField(SKETCH_COL, T.BinaryType(), False),
+        ]
+    )
+    n_keys = len(key_cols)
+
+    def partial_fn(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(partial_schema)
+        acc: dict[tuple, object] = {}
+        for rb in batches:
+            th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
+            sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
+            codes, uniq = _batch_key_codes(rb, n_keys)
+            if len(sh):
+                shingle_codes = codes[doc_idx]
+                order = np.argsort(shingle_codes, kind="stable")
+                bounds = np.searchsorted(
+                    shingle_codes[order], np.arange(len(uniq) + 1)
+                )
+            for ci, key in enumerate(uniq):
+                seg = order[bounds[ci] : bounds[ci + 1]] if len(sh) else None
+                for name, make_sketch in factories.items():
+                    tk = (name, *key)
+                    sk = acc.get(tk)
+                    if sk is None:
+                        sk = acc[tk] = make_sketch()
+                    if seg is not None and len(seg):
+                        sk.update_hashes(sh[seg])
+        yield pa.RecordBatch.from_pandas(
+            _emit_partials(acc, out_keys),
+            schema=arrow_schema,
+            preserve_index=False,
+        )
+
+    partials = src.mapInArrow(partial_fn, schema=partial_schema)
+    return _merge_partials(partials, out_keys, salt)
+
+
+def sketch_hash_col_multi_type(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    factories: "dict[str, Callable[[], object]]",
+    hash_col: str,
+    salt: int | None = None,
+) -> DataFrame:
+    """Multi-type variant of :func:`sketch_hash_col_by_key`: one scan of
+    a precomputed int64 hash column updates EVERY factory's sketch per
+    key. Same output shape as :func:`sketch_tokens_multi_type`."""
+    ensure_shipped(df.sparkSession)
+    key_cols = list(key_cols)
+    factories = dict(factories)
+    if not factories:
+        raise ValueError("factories must be non-empty")
+    src = df.select(*key_cols, hash_col)
+    out_keys = ["sketch_type"] + key_cols
+    partial_schema = T.StructType(
+        [T.StructField("sketch_type", T.StringType(), False)]
+        + _key_schema(src, key_cols)
+        + [
+            T.StructField(_PART_COL, T.IntegerType(), False),
+            T.StructField(SKETCH_COL, T.BinaryType(), False),
+        ]
+    )
+
+    def partial_fn(batches):
+        acc: dict[tuple, object] = {}
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            keys = list(zip(*(pdf[k] for k in key_cols)))
+            codes, uniq = pd.factorize(pd.Series(keys, dtype=object))
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+            for ci, key in enumerate(uniq):
+                seg = order[bounds[ci] : bounds[ci + 1]]
+                for name, make_sketch in factories.items():
+                    tk = (name, *key)
+                    sk = acc.get(tk)
+                    if sk is None:
+                        sk = acc[tk] = make_sketch()
+                    if len(seg):
+                        sk.update_hashes(h[seg])
+        yield _emit_partials(acc, out_keys)
+
+    partials = src.mapInPandas(partial_fn, schema=partial_schema)
+    return _merge_partials(partials, out_keys, salt)
+
+
 def _sketch_tokens_weighted_cm(
     df: DataFrame,
     key_cols: list,

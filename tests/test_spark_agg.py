@@ -200,3 +200,119 @@ class TestSynthPages:
             "url", "warc_ts", "html", "text", "lang",
         ]
         assert pages.count() == 10
+
+
+class TestMultiWidthOneScan:
+    def test_multi_w_bit_identical_to_single_w(self, spark, docs):
+        """sketch_tokens_multi_w must produce, per width, byte-identical
+        blobs to the single-width kernel — the one-scan sweep is a pure
+        execution-strategy change."""
+        from dashing_spark.operators import agg as _agg
+
+        multi = {
+            (r["w"], r["lang"]): bytes(r["sketch"])
+            for r in _agg.sketch_tokens_multi_w(
+                docs, ["lang"], lambda: HLL.empty(12), ws=(1, 2, 3)
+            ).collect()
+        }
+        for w in (1, 2, 3):
+            single = {
+                r["lang"]: bytes(r["sketch"])
+                for r in _agg.sketch_tokens_by_key(
+                    docs, ["lang"], lambda: HLL.empty(12), shingle_w=w
+                ).collect()
+            }
+            assert {k[1] for k in multi if k[0] == w} == set(single)
+            for lang, blob in single.items():
+                assert multi[(w, lang)] == blob, (w, lang)
+
+    def test_multi_w_single_scan_plan(self, spark, docs):
+        """The whole width sweep must cost ONE input scan + ONE partial
+        stage — per-width re-scans are what the kernel exists to avoid."""
+        from dashing_spark.operators import agg as _agg
+
+        sk = _agg.sketch_tokens_multi_w(
+            docs, ["lang"], lambda: HLL.empty(12), ws=(1, 2, 3)
+        )
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("MapInArrow") == 1
+
+    def test_multi_w_rejects_duplicate_widths(self, spark, docs):
+        import pytest as _pytest
+
+        from dashing_spark.operators import agg as _agg
+
+        with _pytest.raises(ValueError):
+            _agg.sketch_tokens_multi_w(
+                docs, ["lang"], lambda: HLL.empty(12), ws=(2, 2)
+            )
+
+
+class TestMultiTypeOneScan:
+    FACTORIES = None  # built lazily (imports)
+
+    def _factories(self):
+        from dashing_spark.functions.bbmh import BBitMinHash
+        from dashing_spark.functions.kmv import KMV
+        from dashing_spark.functions.smh import SuperMinHash
+
+        return {
+            "kmv": lambda: KMV.empty(256),
+            "bbmh": lambda: BBitMinHash.empty(10, 16),
+            "smh": lambda: SuperMinHash.empty(256),
+        }
+
+    def test_multi_type_bit_identical_to_single_type(self, spark, docs):
+        """sketch_tokens_multi_type must produce, per type, byte-identical
+        blobs to the single-type kernel."""
+        facs = self._factories()
+        multi = {
+            (r["sketch_type"], r["lang"]): bytes(r["sketch"])
+            for r in agg.sketch_tokens_multi_type(docs, ["lang"], facs).collect()
+        }
+        for name, mk in facs.items():
+            single = {
+                r["lang"]: bytes(r["sketch"])
+                for r in agg.sketch_tokens_by_key(docs, ["lang"], mk).collect()
+            }
+            for lang, blob in single.items():
+                assert multi[(name, lang)] == blob, (name, lang)
+
+    def test_hash_col_multi_type_bit_identical(self, spark, docs):
+        from dashing_spark.functions import CountMinSketch
+
+        toks = docs.select(
+            "lang", F.explode(F.split("text", " ", -1)).alias("t")
+        ).withColumn("__h", F.xxhash64("t"))
+        facs = {
+            "hll": lambda: HLL.empty(10),
+            "cms": lambda: CountMinSketch.empty(12, 2),
+        }
+        multi = {
+            (r["sketch_type"], r["lang"]): bytes(r["sketch"])
+            for r in agg.sketch_hash_col_multi_type(
+                toks, ["lang"], facs, "__h"
+            ).collect()
+        }
+        for name, mk in facs.items():
+            single = {
+                r["lang"]: bytes(r["sketch"])
+                for r in agg.sketch_hash_col_by_key(
+                    toks, ["lang"], mk, "__h"
+                ).collect()
+            }
+            for lang, blob in single.items():
+                assert multi[(name, lang)] == blob, (name, lang)
+
+    def test_multi_type_single_scan_plan(self, spark, docs):
+        sk = agg.sketch_tokens_multi_type(docs, ["lang"], self._factories())
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("MapInArrow") == 1
+
+    def test_multi_type_rejects_empty(self, spark, docs):
+        with pytest.raises(ValueError):
+            agg.sketch_tokens_multi_type(docs, ["lang"], {})
+        with pytest.raises(ValueError):
+            agg.sketch_hash_col_multi_type(docs, ["lang"], {}, "doc_id")
