@@ -214,16 +214,17 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     top = freq.top_k_tokens(docs, ["lang"], k=5)
     # one pass over the token-hash stream updates both frequency sketches
-    toks_h = _lang_tokens(docs).withColumn("__h", F.xxhash64("token"))
-    sk_all = agg.sketch_hash_col_multi_type(
-        toks_h,
+    # cached eagerly: the cms/hk filter branches would otherwise each
+    # re-run the token scan (no runtime exchange reuse across branches)
+    sk_all = freq.freq_sketches_by_key(
+        docs,
         ["lang"],
         {
             "cms": lambda: CountMinSketch.empty(16, 4),
             "hk": lambda: HeavyKeeper(12, 2),
         },
-        "__h",
-    )
+    ).cache()
+    sk_all.count()
     cms = sk_all.filter(F.col("sketch_type") == "cms").drop("sketch_type")
     hks = sk_all.filter(F.col("sketch_type") == "hk").drop("sketch_type")
     est = freq.cms_point_query(top, cms, ["lang"])
@@ -374,10 +375,14 @@ def q_minhash_family_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("smh_ji_ok", "smh", lambda: SuperMinHash.empty(1024), 0.05),
     ]
     # one scan builds all four families' sketches (the reference runs
-    # one process — one input pass — per sketch type)
+    # one process — one input pass — per sketch type). The tiny sketch
+    # table is cached EAGERLY: exchange reuse does NOT fire across the
+    # per-family filter branches at runtime (accumulator-verified), so
+    # without materialization each branch side would re-run the scan.
     sk_all = agg.sketch_tokens_multi_type(
         docs, ["lang"], {name: mk for _, name, mk, _ in families}
-    )
+    ).cache()
+    sk_all.count()
     for ok_name, name, _, tol in families:
         sk = sk_all.filter(F.col("sketch_type") == name).drop("sketch_type")
         est = dist.all_pairs(sk, ["lang"], measures=("ji",)).select(
@@ -1592,9 +1597,12 @@ def q_multi_w_shingle_ji(spark: SparkSession, sf_dir: str) -> DataFrame:
     width sweep (the 100 TB-correct shape; per-width bit-identity to
     the single-w kernel is pytest-pinned)."""
     docs = _docs(spark, sf_dir)
+    # cached eagerly: the per-w filter branches would otherwise re-run
+    # the scan (runtime exchange reuse does not fire across branches)
     sk_all = agg.sketch_tokens_multi_w(
         docs, ["lang"], lambda: HLL.empty(P_HLL), ws=(1, 2)
-    )
+    ).cache()
+    sk_all.count()
     parts = []
     for w in (1, 2):
         if w == 1:

@@ -252,6 +252,97 @@ def sketch_tokens_by_key(
     return _merge_partials(partials, key_cols, salt, counters)
 
 
+def _sketch_tokens_multi(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    tag_field: "T.StructField",
+    variants: "list[tuple[object, int, Callable[[], object]]]",
+    text_col: str,
+    seed: int,
+    salt: int | None,
+    counters: dict | None = None,
+) -> DataFrame:
+    """Shared engine for the one-scan sweep kernels: tokens are hashed
+    once per Arrow batch; each distinct shingle width among ``variants``
+    is rolled once; every variant's sketch consumes its width's hash
+    segment. ``variants`` is [(tag_value, shingle_w, factory)]; the tag
+    becomes the leading output column named by ``tag_field``. Output:
+    (tag, *key_cols, sketch); each variant's blobs are bit-identical to
+    ``sketch_tokens_by_key`` with that (factory, shingle_w) — pinned by
+    tests."""
+    ensure_shipped(df.sparkSession)
+    key_cols = list(key_cols)
+    if not variants:
+        raise ValueError("variants must be non-empty")
+    tags = [t for t, _, _ in variants]
+    if len(set(tags)) != len(tags):
+        raise ValueError(f"variant tags must be distinct, got {tags}")
+    if any(w < 1 for _, w, _ in variants):
+        raise ValueError("shingle widths must be >= 1")
+    src = df.select(*key_cols, text_col)
+    out_keys = [tag_field.name] + key_cols
+    partial_schema = T.StructType(
+        [tag_field]
+        + _key_schema(src, key_cols)
+        + [
+            T.StructField(_PART_COL, T.IntegerType(), False),
+            T.StructField(SKETCH_COL, T.BinaryType(), False),
+        ]
+    )
+    n_keys = len(key_cols)
+    widths = sorted({w for _, w, _ in variants})
+
+    def partial_fn(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(partial_schema)
+        acc: dict[tuple, object] = {}
+        n_rows = 0
+        for rb in batches:
+            n_rows += rb.num_rows
+            th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
+            codes, uniq = _batch_key_codes(rb, n_keys)
+            for w in widths:
+                sh, doc_idx = hashing.shingle_hashes(th, lens, w=w, seed=seed)
+                if len(sh):
+                    shingle_codes = codes[doc_idx]
+                    order = np.argsort(shingle_codes, kind="stable")
+                    bounds = np.searchsorted(
+                        shingle_codes[order], np.arange(len(uniq) + 1)
+                    )
+                w_variants = [(t, mk) for t, vw, mk in variants if vw == w]
+                for ci, key in enumerate(uniq):
+                    vals = None
+                    if len(sh):
+                        seg = order[bounds[ci] : bounds[ci + 1]]
+                        if len(seg):
+                            # one fancy-index copy per key, shared by
+                            # every sketch type (update_hashes never
+                            # mutates its input)
+                            vals = sh[seg]
+                    for tag, make_sketch in w_variants:
+                        tk = (tag, *key)
+                        sk = acc.get(tk)
+                        if sk is None:
+                            sk = acc[tk] = make_sketch()
+                        if vals is not None:
+                            sk.update_hashes(vals)
+        if counters:
+            if "rows" in counters:
+                counters["rows"].add(n_rows)
+            if "partials" in counters:
+                counters["partials"].add(len(acc))
+        yield pa.RecordBatch.from_pandas(
+            _emit_partials(acc, out_keys),
+            schema=arrow_schema,
+            preserve_index=False,
+        )
+
+    partials = src.mapInArrow(partial_fn, schema=partial_schema)
+    return _merge_partials(partials, out_keys, salt, counters)
+
+
 def sketch_tokens_multi_w(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -260,68 +351,27 @@ def sketch_tokens_multi_w(
     text_col: str = "text",
     seed: int = 0,
     salt: int | None = None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """One sketch per (w, key) for EVERY shingle width in ``ws`` from a
-    single scan: tokens are hashed once per Arrow batch, then each
-    width's shingle roll + sketch update runs over the same hash array.
-    The multi-width sweep analogue of the reference's mkdist regime
-    (/root/reference/src/mkdistmain.cpp:12-142, one subprocess — i.e.
-    one full input pass — per k); at 100 TB the input scan dominates,
-    so an n-width sweep must not cost n scans. Output columns:
-    (w:int, *key_cols, sketch). Each width's sketch is bit-identical to
-    ``sketch_tokens_by_key(df, key_cols, make_sketch, shingle_w=w)``
-    (pinned by tests)."""
-    ensure_shipped(df.sparkSession)
-    key_cols = list(key_cols)
+    single scan. The multi-width sweep analogue of the reference's
+    mkdist regime (/root/reference/src/mkdistmain.cpp:12-142, one
+    subprocess — i.e. one full input pass — per k); at 100 TB the
+    input scan dominates, so an n-width sweep must not cost n scans.
+    Output columns: (w:int, *key_cols, sketch)."""
     ws = [int(w) for w in ws]
     if len(set(ws)) != len(ws) or not ws:
         raise ValueError(f"ws must be non-empty and distinct, got {ws}")
-    src = df.select(*key_cols, text_col)
-    out_keys = ["w"] + key_cols
-    partial_schema = T.StructType(
-        [T.StructField("w", T.IntegerType(), False)]
-        + _key_schema(src, key_cols)
-        + [
-            T.StructField(_PART_COL, T.IntegerType(), False),
-            T.StructField(SKETCH_COL, T.BinaryType(), False),
-        ]
+    return _sketch_tokens_multi(
+        df,
+        key_cols,
+        T.StructField("w", T.IntegerType(), False),
+        [(w, w, make_sketch) for w in ws],
+        text_col,
+        seed,
+        salt,
+        counters,
     )
-    n_keys = len(key_cols)
-
-    def partial_fn(batches):
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        arrow_schema = to_arrow_schema(partial_schema)
-        acc: dict[tuple, object] = {}
-        for rb in batches:
-            th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
-            codes, uniq = _batch_key_codes(rb, n_keys)
-            for w in ws:
-                sh, doc_idx = hashing.shingle_hashes(th, lens, w=w, seed=seed)
-                if len(sh):
-                    shingle_codes = codes[doc_idx]
-                    order = np.argsort(shingle_codes, kind="stable")
-                    bounds = np.searchsorted(
-                        shingle_codes[order], np.arange(len(uniq) + 1)
-                    )
-                for ci, key in enumerate(uniq):
-                    wk = (w, *key)
-                    sk = acc.get(wk)
-                    if sk is None:
-                        sk = acc[wk] = make_sketch()
-                    if len(sh):
-                        seg = order[bounds[ci] : bounds[ci + 1]]
-                        if len(seg):
-                            sk.update_hashes(sh[seg])
-        yield pa.RecordBatch.from_pandas(
-            _emit_partials(acc, out_keys),
-            schema=arrow_schema,
-            preserve_index=False,
-        )
-
-    partials = src.mapInArrow(partial_fn, schema=partial_schema)
-    return _merge_partials(partials, out_keys, salt)
 
 
 def sketch_tokens_multi_type(
@@ -332,66 +382,26 @@ def sketch_tokens_multi_type(
     shingle_w: int = 1,
     seed: int = 0,
     salt: int | None = None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """One sketch of EVERY type in ``factories`` per key from a single
-    scan: tokens are hashed and shingled once per Arrow batch, then each
-    type's sketch consumes the same hash array. The reference runs one
-    process per sketch type (one full input pass each,
-    /root/reference/src/dashing.cpp sketch_core); at 100 TB an n-type
-    comparison study must not cost n scans. Output columns:
-    (sketch_type:string, *key_cols, sketch); each type's blobs are
-    bit-identical to ``sketch_tokens_by_key`` with that factory
-    (pinned by tests)."""
-    ensure_shipped(df.sparkSession)
-    key_cols = list(key_cols)
+    scan. The reference runs one process per sketch type (one full
+    input pass each, /root/reference/src/dashing.cpp sketch_core); at
+    100 TB an n-type comparison study must not cost n scans. Output
+    columns: (sketch_type:string, *key_cols, sketch)."""
     factories = dict(factories)
     if not factories:
         raise ValueError("factories must be non-empty")
-    src = df.select(*key_cols, text_col)
-    out_keys = ["sketch_type"] + key_cols
-    partial_schema = T.StructType(
-        [T.StructField("sketch_type", T.StringType(), False)]
-        + _key_schema(src, key_cols)
-        + [
-            T.StructField(_PART_COL, T.IntegerType(), False),
-            T.StructField(SKETCH_COL, T.BinaryType(), False),
-        ]
+    return _sketch_tokens_multi(
+        df,
+        key_cols,
+        T.StructField("sketch_type", T.StringType(), False),
+        [(name, shingle_w, mk) for name, mk in factories.items()],
+        text_col,
+        seed,
+        salt,
+        counters,
     )
-    n_keys = len(key_cols)
-
-    def partial_fn(batches):
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        arrow_schema = to_arrow_schema(partial_schema)
-        acc: dict[tuple, object] = {}
-        for rb in batches:
-            th, lens = hashing.hash_tokens_arrow(rb.column(n_keys))
-            sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w, seed=seed)
-            codes, uniq = _batch_key_codes(rb, n_keys)
-            if len(sh):
-                shingle_codes = codes[doc_idx]
-                order = np.argsort(shingle_codes, kind="stable")
-                bounds = np.searchsorted(
-                    shingle_codes[order], np.arange(len(uniq) + 1)
-                )
-            for ci, key in enumerate(uniq):
-                seg = order[bounds[ci] : bounds[ci + 1]] if len(sh) else None
-                for name, make_sketch in factories.items():
-                    tk = (name, *key)
-                    sk = acc.get(tk)
-                    if sk is None:
-                        sk = acc[tk] = make_sketch()
-                    if seg is not None and len(seg):
-                        sk.update_hashes(sh[seg])
-        yield pa.RecordBatch.from_pandas(
-            _emit_partials(acc, out_keys),
-            schema=arrow_schema,
-            preserve_index=False,
-        )
-
-    partials = src.mapInArrow(partial_fn, schema=partial_schema)
-    return _merge_partials(partials, out_keys, salt)
 
 
 def sketch_hash_col_multi_type(
@@ -430,13 +440,14 @@ def sketch_hash_col_multi_type(
             bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
             for ci, key in enumerate(uniq):
                 seg = order[bounds[ci] : bounds[ci + 1]]
+                vals = h[seg] if len(seg) else None  # one copy per key
                 for name, make_sketch in factories.items():
                     tk = (name, *key)
                     sk = acc.get(tk)
                     if sk is None:
                         sk = acc[tk] = make_sketch()
-                    if len(seg):
-                        sk.update_hashes(h[seg])
+                    if vals is not None:
+                        sk.update_hashes(vals)
         yield _emit_partials(acc, out_keys)
 
     partials = src.mapInPandas(partial_fn, schema=partial_schema)

@@ -45,6 +45,25 @@ def top_k_tokens(
     )
 
 
+def freq_sketches_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    factories: "dict[str, object]",
+    text_col: str = "text",
+    salt: int | None = None,
+) -> DataFrame:
+    """EVERY frequency sketch in ``factories`` (name -> factory, e.g.
+    CMS + HeavyKeeper) per key from ONE pass over the token stream —
+    output (sketch_type, *key_cols, sketch). Keeps the build-side
+    tokenize+hash convention (explode(split) + seedless xxhash64) in
+    this module, matched with cms_point_query's candidate hashing, so
+    the two cannot drift apart."""
+    toks = df.select(
+        *key_cols, F.explode(F.split(F.col(text_col), " ", -1)).alias("token")
+    ).withColumn("__h", F.xxhash64("token"))
+    return agg.sketch_hash_col_multi_type(toks, key_cols, factories, "__h", salt=salt)
+
+
 def cms_by_key(
     df: DataFrame,
     key_cols: Sequence[str],

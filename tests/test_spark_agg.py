@@ -316,3 +316,39 @@ class TestMultiTypeOneScan:
             agg.sketch_tokens_multi_type(docs, ["lang"], {})
         with pytest.raises(ValueError):
             agg.sketch_hash_col_multi_type(docs, ["lang"], {}, "doc_id")
+
+    def test_multi_type_branches_share_one_scan_at_runtime(self, spark, docs):
+        """The gate queries fan several filter() branches off one
+        multi-type sketch table; the partial stage must run ONCE.
+        Pinned at runtime via the rows accumulator: if the eager cache
+        is dropped, every branch side re-executes the scan and the
+        count multiplies (6x measured for 3 self-joined branches)."""
+        from dashing_spark.operators import dist
+
+        n_docs = docs.count()
+        acc = spark.sparkContext.accumulator(0)
+        # .cache() + eager count IS the one-scan mechanism: runtime
+        # exchange reuse does NOT fire across filter branches (without
+        # the cache this accumulator reads 6x n_docs — measured)
+        sk_all = agg.sketch_tokens_multi_type(
+            docs, ["lang"], self._factories(), counters={"rows": acc}
+        ).cache()
+        sk_all.count()
+        branches = [
+            dist.all_pairs(
+                sk_all.filter(F.col("sketch_type") == name).drop("sketch_type"),
+                ["lang"],
+                measures=("ji",),
+            )
+            for name in self._factories()
+        ]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        out.collect()
+        sk_all.unpersist(blocking=True)
+        assert acc.value == n_docs, (
+            f"partial stage saw {acc.value} rows for {n_docs} docs — "
+            "the multi-type branches are re-scanning instead of reusing "
+            "one exchange"
+        )
