@@ -2312,8 +2312,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        length(text) AS nc,
                        len(string_split(text, ' ')) AS n_tokens,
-                       round((length(text) - length(regexp_replace(
-                           text, '[0-9]', '', 'g'))) * 1.0 / length(text), 6)
+                       round(CASE WHEN length(text) > 0
+                           THEN (length(text) - length(regexp_replace(
+                               text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+                           ELSE 0.0 END, 6)
                            AS digit_ratio,
                        round(len(list_filter(string_split(text, ' '),
                            t -> list_contains(['the','a','of','and'], t)))
@@ -2416,7 +2418,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    sum(n_grams)::BIGINT AS total_grams,
                    sum(n_uniq)::BIGINT AS total_uniq_grams,
-                   round(1.0 - sum(n_uniq)::DOUBLE / sum(n_grams), 9)
+                   round(CASE WHEN sum(n_grams) > 0
+                         THEN 1.0 - sum(n_uniq)::DOUBLE / sum(n_grams) END, 9)
                        AS corpus_dup_frac,
                    round(avg(CASE WHEN n_grams > 0
                              THEN 1.0 - n_uniq::DOUBLE / n_grams END), 5)

@@ -39,6 +39,23 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def hash_idx_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes -> (register index, rank) under THE hash-to-register
+    convention: idx = top p bits; rank = leading zeros of the remaining
+    64-p bits + 1, capped at 64-p+1. The single source of truth — both
+    HLL.update_hashes and the readfilt per-row register build
+    (operators/filter.py) call this, so the two can never leave the
+    same hash family."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # bit_length(rest)=64-lz; rest==0 -> rank = 64-p+1 (the cap).
+    rank = np.minimum(
+        np.uint8(64 - p + 1),
+        (65 - _bit_length_u64(rest)).astype(np.uint8),
+    )
+    return idx, rank
+
+
 class HLL:
     """Mergeable HyperLogLog register array."""
 
@@ -66,16 +83,7 @@ class HLL:
         """Add a batch of uint64 item hashes (vectorized)."""
         if len(hashes) == 0:
             return self
-        h = np.asarray(hashes, dtype=np.uint64)
-        p = self.p
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
-        # rank = leading zeros of `rest` within 64-p bits, +1, capped.
-        # bit_length(rest)=64-lz; rest==0 -> rank = 64-p+1 (the cap).
-        rank = np.minimum(
-            np.uint8(64 - p + 1),
-            (65 - _bit_length_u64(rest)).astype(np.uint8),
-        )
+        idx, rank = hash_idx_rank(np.asarray(hashes, dtype=np.uint64), self.p)
         np.maximum.at(self.regs, idx, rank)
         return self
 

@@ -70,9 +70,15 @@ def benchmark_overlap(
 
     spark = train.sparkSession
     ensure_shipped(spark)
-    bench_grams = _doc_grams(bench, id_col, (), text_col, w).select(
-        "__gram"
-    ).distinct()
+    # cached: the with_bloom path consumes this twice (driver-side blob
+    # collect + the broadcast exact join) — without the cache the
+    # benchmark tokenize/explode/distinct runs twice. Small by design
+    # (a benchmark's gram set vs a 100 TB corpus).
+    bench_grams = (
+        _doc_grams(bench, id_col, (), text_col, w).select("__gram").distinct()
+    )
+    if with_bloom:
+        bench_grams = bench_grams.cache()
 
     train_grams = _doc_grams(train, id_col, key_cols, text_col, w)
     if not with_bloom:

@@ -12,10 +12,14 @@ whole pipeline is verifiable against an exact oracle at fixture scale:
 
 - exact:   keep the min-id document of each md5(text) group;
 - near:    among survivors, drop any document that appears as the
-           LARGER id of a Jaccard ≥ threshold pair (keep-first rule —
-           one narrow LSH pass, no connected-components iteration; a
-           doc chained to an earlier keeper through a dropped doc is
-           kept, which is the standard streaming-dedup semantic);
+           LARGER id of a Jaccard ≥ threshold pair — i.e. any doc that
+           near-duplicates ANY earlier-id doc, kept or itself dropped.
+           This matches the ingestion-time index semantic
+           (streaming/dedup_stream indexes every seen doc, so a chain
+           A~B, B~C drops BOTH B and C even without an A~C pair); it is
+           one narrow LSH pass, no iteration. It is NOT the greedy
+           compare-only-against-keepers rule (which would keep C);
+           use near_mode="components" for transitive-closure keeps;
 - quality: keep documents with quality_score ≥ min_quality;
 - lang:    optional allow-list on the lang column.
 
@@ -49,7 +53,8 @@ def curate(
     stats is a lazy one-row-per-stage frame: (stage, n_out).
 
     ``near_mode``: "keep_first" (default — drop the larger id of every
-    pair; streaming semantics, one narrow pass) or "components" (drop
+    pair, i.e. anything similar to ANY earlier doc; ingestion-index
+    semantics, one narrow pass) or "components" (drop
     every non-min member of each CONNECTED COMPONENT of the pair graph
     — true transitive closure: A~B, B~C collapse to one keeper even
     when A~C was never emitted as a pair; costs O(log diameter)

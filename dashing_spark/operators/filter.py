@@ -64,7 +64,7 @@ def containment_scores(
             hll_estimate_batch,
             hll_joint_triple_batch,
         )
-        from dashing_spark.functions.hll import _bit_length_u64
+        from dashing_spark.functions.hll import hash_idx_rank
 
         m = 1 << p
         for rb in batches:
@@ -75,11 +75,9 @@ def containment_scores(
             sh, doc_idx = hashing.shingle_hashes(th, lens, w=shingle_w)
             regs = np.zeros((n, m), dtype=np.uint8)
             if len(sh):
-                idx = (sh >> np.uint64(64 - p)).astype(np.int64)
-                rest = sh << np.uint64(p)
-                rank = np.minimum(
-                    np.uint8(64 - p + 1), (65 - _bit_length_u64(rest)).astype(np.uint8)
-                )
+                # shared hash->register kernel (hll.hash_idx_rank): the
+                # per-row registers stay in the reference sketch's family
+                idx, rank = hash_idx_rank(sh, p)
                 flat = doc_idx * m + idx
                 np.maximum.at(regs.reshape(-1), flat, rank)
             if estimator in ("ertl_joint_mle", "ertl_joint"):

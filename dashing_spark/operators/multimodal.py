@@ -150,7 +150,28 @@ def _feature_kernel(decoded: np.ndarray, dim: int) -> np.ndarray:
     return (f / n if n > 0 else f).astype(np.float32)
 
 
-def decode_payloads(media: DataFrame) -> DataFrame:
+def _decode_payload(
+    decoders: dict, mime: str, raw: bytes, deterministic_fake: bool
+) -> np.ndarray:
+    """The codec-resolution contract, in ONE place: registered codec ->
+    decode; else deterministic byte-view fake when opted in (same
+    schema/batching as a real codec); else raise. Every decode tier
+    (decode_payloads / decode_features / resize_decoded) goes through
+    here so the contract cannot drift between them."""
+    dec = decoders.get(mime)
+    if dec is not None:
+        return dec(raw)
+    if deterministic_fake:
+        return np.frombuffer(raw, dtype=np.uint8)
+    raise NotImplementedError(
+        f"no registered decoder for {mime}; register one or pass "
+        "deterministic_fake=True for the plumbing path"
+    )
+
+
+def decode_payloads(
+    media: DataFrame, deterministic_fake: bool = False
+) -> DataFrame:
     """Decode each payload through its mime's registered codec, emitting
     (media_id, kind, n_units, unit_sum): the decoded length (bytes /
     PCM samples) and the sum of decoded values — decode-proof stats an
@@ -171,10 +192,9 @@ def decode_payloads(media: DataFrame) -> DataFrame:
         for pdf in batches:
             n_units, unit_sum = [], []
             for mime, payload in zip(pdf["mime"], pdf["payload"]):
-                dec = decoders.get(mime)
-                if dec is None:
-                    raise NotImplementedError(f"no registered decoder for {mime}")
-                vals = dec(bytes(payload))
+                vals = _decode_payload(
+                    decoders, mime, bytes(payload), deterministic_fake
+                )
                 n_units.append(len(vals))
                 unit_sum.append(int(vals.astype(np.int64).sum()))
             yield pd.DataFrame(
@@ -216,17 +236,9 @@ def decode_features(
             n = len(pdf)
             feats = np.empty((n, dim), dtype=np.float32)
             for i, (mime, payload) in enumerate(zip(pdf["mime"], pdf["payload"])):
-                raw = bytes(payload)
-                dec = decoders.get(mime)
-                if dec is not None:
-                    vals = dec(raw)
-                elif deterministic_fake:
-                    vals = np.frombuffer(raw, dtype=np.uint8)
-                else:
-                    raise NotImplementedError(
-                        f"no registered decoder for {mime}; register one or "
-                        "pass deterministic_fake=True for the plumbing path"
-                    )
+                vals = _decode_payload(
+                    decoders, mime, bytes(payload), deterministic_fake
+                )
                 feats[i] = _feature_kernel(vals, dim)
             yield pd.DataFrame(
                 {
@@ -274,17 +286,9 @@ def resize_decoded(
         for pdf in batches:
             out = []
             for mime, payload in zip(pdf["mime"], pdf["payload"]):
-                raw = bytes(payload)
-                dec = decoders.get(mime)
-                if dec is not None:
-                    vals = dec(raw)
-                elif deterministic_fake:
-                    vals = np.frombuffer(raw, dtype=np.uint8)
-                else:
-                    raise NotImplementedError(
-                        f"no registered decoder for {mime}; register one or "
-                        "pass deterministic_fake=True for the plumbing path"
-                    )
+                vals = _decode_payload(
+                    decoders, mime, bytes(payload), deterministic_fake
+                )
                 out.append(_pool(vals))
             yield pd.DataFrame(
                 {

@@ -73,8 +73,14 @@ def repetition_stats(
         F.count("*").alias("n_docs"),
         F.sum("n_grams").alias("total_grams"),
         F.sum("n_uniq").alias("total_uniq_grams"),
+        # CASE-guarded: a group whose docs are all shorter than w has
+        # sum(n_grams)=0 and would raise DIVIDE_BY_ZERO under ANSI mode
         F.round(
-            F.lit(1.0) - F.sum("n_uniq") / F.sum("n_grams"), 9
+            F.when(
+                F.sum("n_grams") > 0,
+                F.lit(1.0) - F.sum("n_uniq") / F.sum("n_grams"),
+            ),
+            9,
         ).alias("corpus_dup_frac"),
         F.round(F.avg(dup_frac), 5).alias("avg_doc_dup_frac"),
         F.sum(
@@ -111,7 +117,7 @@ def bpe_token_stats(df: DataFrame, key_cols, text_col: str = "text") -> DataFram
     accounting a training-data pipeline budgets with (whitespace token
     counts undercount punctuation-heavy web text). All codegen:
     regexp_extract_all -> size."""
-    toks = F.expr(f"regexp_extract_all({text_col}, '{BPE_SPLIT_RE}', 0)")
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0))
     per_doc = df.select(
         *key_cols,
         F.size(toks).alias("n_bpe"),
@@ -144,7 +150,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_chars_q": n_chars.cast("long"),
             "n_tokens": n_tok.cast("long"),
             "mean_tok_len": F.round((n_chars - (n_tok - 1)) / n_tok, 6),
-            "digit_ratio": F.round(digits / n_chars, 6),
+            # empty text would raise DIVIDE_BY_ZERO under ANSI mode; an
+            # empty doc has no digits, so 0.0 is the honest ratio
+            "digit_ratio": F.round(
+                F.when(n_chars > 0, digits / n_chars).otherwise(0.0), 6
+            ),
             "stopword_ratio": F.round(stop / n_tok, 6),
         }
     )
@@ -189,7 +199,15 @@ def lang_id_predict(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(a["lang"] > b["lang"], 1)
         .otherwise(0),
     )[0]
-    return df.withColumn("pred_lang", best["lang"])
+    # NULL text propagates NULL scores and the comparator would fall
+    # through to lang-ascending order ('de' wins arbitrarily) — emit
+    # NULL instead of a confident-looking label
+    return df.withColumn(
+        "pred_lang",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+            best["lang"]
+        ),
+    )
 
 
 def md5_fingerprints(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

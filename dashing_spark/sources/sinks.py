@@ -33,8 +33,19 @@ def pairs_to_squareform(
     """Long-format (a_key, b_key, measure) -> dense symmetric matrix
     (pandas). Small-n utility; mirrors the in-memory DistanceMatrix."""
     pdf = pairs.select("a_key", "b_key", measure).toPandas()
+    seen = set(pdf["a_key"]) | set(pdf["b_key"])
     if keys is None:
-        keys = sorted(set(pdf["a_key"]) | set(pdf["b_key"]))
+        # NOTE: derived keys come from the PAIRS, so a set that appears
+        # in no pair (n=1 input, or an isolated key after filtering) is
+        # absent — pass `keys` explicitly to control the matrix axes
+        keys = sorted(seen)
+    else:
+        missing = seen - set(keys)
+        if missing:
+            raise ValueError(
+                f"pairs reference keys not in the supplied key list: "
+                f"{sorted(missing)[:5]}{'...' if len(missing) > 5 else ''}"
+            )
     idx = {k: i for i, k in enumerate(keys)}
     n = len(keys)
     m = np.full((n, n), diag, dtype=np.float32)

@@ -466,7 +466,9 @@ class TestConnectedComponents:
 
     def test_curate_components_mode_transitive(self, spark):
         """components mode must drop B AND C when A~B, B~C even if A~C
-        was never an emitted pair (keep-first keeps C)."""
+        was never an emitted pair (keep_first also drops C here — via
+        the B~C pair — but keeps no transitive guarantee when the
+        intermediate pair is missed)."""
         import pandas as pd
 
         from dashing_spark.operators import corpus
@@ -813,3 +815,73 @@ class TestBlockedTopkTies:
         assert blocked == exact
         # deterministic: the ten smallest ids of the twelve tied vectors
         assert {n for _, n in blocked} == set(range(10))
+
+
+class TestAnsiEdgeCases:
+    """Spark 4 runs ANSI mode by default: any unguarded division is a
+    job-aborting SparkArithmeticException, not a quiet NULL. Real web
+    crawls contain empty and sub-w-token docs, so these paths must
+    survive them (review findings, round 4)."""
+
+    def test_quality_score_survives_empty_text(self, spark):
+        import pandas as pd
+
+        from dashing_spark.operators import text
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["", "the cat 42"]})
+        )
+        rows = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+        assert rows[1]["digit_ratio"] == 0.0  # empty doc: no digits
+        assert rows[1]["quality"] is not None
+        assert rows[2]["digit_ratio"] > 0.0
+
+    def test_repetition_stats_survives_short_doc_group(self, spark):
+        import pandas as pd
+
+        from dashing_spark.operators import text
+
+        # every doc in lang 'xx' is shorter than w=2 tokens: the group
+        # has sum(n_grams)=0 and the corpus fraction must be NULL, not
+        # a DIVIDE_BY_ZERO abort
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "lang": ["xx", "en"],
+                    "text": ["single", "a b a b a b"],
+                }
+            )
+        )
+        rows = {r["lang"]: r for r in text.repetition_stats(df, ["lang"], w=2).collect()}
+        assert rows["xx"]["corpus_dup_frac"] is None
+        assert rows["en"]["corpus_dup_frac"] is not None
+
+    def test_lang_id_null_text_predicts_null(self, spark):
+        from pyspark.sql import types as T
+
+        from dashing_spark.operators import text
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "the cat and the dog of the house")],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            ),
+        )
+        rows = {r["doc_id"]: r["pred_lang"] for r in text.lang_id_predict(df).collect()}
+        assert rows[1] is None  # not a confident-looking 'de'
+        assert rows[2] == "en"
+
+    def test_squareform_rejects_unknown_keys(self, spark):
+        import pytest as _pytest
+
+        from dashing_spark.sources.sinks import pairs_to_squareform
+
+        pairs = spark.createDataFrame(
+            [("a", "b", 0.5)], ["a_key", "b_key", "ji"]
+        )
+        with _pytest.raises(ValueError, match="not in the supplied key list"):
+            pairs_to_squareform(pairs, "ji", keys=["a"])
