@@ -38,9 +38,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-def _hll_ok(est_col, exact_col):
-    slack = F.greatest(F.lit(_HLL_RSE3) * exact_col, F.lit(2.0))
-    return (F.abs(est_col - exact_col) <= slack).alias("hll_ok")
+def _hll_ok(est_col, exact_col, p: int | None = None, name: str = "hll_ok"):
+    """3σ HLL gate at precision ``p`` (suite default when omitted) — the
+    ONE place the bound lives; every HLL query's slack must come through
+    here so a bound tweak cannot miss the folded/per-doc variants."""
+    rse3 = _HLL_RSE3 if p is None else 3 * 1.04 / math.sqrt(1 << p)
+    slack = F.greatest(F.lit(rse3) * exact_col, F.lit(2.0))
+    return (F.abs(est_col - exact_col) <= slack).alias(name)
 
 
 def _lang_tokens(docs: DataFrame) -> DataFrame:
@@ -93,13 +97,10 @@ def q_hll_fold_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.countDistinct("token").alias("exact_distinct"))
     )
-    slack10 = F.greatest(
-        F.lit(3 * 1.04 / math.sqrt(1 << 10)) * F.col("exact_distinct"), F.lit(2.0)
-    )
     return est.join(exact, "lang").select(
         "lang",
         "exact_distinct",
-        (F.abs(F.col("est") - F.col("exact_distinct")) <= slack10).alias("fold_ok"),
+        _hll_ok(F.col("est"), F.col("exact_distinct"), p=10, name="fold_ok"),
     )
 
 
@@ -126,15 +127,10 @@ def q_hll_fold_cross_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.countDistinct("token").alias("exact_distinct"))
     )
-    slack12 = F.greatest(
-        F.lit(3 * 1.04 / math.sqrt(1 << 12)) * F.col("exact_distinct"), F.lit(2.0)
-    )
     return est.join(exact, "lang").select(
         "lang",
         "exact_distinct",
-        (F.abs(F.col("est") - F.col("exact_distinct")) <= slack12).alias(
-            "cross_merge_ok"
-        ),
+        _hll_ok(F.col("est"), F.col("exact_distinct"), p=12, name="cross_merge_ok"),
     )
 
 
@@ -158,11 +154,37 @@ def q_hll_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _quantile_query(spark, sf_dir, make_sketch, ok_name: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    sk = agg.sketch_numeric_by_key(docs, ["lang"], make_sketch, "n_chars")
-    qhat = sk.select(
-        "lang",
+def _quantile_gate(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    make_sketch,
+    ok_name: str,
+    count_name: str,
+) -> DataFrame:
+    """Shared rank-interval gate for every quantile-sketch query: the
+    sketch's q-hat passes when p lies inside the true rank interval
+    [rank_lt, rank_le] (under heavy ties the rank is an interval, not a
+    point) widened by RANK_EPS. ONE implementation — the subtle tie
+    logic must not be copy-pasted per query."""
+    sk = agg.sketch_numeric_by_key(df, [key_col], make_sketch, value_col)
+    return _rank_interval_check(df, key_col, value_col, sk, ok_name, count_name)
+
+
+def _rank_interval_check(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sketches: DataFrame,
+    ok_name: str,
+    count_name: str,
+) -> DataFrame:
+    """Expand each sketch's quantile estimates and check every p against
+    the true rank interval over ``df`` — shared by the batch AND
+    streaming quantile gates (the sketches frame may come from either
+    build path)."""
+    qhat = sketches.select(
+        key_col,
         F.posexplode(agg.quantile_expr(list(QUANTILE_PS))("sketch")).alias(
             "pi", "qhat"
         ),
@@ -170,29 +192,34 @@ def _quantile_query(spark, sf_dir, make_sketch, ok_name: str) -> DataFrame:
     ps = F.array(*[F.lit(p) for p in QUANTILE_PS])
     qhat = qhat.withColumn("p", F.element_at(ps, F.col("pi") + 1)).drop("pi")
     ranks = (
-        docs.join(qhat, "lang")
-        .groupBy("lang", "p")
+        df.join(qhat, key_col)
+        .groupBy(key_col, "p")
         .agg(
-            F.count("*").alias("n_docs"),
-            (F.sum(F.when(F.col("n_chars") < F.col("qhat"), 1).otherwise(0))
+            F.count("*").alias(count_name),
+            (F.sum(F.when(F.col(value_col) < F.col("qhat"), 1).otherwise(0))
              / F.count("*")).alias("rank_lt"),
-            (F.sum(F.when(F.col("n_chars") <= F.col("qhat"), 1).otherwise(0))
+            (F.sum(F.when(F.col(value_col) <= F.col("qhat"), 1).otherwise(0))
              / F.count("*")).alias("rank_le"),
         )
     )
-    # under heavy ties the true rank is an interval [rank_lt, rank_le]
     ok = (F.col("p") >= F.col("rank_lt") - RANK_EPS) & (
         F.col("p") <= F.col("rank_le") + RANK_EPS
     )
-    return ranks.select("lang", "p", "n_docs", ok.alias(ok_name))
+    return ranks.select(key_col, "p", count_name, ok.alias(ok_name))
 
 
 def q_kll_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _quantile_query(spark, sf_dir, lambda: KLL.empty(200), "kll_ok")
+    return _quantile_gate(
+        _docs(spark, sf_dir), "lang", "n_chars",
+        lambda: KLL.empty(200), "kll_ok", "n_docs",
+    )
 
 
 def q_tdigest_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _quantile_query(spark, sf_dir, lambda: TDigest.empty(100), "tdigest_ok")
+    return _quantile_gate(
+        _docs(spark, sf_dir), "lang", "n_chars",
+        lambda: TDigest.empty(100), "tdigest_ok", "n_docs",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -879,9 +906,13 @@ def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = 4, 5
     wfp = text.winnowing_fingerprints(docs, "doc_id", k=k, window=w)
     wfp2 = text.winnowing_fingerprints(docs.repartition(7), "doc_id", k=k, window=w)
+    f1 = wfp.select("doc_id", F.explode("fingerprints").alias("f"))
+    f2 = wfp2.select("doc_id", F.explode("fingerprints").alias("f"))
+    # SYMMETRIC multiset difference: one-directional exceptAll would
+    # pass when the repartitioned run emits a strict superset
     stable = (
-        wfp.select("doc_id", F.explode("fingerprints").alias("f"))
-        .exceptAll(wfp2.select("doc_id", F.explode("fingerprints").alias("f")))
+        f1.exceptAll(f2)
+        .unionAll(f2.exceptAll(f1))
         .groupBy()
         .agg(F.count("*").alias("n_diff"))
     )
@@ -938,10 +969,14 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("decode_ok"),
     )
     dp = multimodal.decode_payloads(multimodal.media_with_codecs(docs))
+    # coalesce mirrors media_with_codecs' NULL handling (NULL text ->
+    # empty payload, NULL n_chars -> zero samples)
     expected = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("exp_text"),
-        F.col("n_chars").cast("long").alias("exp_audio"),
+        F.octet_length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+        .cast("long")
+        .alias("exp_text"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("exp_audio"),
     )
     joined = dp.join(expected, "media_id").withColumn(
         "exp",
@@ -1100,7 +1135,9 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars_kept"),
     )
     t = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
-    rate = F.lit(None).cast("double")
+    # fallthrough mirrors stratified_sample's default_rate=1.0 — a NULL
+    # here would NULL the rate_ok boolean for any lang outside the dict
+    rate = F.lit(1.0)
     for lang_name in sorted(SAMPLE_RATES):
         rate = F.when(
             F.col("lang") == lang_name, F.lit(SAMPLE_RATES[lang_name])
@@ -1142,28 +1179,9 @@ def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kll_event_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantiles over the events value column per event type."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    sk = agg.sketch_numeric_by_key(ev, ["event_type"], lambda: KLL.empty(200), "value")
-    qhat = sk.select(
-        "event_type",
-        F.posexplode(agg.quantile_expr(list(QUANTILE_PS))("sketch")).alias("pi", "qhat"),
+    return _quantile_gate(
+        ev, "event_type", "value", lambda: KLL.empty(200), "kll_ok", "n_events"
     )
-    ps = F.array(*[F.lit(p) for p in QUANTILE_PS])
-    qhat = qhat.withColumn("p", F.element_at(ps, F.col("pi") + 1)).drop("pi")
-    ranks = (
-        ev.join(qhat, "event_type")
-        .groupBy("event_type", "p")
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.sum(F.when(F.col("value") < F.col("qhat"), 1).otherwise(0))
-             / F.count("*")).alias("rank_lt"),
-            (F.sum(F.when(F.col("value") <= F.col("qhat"), 1).otherwise(0))
-             / F.count("*")).alias("rank_le"),
-        )
-    )
-    ok = (F.col("p") >= F.col("rank_lt") - RANK_EPS) & (
-        F.col("p") <= F.col("rank_le") + RANK_EPS
-    )
-    return ranks.select("event_type", "p", "n_events", ok.alias("kll_ok"))
 
 
 def q_hll_card_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,13 +1196,10 @@ def q_hll_card_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the gate's slack must match THIS query's precision (p=12), not the
     # suite default p=14 — an under-slack bound would flake on larger docs
-    slack12 = F.greatest(
-        F.lit(3 * 1.04 / math.sqrt(1 << 12)) * F.col("exact_distinct"), F.lit(2.0)
-    )
     return est.join(exact, "doc_id").select(
         "doc_id",
         "exact_distinct",
-        (F.abs(F.col("est") - F.col("exact_distinct")) <= slack12).alias("hll_ok"),
+        _hll_ok(F.col("est"), F.col("exact_distinct"), p=12),
     )
 
 
@@ -1369,29 +1384,9 @@ def q_streaming_kll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming query did not finish within 300s"
         )
     state = read_state(spark, state_dir)
-    qhat = state.select(
-        "event_type",
-        F.posexplode(agg.quantile_expr(list(QUANTILE_PS))("sketch")).alias(
-            "pi", "qhat"
-        ),
+    return _rank_interval_check(
+        ev, "event_type", "value", state, "skll_ok", "n_events"
     )
-    ps = F.array(*[F.lit(p) for p in QUANTILE_PS])
-    qhat = qhat.withColumn("p", F.element_at(ps, F.col("pi") + 1)).drop("pi")
-    ranks = (
-        ev.join(qhat, "event_type")
-        .groupBy("event_type", "p")
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.sum(F.when(F.col("value") < F.col("qhat"), 1).otherwise(0))
-             / F.count("*")).alias("rank_lt"),
-            (F.sum(F.when(F.col("value") <= F.col("qhat"), 1).otherwise(0))
-             / F.count("*")).alias("rank_le"),
-        )
-    )
-    ok = (F.col("p") >= F.col("rank_lt") - RANK_EPS) & (
-        F.col("p") <= F.col("rank_le") + RANK_EPS
-    )
-    return ranks.select("event_type", "p", "n_events", ok.alias("skll_ok"))
 
 
 def q_bloom_en_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,11 +1402,10 @@ def q_bloom_en_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = docs.filter(F.col("lang") == "en")
     bf_df = agg.sketch_tokens_by_key(en, ["lang"], lambda: BloomFilter.empty(18, 4))
     blob = bytes(bf_df.collect()[0]["sketch"])
-    probes = (
-        _lang_tokens(docs).distinct().withColumn("__h", F.xxhash64("token"))
-    )
+    probes = _lang_tokens(docs).distinct()
     # NOTE: bloom was built over hash_tokens_arrow hashes; probe with the
-    # same hasher by rebuilding probe hashes pandas-side
+    # same hasher by rebuilding probe hashes pandas-side (a JVM xxhash64
+    # column here would be a DIFFERENT hash family — do not add one)
     schema = T.StructType(
         [
             T.StructField("lang", T.StringType(), True),
@@ -1492,7 +1486,10 @@ def q_cardinality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dashing_spark.sources.sinks import view_registers
 
     docs = _docs(spark, sf_dir)
-    sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(P_HLL))
+    # cached eagerly: consumed twice (register-dump collect + the
+    # estimate action) — same fan-out convention as the other queries
+    sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(P_HLL)).cache()
+    sk.count()
     card = dist.estimate_cardinalities(sk, ["lang"], estimator="ertl_mle")
     view_ok = all(
         view_registers(bytes(r["sketch"])).shape == (1 << P_HLL,)
@@ -2354,9 +2351,16 @@ def oracle_sql() -> dict[str, str]:
             p AS (SELECT doc_id, lang, cand,
                          row_number() OVER (PARTITION BY doc_id
                                             ORDER BY sc DESC, cand ASC) AS rn
-                  FROM s)
-            SELECT lang, cand AS pred_lang, count(*) AS n
-            FROM p WHERE rn = 1 GROUP BY lang, cand
+                  FROM s),
+            -- NULL text predicts NULL, mirroring lang_id_predict's guard
+            -- (the tie-break would otherwise invent 'de')
+            w AS (SELECT p.doc_id, p.lang,
+                         CASE WHEN d.text IS NULL THEN NULL
+                              ELSE p.cand END AS pred_lang
+                  FROM p JOIN documents d ON d.doc_id = p.doc_id
+                  WHERE p.rn = 1)
+            SELECT lang, pred_lang, count(*) AS n
+            FROM w GROUP BY lang, pred_lang
         """,
         "fingerprint_stats": """
             SELECT lang, count(*) AS n_docs,
@@ -2365,19 +2369,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "multimodal_stats": """
+            -- coalesce mirrors media_with_codecs / media_from_documents:
+            -- NULL text is an empty payload, NULL n_chars zero samples
             SELECT 'image' AS kind, count(*)::BIGINT AS n_items,
-                   CAST(sum(octet_length(encode(text))) AS BIGINT)
+                   CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT)
                        AS total_bytes,
-                   CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+                   CAST(max(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+                       AS max_bytes,
                    0::BIGINT AS total_units, true AS decode_ok
             FROM documents
             UNION ALL
             SELECT 'audio', count(*)::BIGINT, 0::BIGINT, 0::BIGINT,
-                   CAST(sum(n_chars) AS BIGINT), true
+                   CAST(sum(coalesce(n_chars, 0)) AS BIGINT), true
             FROM documents
             UNION ALL
             SELECT 'text', count(*)::BIGINT, 0::BIGINT, 0::BIGINT,
-                   CAST(sum(octet_length(encode(text))) AS BIGINT), true
+                   CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT),
+                   true
             FROM documents
         """,
         "streaming_dedup_pairs": """
@@ -2534,9 +2542,11 @@ def oracle_sql() -> dict[str, str]:
                        round(
                            greatest(least(1.0 - abs(ln(length(text) + 1.0)
                                - 5.5) / 5.5, 1.0), 0.0) * 0.5
-                           + greatest(1.0 - round((length(text)
+                           + greatest(1.0 - round(CASE WHEN length(text) > 0
+                               THEN (length(text)
                                - length(regexp_replace(text, '[0-9]', '', 'g')))
-                               * 1.0 / length(text), 6) * 10, 0.0) * 0.25
+                               * 1.0 / length(text) ELSE 0.0 END, 6)
+                               * 10, 0.0) * 0.25
                            + least(round(len(list_filter(string_split(text, ' '),
                                t -> list_contains(['the','a','of','and'], t)))
                                * 1.0 / len(string_split(text, ' ')), 6) * 5,

@@ -75,7 +75,8 @@ def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
+        # NULL text -> empty payload (payload is declared non-null)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
             (F.pmod(F.xxhash64("text"), F.lit(1920)) + 1).cast("int").alias("width"),
@@ -98,6 +99,16 @@ def media_with_codecs(docs: DataFrame) -> DataFrame:
             for doc_id, text, n_chars in zip(
                 pdf["doc_id"], pdf["text"], pdf["n_chars"]
             ):
+                # NULL text must not become the literal bytes b'None'
+                # (and NULL n_chars must not crash int(nan)) — a NULL
+                # doc is an empty payload, mirrored by the coalesce in
+                # the oracle twins
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    text = ""
+                if n_chars is None or (
+                    isinstance(n_chars, float) and pd.isna(n_chars)
+                ):
+                    n_chars = 0
                 raw = str(text).encode("utf-8")
                 out["media_id"].append(int(doc_id))
                 out["kind"].append("text")
