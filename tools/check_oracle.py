@@ -5,7 +5,9 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 schema (column names), and an order-insensitive value hash (columns
 sorted by name, rows sorted by all values, floats rounded).
 
-Usage: python tools/check_oracle.py [query_name ...] [--sf DIR]
+Usage: python tools/check_oracle.py [query_name ...] [--sf DIR] [--legacy]
+  --legacy: also include legacy_queries() (consolidation-retired paths,
+            checked against legacy_oracle_sql()).
 """
 
 from __future__ import annotations
@@ -76,11 +78,14 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     args: list[str] = []
+    include_legacy = False
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--sf="):
+        if a == "--legacy":
+            include_legacy = True
+        elif a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
         elif a == "--sf":
             # the space-separated form the usage line documents — without
@@ -119,6 +124,9 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if include_legacy:
+        qs = {**qs, **entry.legacy_queries()}
+        oracles = {**oracles, **entry.legacy_oracle_sql()}
     names = args or list(qs)
     n_fail = 0
     for name in names:
