@@ -47,28 +47,47 @@ from dashing_spark.operators import dedup
 _MANIFEST = "_EPOCHS"
 
 
-def committed_epochs(state_dir: str) -> list[int]:
-    """Epoch ids the manifest records, oldest first."""
+def _manifest_tokens(state_dir: str) -> list[str]:
+    """Raw manifest entries, oldest first. Two token shapes: ``"7"`` is
+    a live epoch dir (``docs_epoch_7``); ``"c7"`` is a COMPACTED
+    segment (``docs_epoch_c7``) holding the merged state of every epoch
+    up to 7 (see :func:`compact_index`)."""
     path = os.path.join(state_dir, _MANIFEST)
     if not os.path.exists(path):
         return []
     with open(path) as fh:
-        return [int(x) for x in fh.read().split() if x.strip()]
+        return [x for x in fh.read().split() if x.strip()]
 
 
-def _commit_epoch(state_dir: str, epoch_id: int) -> None:
-    """Atomically append an epoch id (write-then-rename of the list)."""
-    epochs = committed_epochs(state_dir) + [epoch_id]
+def _token_epoch(token: str) -> int:
+    return int(token[1:]) if token.startswith("c") else int(token)
+
+
+def committed_epochs(state_dir: str) -> list[int]:
+    """Max epoch id each manifest entry covers, oldest first (a
+    compacted segment contributes the highest epoch it absorbed — the
+    retry/restart guard needs only these numbers)."""
+    return [_token_epoch(t) for t in _manifest_tokens(state_dir)]
+
+
+def _write_manifest(state_dir: str, tokens: list[str]) -> None:
+    """Atomic rewrite (write-then-rename) — the manifest is the single
+    source of truth; directories it doesn't reference are garbage."""
     tmp = os.path.join(state_dir, f"{_MANIFEST}.tmp")
     with open(tmp, "w") as fh:
-        fh.write("\n".join(str(e) for e in epochs))
+        fh.write("\n".join(tokens))
     os.replace(tmp, os.path.join(state_dir, _MANIFEST))
 
 
+def _commit_epoch(state_dir: str, epoch_id: int) -> None:
+    """Atomically append an epoch id."""
+    _write_manifest(state_dir, _manifest_tokens(state_dir) + [str(epoch_id)])
+
+
 def _epoch_union(
-    spark: SparkSession, state_dir: str, prefix: str, epochs: Sequence[int]
+    spark: SparkSession, state_dir: str, prefix: str, tokens: Sequence[str]
 ) -> DataFrame | None:
-    paths = [os.path.join(state_dir, f"{prefix}_epoch_{e}") for e in epochs]
+    paths = [os.path.join(state_dir, f"{prefix}_epoch_{t}") for t in tokens]
     paths = [p for p in paths if os.path.exists(p)]
     if not paths:
         return None
@@ -91,7 +110,8 @@ def apply_dedup_batch(
     per epoch (see module docstring)."""
     if batch_df.isEmpty():
         return
-    done = committed_epochs(state_dir)
+    tokens = _manifest_tokens(state_dir)
+    done = [_token_epoch(t) for t in tokens]
     if done and epoch_id <= max(done):
         if epoch_id == max(done):
             return  # retry of the last committed epoch: no-op
@@ -126,7 +146,7 @@ def apply_dedup_batch(
         # every later verify join against all_items
         .dropDuplicates(["id"])
     )
-    old_docs_pre = _epoch_union(spark, state_dir, "docs", done)
+    old_docs_pre = _epoch_union(spark, state_dir, "docs", tokens)
     if old_docs_pre is not None:
         new_docs = new_docs.join(
             old_docs_pre.select("id"), "id", "left_anti"
@@ -153,7 +173,7 @@ def apply_dedup_batch(
     )
     # … plus batch-vs-index candidates, normalized to (min, max) ids so
     # the emitted pair set is order-independent
-    old_bands = _epoch_union(spark, state_dir, "bands", done)
+    old_bands = _epoch_union(spark, state_dir, "bands", tokens)
     if old_bands is not None:
         cross = old_bands.select(
             F.col("id").alias("old_id"), "band", "bhash"
@@ -242,9 +262,87 @@ def incremental_dedup_query(
     return writer.start()
 
 
+def compact_index(
+    spark: SparkSession, state_dir: str, keep_last: int = 1
+) -> bool:
+    """Merge all but the last ``keep_last`` manifest entries into ONE
+    compacted segment — the maintenance operation that keeps the
+    per-epoch index scan O(segments), not O(corpus age): without it the
+    band join reads one directory per historical micro-batch forever
+    (BENCH.md q20 measures that growth). Matching semantics are
+    UNCHANGED — the segment holds the union of the absorbed epochs'
+    docs/bands/pairs, so future batches still compare against every
+    indexed doc.
+
+    Run OFFLINE (no active stream on this state_dir). Crash-safe by the
+    manifest protocol: the merged segment is written to fresh directory
+    names first, then the manifest rewrite commits atomically; a crash
+    before the rewrite leaves only unreferenced garbage and the
+    original state, so a re-run completes the job. Absorbed directories
+    are deleted best-effort afterwards.
+
+    Returns True if a compaction happened (>= 2 entries merged)."""
+    import shutil
+
+    tokens = _manifest_tokens(state_dir)
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+    merge = tokens[: len(tokens) - keep_last] if keep_last else tokens
+    if len(merge) < 2:
+        return False
+    kept = tokens[len(merge):]
+    target = f"c{max(_token_epoch(t) for t in merge)}"
+    if target in tokens:
+        raise ValueError(
+            f"compacted segment {target} already exists in {tokens}"
+        )
+    for prefix in ("docs", "bands", "pairs"):
+        merged = _epoch_union(spark, state_dir, prefix, merge)
+        out = os.path.join(state_dir, f"{prefix}_epoch_{target}")
+        if merged is None:
+            continue
+        # coalesce to a handful of files: the point is fewer directories
+        # AND fewer parquet footers on every future epoch's index scan
+        merged.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)
+                        ).write.mode("errorifexists").parquet(out)
+    _write_manifest(state_dir, [target] + kept)
+    for t in merge:  # best-effort: unreferenced after the atomic rewrite
+        for prefix in ("docs", "bands", "pairs"):
+            shutil.rmtree(
+                os.path.join(state_dir, f"{prefix}_epoch_{t}"),
+                ignore_errors=True,
+            )
+    return True
+
+
+def expire_epochs(state_dir: str, min_epoch: int) -> list[str]:
+    """TTL policy: drop manifest entries whose covered epochs are all
+    older than ``min_epoch`` — docs indexed before the horizon STOP
+    matching future arrivals (a bounded dedup window, the documented
+    way to cap index size when old duplicates no longer matter; use
+    :func:`compact_index` to shrink scan cost WITHOUT changing
+    semantics). Pairs already emitted are dropped with their epoch —
+    read them first if they must be retained. Run offline. Returns the
+    dropped tokens."""
+    import shutil
+
+    tokens = _manifest_tokens(state_dir)
+    dropped = [t for t in tokens if _token_epoch(t) < min_epoch]
+    if not dropped:
+        return []
+    _write_manifest(state_dir, [t for t in tokens if t not in dropped])
+    for t in dropped:  # best-effort: unreferenced after the rewrite
+        for prefix in ("docs", "bands", "pairs"):
+            shutil.rmtree(
+                os.path.join(state_dir, f"{prefix}_epoch_{t}"),
+                ignore_errors=True,
+            )
+    return dropped
+
+
 def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """All near-dup pairs found across committed epochs."""
-    out = _epoch_union(spark, state_dir, "pairs", committed_epochs(state_dir))
+    out = _epoch_union(spark, state_dir, "pairs", _manifest_tokens(state_dir))
     if out is None:
         raise FileNotFoundError(f"no committed pairs under {state_dir}")
     return out

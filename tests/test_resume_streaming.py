@@ -434,3 +434,103 @@ class TestStatefulKeyOrder:
             for r in spark.sql("select * from keyorder_t").collect()
         }
         assert rows == {("d1", "s1"): 50, ("d2", "s2"): 30}
+
+
+class TestIndexCompaction:
+    """compact_index / expire_epochs — the maintenance operations that
+    cap the streaming dedup index's per-epoch scan cost."""
+
+    def _ingest_epochs(self, spark, docs, state_dir, n_epochs=3):
+        from pyspark.sql import functions as F
+
+        from dashing_spark.streaming import dedup_stream
+
+        for e in range(n_epochs):
+            batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_epochs)) == e)
+            dedup_stream.apply_dedup_batch(
+                batch, e, id_col="doc_id", state_dir=state_dir, threshold=0.9
+            )
+
+    def test_compaction_preserves_matching_semantics(self, spark, docs, tmp_path):
+        """Pairs emitted by an epoch arriving AFTER compaction must be
+        bit-identical to the uncompacted run — the segment is a pure
+        re-layout of the same index."""
+        from pyspark.sql import functions as F
+
+        from dashing_spark.streaming import dedup_stream
+
+        plain = str(tmp_path / "plain")
+        compacted = str(tmp_path / "compacted")
+        first = docs.filter(F.col("doc_id") % 2 == 0)
+        last = docs.filter(F.col("doc_id") % 2 != 0)
+        for state in (plain, compacted):
+            for e in range(2):
+                batch = first.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 2 * e)
+                dedup_stream.apply_dedup_batch(
+                    batch, e, id_col="doc_id", state_dir=state, threshold=0.9
+                )
+        assert dedup_stream.compact_index(spark, compacted, keep_last=0)
+        assert dedup_stream._manifest_tokens(compacted) == ["c1"]
+        # the epoch-counter guard must survive compaction
+        assert dedup_stream.committed_epochs(compacted) == [1]
+        for state in (plain, compacted):
+            dedup_stream.apply_dedup_batch(
+                last, 2, id_col="doc_id", state_dir=state, threshold=0.9
+            )
+        get = lambda s: {
+            (r["a_id"], r["b_id"], r["ji"])
+            for r in dedup_stream.read_pairs(spark, s).collect()
+        }
+        assert get(plain) == get(compacted)
+        assert get(plain)  # non-vacuous
+
+    def test_compaction_reduces_directory_count(self, spark, docs, tmp_path):
+        import os
+
+        from dashing_spark.streaming import dedup_stream
+
+        state = str(tmp_path / "state")
+        self._ingest_epochs(spark, docs, state, n_epochs=3)
+        n_before = len([d for d in os.listdir(state) if d.startswith("bands_")])
+        assert dedup_stream.compact_index(spark, state, keep_last=1)
+        n_after = len([d for d in os.listdir(state) if d.startswith("bands_")])
+        assert n_after < n_before
+        assert dedup_stream._manifest_tokens(state) == ["c1", "2"]
+
+    def test_compaction_noop_when_nothing_to_merge(self, spark, docs, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dashing_spark.streaming import dedup_stream
+
+        state = str(tmp_path / "state1")
+        dedup_stream.apply_dedup_batch(
+            docs.filter(F.col("doc_id") < 100), 0,
+            id_col="doc_id", state_dir=state, threshold=0.9,
+        )
+        assert not dedup_stream.compact_index(spark, state, keep_last=1)
+        assert not dedup_stream.compact_index(spark, state, keep_last=0)
+
+    def test_expire_drops_old_matches(self, spark, docs, tmp_path):
+        """TTL semantics: a doc duplicating ONLY an expired doc emits no
+        pair (bounded dedup window)."""
+        from pyspark.sql import functions as F
+
+        from dashing_spark.streaming import dedup_stream
+
+        state = str(tmp_path / "state2")
+        half_a = docs.filter(F.col("doc_id") % 2 == 0)
+        half_b = docs.filter(F.col("doc_id") % 2 != 0)
+        dedup_stream.apply_dedup_batch(
+            half_a, 0, id_col="doc_id", state_dir=state, threshold=0.9
+        )
+        dropped = dedup_stream.expire_epochs(state, min_epoch=1)
+        assert dropped == ["0"]
+        dedup_stream.apply_dedup_batch(
+            half_b, 1, id_col="doc_id", state_dir=state, threshold=0.9
+        )
+        pairs = {
+            (r["a_id"], r["b_id"])
+            for r in dedup_stream.read_pairs(spark, state).collect()
+        }
+        # no pair may touch an expired (even-id) doc
+        assert all(a % 2 == 1 and b % 2 == 1 for a, b in pairs)
