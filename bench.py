@@ -381,6 +381,32 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sketch_docs_per_sec = round(n_synth / timings["q0_synth_sketch_build_1m"], 1)
+    # Rich diagnostics (drift bands, run counts, streaming epochs) go to an
+    # EARLIER stdout line and a sidecar file; the driver only keeps a ~2 KB
+    # stdout *tail*, and round 4 lost its per-query record when the
+    # one-line dump outgrew that window (BENCH_r04.json parsed:null).
+    detail = {
+        "runs_per_query": runs,
+        "drift_band": drift,
+        "streaming_epoch_secs": epoch_secs,
+        "streaming_pairs": n_stream_pairs,
+        "panel_pairs": n_panel_pairs,
+        "panel_pairs_per_sec": round(n_panel_pairs / timings["q21_panel_1kx1k"], 1),
+        "n_docs": n_docs,
+        "pairs_per_sec_kmv_stage": round(
+            32640 / timings["q15_kmv_pair_stage_32k"], 1
+        ),
+    }
+    print(json.dumps({"detail": detail}))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    # Compact driver-parseable record: ALWAYS the last stdout line.
     print(
         json.dumps(
             {
@@ -388,22 +414,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": runs,
-                "drift_band": drift,
-                "streaming_epoch_secs": epoch_secs,
-                "streaming_pairs": n_stream_pairs,
-                "panel_pairs": n_panel_pairs,
-                "panel_pairs_per_sec": round(
-                    n_panel_pairs / timings["q21_panel_1kx1k"], 1
-                ),
                 "sf": SF_DIR,
                 "cpus": CPUS,
-                "n_docs": n_docs,
                 "docs_per_sec_sketch_build": sketch_docs_per_sec,
-                "pairs_per_sec_kmv_stage": round(
-                    32640 / timings["q15_kmv_pair_stage_32k"], 1
-                ),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -70,15 +70,9 @@ def benchmark_overlap(
 
     spark = train.sparkSession
     ensure_shipped(spark)
-    # cached: the with_bloom path consumes this twice (driver-side blob
-    # collect + the broadcast exact join) — without the cache the
-    # benchmark tokenize/explode/distinct runs twice. Small by design
-    # (a benchmark's gram set vs a 100 TB corpus).
     bench_grams = (
         _doc_grams(bench, id_col, (), text_col, w).select("__gram").distinct()
     )
-    if with_bloom:
-        bench_grams = bench_grams.cache()
 
     train_grams = _doc_grams(train, id_col, key_cols, text_col, w)
     if not with_bloom:
@@ -106,6 +100,13 @@ def benchmark_overlap(
         yield pd.DataFrame({"blob": [bf.to_bytes()]})
 
     blob_schema = T.StructType([T.StructField("blob", T.BinaryType(), False)])
+    # The blob collect (eager, here) and the broadcast exact join (lazy,
+    # in the returned plan) each scan bench_grams once. A session-long
+    # .cache() would dedupe those two scans but pin the gram set in
+    # executor storage with no safe place to unpersist (the second
+    # consumer materializes whenever the CALLER acts on the result), so
+    # we accept recomputing the small benchmark-side distinct instead —
+    # it is dwarfed by the train-corpus pass either way.
     parts = bench_grams.mapInPandas(build_fn, schema=blob_schema).collect()
     bf = BloomFilter.empty(lg_bits, n_bloom_hashes)
     for row in parts:

@@ -189,8 +189,122 @@ def lsh_band_rows(
     )
 
 
+#: per-side grid clamp for hot-bucket splitting: replication cost on a
+#: hot bucket's rows is at most this factor, and a clamped bucket of n
+#: rows still bounds any single reducer's pair output at (n/128)^2
+_MAX_BUCKET_BLOCKS = 128
+
+#: default per-bucket row cap: a cold bucket emits at most cap^2 = 2^20
+#: candidate pairs (~16 MB of 16-byte rows) on whichever reducer owns
+#: its (band, bhash) key
+DEFAULT_BUCKET_CAP = 1024
+
+
+def capped_band_join(
+    a: DataFrame, b: DataFrame, *, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Skew-safe equi-join of two band-row tables on (band, bhash) —
+    the shared candidate-generation kernel for batch LSH dedup, n-gram
+    Jaccard, and the streaming dedup index (batch-vs-index join).
+
+    ``a`` must have columns (a_id, band, bhash), ``b`` (b_id, band,
+    bhash); output is (a_id, b_id), one row per colliding band
+    occurrence — the caller orders/filters/distincts.
+
+    A plain ``a.join(b, [band, bhash])`` materializes |A_k|×|B_k| pairs
+    of bucket k on ONE reducer. Exact-dup clustering removes identical
+    boilerplate upstream, but a template family of B near-identical-but
+    -distinct docs (same page, different serial number — ubiquitous in
+    web corpora) collides in most bands: at B=1e5 that is 1e10 rows on
+    a few reducers, and AQE can split the shuffle partition but not the
+    pair count. The reference bounds heavy items with its CM min-count
+    prefilter (/root/reference/src/sketch_and_cmp.h:347); here the fix
+    is a per-bucket GRID SPLIT that preserves the exact candidate set:
+
+    * per-side bucket sizes via one map-side-combinable count agg;
+    * buckets where BOTH sides hold ≤ bucket_cap rows take the plain
+      join (output ≤ cap² per bucket; the or-of-sides criterion also
+      cannot overflow, unlike a |A_k|·|B_k| product over long counts);
+    * hot buckets split each side into G = ceil(n/cap) (≤ 128) blocks
+      by id hash; each side is exploded across the OTHER side's block
+      axis, and one equi-join on (band, bhash, ka, kb) lands every
+      block pair on its own reducer — per-reducer output ≤ cap², at a
+      replication cost of G× on hot-bucket rows only (rows, not pairs:
+      n·G ≤ n²/cap ≪ n² for any hot n).
+
+    Every (a, b) colliding combination appears exactly once (a's
+    exploded kb meets b's home block and vice versa is a different
+    output row only when ids differ — identical multiset to the plain
+    join), so downstream `.distinct()` + exact-verify results are
+    unchanged; tests pin hot ≡ cold ≡ uncapped pair sets. Cost when no
+    bucket is hot: one narrow count agg + a size-tag join, both on the
+    (band, bhash) key the join shuffles on anyway.
+
+    The sizing/routing branches fan out over both inputs (4-6 plan
+    occurrences each); callers whose band rows carry expensive lineage
+    (an in-flight signature build) should materialize first — batch
+    `lsh_candidate_pairs` lazily localCheckpoints its band rows, the
+    streaming index reads them back from parquet — so the fan-out hits
+    storage, not the signature kernel.
+
+    ``bucket_cap=None`` restores the uncapped single-join plan."""
+    if bucket_cap is None:
+        return a.join(b, ["band", "bhash"]).select("a_id", "b_id")
+    cap = int(bucket_cap)
+    if cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
+    sa = a.groupBy("band", "bhash").agg(F.count("*").alias("__na"))
+    sb = b.groupBy("band", "bhash").agg(F.count("*").alias("__nb"))
+    gexpr = lambda n: F.least(  # noqa: E731
+        F.ceil(F.col(n) / cap), F.lit(_MAX_BUCKET_BLOCKS)
+    ).cast("int")
+    sz = (
+        sa.join(sb, ["band", "bhash"])  # inner: one-sided keys emit no pairs
+        .select(
+            "band",
+            "bhash",
+            ((F.col("__na") > cap) | (F.col("__nb") > cap)).alias("__hot"),
+            gexpr("__na").alias("__ga"),
+            gexpr("__nb").alias("__gb"),
+        )
+    )
+    at = a.join(sz, ["band", "bhash"])
+    bt = b.join(sz, ["band", "bhash"])
+    cold = (
+        at.filter(~F.col("__hot"))
+        .select("a_id", "band", "bhash")
+        .join(bt.filter(~F.col("__hot")).select("b_id", "band", "bhash"),
+              ["band", "bhash"])
+        .select("a_id", "b_id")
+    )
+    # hot: block a-rows by ka = h(a_id) mod Ga, b-rows by kb = h(b_id)
+    # mod Gb; replicate each row across the other axis so block pair
+    # (ka, kb) meets on exactly one reducer
+    ah = at.filter(F.col("__hot")).select(
+        "a_id",
+        "band",
+        "bhash",
+        F.pmod(F.xxhash64("a_id"), F.col("__ga")).cast("int").alias("__ka"),
+        F.explode(F.sequence(F.lit(0), F.col("__gb") - 1)).alias("__kb"),
+    )
+    bh = bt.filter(F.col("__hot")).select(
+        "b_id",
+        "band",
+        "bhash",
+        F.explode(F.sequence(F.lit(0), F.col("__ga") - 1)).alias("__ka"),
+        F.pmod(F.xxhash64("b_id"), F.col("__gb")).cast("int").alias("__kb"),
+    )
+    hot = ah.join(bh, ["band", "bhash", "__ka", "__kb"]).select("a_id", "b_id")
+    return cold.unionByName(hot)
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, *, n_hashes: int = 128, bands: int = 32
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    n_hashes: int = 128,
+    bands: int = 32,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of their signature become a
     candidate pair. Pure DataFrame plan: explode band hashes, self-join
@@ -210,14 +324,24 @@ def lsh_candidate_pairs(
 
     Keyword-only params: a positional ``16`` meant ``bands`` before
     round 3 but would now set ``n_hashes`` — with bands > n_hashes that
-    silently made rows_per_band 0 (every doc collides in every band)."""
+    silently made rows_per_band 0 (every doc collides in every band).
+
+    ``bucket_cap`` bounds any single reducer's pair output per (band,
+    bhash) bucket via :func:`capped_band_join` (exact — identical
+    candidate set); None restores the uncapped plan."""
     banded = lsh_band_rows(signatures, id_col, n_hashes=n_hashes, bands=bands)
+    if bucket_cap is not None and not banded.isStreaming:
+        # the capped join's sizing/routing branches reference the band
+        # rows 4-6 times; a lazy localCheckpoint computes the (possibly
+        # expensive mapInPandas) signature lineage ONCE on first action
+        # and serves every branch from executor storage, GC-unpersisted
+        # with the plan (no session-pinned cache)
+        banded = banded.localCheckpoint(eager=False)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
     return (
-        a.join(b, ["band", "bhash"])
+        capped_band_join(a, b, bucket_cap=bucket_cap)
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
         .distinct()
     )
 

@@ -321,9 +321,14 @@ def multi_k_measures(
     plan moves 3× less data for identical output (pinned by
     tests/test_plans.py::test_multi_k_single_scan and the
     multi_k_flatten oracle gate)."""
+    ks = [int(k) for k in ks]
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    if len(set(ks)) != len(ks):
+        raise ValueError(f"duplicate k in {ks}")
     triples = _pair_set_triples(df, key_col, item_col)
     expl = triples.withColumn(
-        "k", F.explode(F.array(*[F.lit(int(k)) for k in ks]))
+        "k", F.explode(F.array(*[F.lit(k) for k in ks]))
     )
     kk = F.col("k").cast("double")
     exprs = _measure_exprs(kk, F.lit(1.0) / kk)

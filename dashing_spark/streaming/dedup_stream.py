@@ -163,28 +163,28 @@ def apply_dedup_batch(
     new_bands.write.mode("overwrite").parquet(bands_out)
     new_bands = spark.read.parquet(bands_out)
 
-    # candidates within the batch (a < b) …
+    # candidates within the batch (a < b) … both joins go through the
+    # skew-safe capped band join (dedup.capped_band_join): a template
+    # family arriving in one batch — or accreting in the index — would
+    # otherwise pile O(B²) pairs onto whichever reducer owns its hot
+    # (band, bhash) bucket
     a = new_bands.select(F.col("id").alias("a_id"), "band", "bhash")
     b = new_bands.select(F.col("id").alias("b_id"), "band", "bhash")
-    cand = (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+    cand = dedup.capped_band_join(a, b).filter(
+        F.col("a_id") < F.col("b_id")
     )
     # … plus batch-vs-index candidates, normalized to (min, max) ids so
     # the emitted pair set is order-independent
     old_bands = _epoch_union(spark, state_dir, "bands", tokens)
     if old_bands is not None:
-        cross = old_bands.select(
-            F.col("id").alias("old_id"), "band", "bhash"
-        ).join(
-            new_bands.select(F.col("id").alias("new_id"), "band", "bhash"),
-            ["band", "bhash"],
+        cross = dedup.capped_band_join(
+            old_bands.select(F.col("id").alias("a_id"), "band", "bhash"),
+            new_bands.select(F.col("id").alias("b_id"), "band", "bhash"),
         )
         cand = cand.unionByName(
-            cross.filter(F.col("old_id") != F.col("new_id")).select(
-                F.least("old_id", "new_id").alias("a_id"),
-                F.greatest("old_id", "new_id").alias("b_id"),
+            cross.filter(F.col("a_id") != F.col("b_id")).select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
             )
         )
     cand = cand.distinct()
@@ -287,7 +287,7 @@ def compact_index(
     tokens = _manifest_tokens(state_dir)
     if keep_last < 0:
         raise ValueError(f"keep_last must be >= 0, got {keep_last}")
-    merge = tokens[: len(tokens) - keep_last] if keep_last else tokens
+    merge = tokens[: max(0, len(tokens) - keep_last)] if keep_last else tokens
     if len(merge) < 2:
         return False
     kept = tokens[len(merge):]
@@ -301,10 +301,15 @@ def compact_index(
         out = os.path.join(state_dir, f"{prefix}_epoch_{target}")
         if merged is None:
             continue
+        # A crashed prior attempt may have left this exact target dir on
+        # disk (written but never committed to the manifest) — clear it so
+        # the promised re-run actually completes instead of failing with
+        # path-already-exists.
+        shutil.rmtree(out, ignore_errors=True)
         # coalesce to a handful of files: the point is fewer directories
         # AND fewer parquet footers on every future epoch's index scan
         merged.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)
-                        ).write.mode("errorifexists").parquet(out)
+                        ).write.mode("overwrite").parquet(out)
     _write_manifest(state_dir, [target] + kept)
     for t in merge:  # best-effort: unreferenced after the atomic rewrite
         for prefix in ("docs", "bands", "pairs"):
