@@ -228,15 +228,49 @@ def query_reference(
     measures: Sequence[str] = ("containment",),
     ksinv: float = 1.0,
     estimator: str = "default",
+    n_blocks: int | str | None = "auto",
 ) -> DataFrame:
     """Rectangular |Q|×|R| comparison (`-Q` mode; containment family
-    requires it — src/sketch_and_cmp.h:792-796). Queries are the "A" side
-    of the triple, references the "B" side; reference table broadcast."""
+    requires it — src/sketch_and_cmp.h:792-796). Queries are the "A"
+    side of the triple, references the "B" side.
+
+    Physical strategy mirrors :func:`all_pairs`: by default the
+    reference table is broadcast and the panel is a nested loop — right
+    while the panel fits an executor. A 10^6-sketch reference panel
+    cannot broadcast (the reference streams row blocks through
+    `partdist_loop`, /root/reference/src/dashing.h:660-712); there the
+    GRID join splits the reference side into B = ceil(size/threshold)
+    id-hash blocks and replicates each query row across the B block ids
+    (explode — no block-pair table needed: a rectangle has no
+    triangular filter), meeting in ONE equi-join on the block id. Per
+    reducer: |R|/B build rows + a streamed pass of the queries —
+    bounded memory at any reference size, traffic |Q|·B + |R| rows vs
+    the broadcast's |R| × executors.
+
+    ``n_blocks="auto"`` sizes the REFERENCE side via
+    :func:`pick_pair_strategy` (materialized tables get real stats;
+    in-flight Python-built panels keep the broadcast default); an int
+    forces the grid, None forces broadcast."""
     ensure_shipped(queries.sparkSession)
     key_cols = list(key_cols)
+    if n_blocks == "auto":
+        n_blocks = pick_pair_strategy(references)
     q = _prefixed(queries, key_cols, "a_")
-    r = F.broadcast(_prefixed(references, key_cols, "b_"))
-    pairs = q.crossJoin(r)
+    r = _prefixed(references, key_cols, "b_")
+    if n_blocks and n_blocks > 1:
+        rb = r.withColumn(
+            "__br",
+            F.pmod(
+                F.xxhash64(*[f"b_{k}" for k in key_cols]), F.lit(n_blocks)
+            ).cast("int"),
+        )
+        qb = q.withColumn(
+            "__br",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_blocks) - 1))),
+        )
+        pairs = qb.join(rb, "__br").drop("__br")
+        return _attach_measures(pairs, measures, ksinv, estimator)
+    pairs = q.crossJoin(F.broadcast(r))
     return _attach_measures(pairs, measures, ksinv, estimator)
 
 

@@ -105,9 +105,32 @@ def apply_dedup_batch(
     n_hashes: int = 128,
     shingle_w: int = 1,
     char_n: int | None = None,
+    max_segments: int | None = None,
+    ttl_epochs: int | None = None,
 ) -> None:
     """Index one micro-batch and emit its near-dup pairs — idempotent
-    per epoch (see module docstring)."""
+    per epoch (see module docstring).
+
+    Maintenance policy (VERDICT r4 #4 — auto-invoked, crash-safe via
+    the atomic manifest; runs AFTER this epoch commits, serialized with
+    the stream because foreachBatch epochs run one at a time):
+
+    * ``max_segments``: when the manifest exceeds this many entries,
+      :func:`compact_index` folds the oldest into one segment keeping
+      the newest ``max_segments // 2`` live — halving rather than
+      compacting every epoch keeps total rewrite work O(index ×
+      log-ish), not quadratic in stream age. Semantics-preserving.
+    * ``ttl_epochs``: entries whose covered epochs are older than
+      ``epoch_id - ttl_epochs`` are expired FIRST — a bounded dedup
+      window (old docs stop matching; their emitted pairs are dropped
+      with them — read_pairs consumers snapshot before expiry).
+
+    A crash between the epoch commit and maintenance only defers the
+    maintenance to the next batch."""
+    if ttl_epochs is not None and ttl_epochs < 1:
+        raise ValueError(f"ttl_epochs must be >= 1, got {ttl_epochs}")
+    if max_segments is not None and max_segments < 2:
+        raise ValueError(f"max_segments must be >= 2, got {max_segments}")
     if batch_df.isEmpty():
         return
     tokens = _manifest_tokens(state_dir)
@@ -224,6 +247,10 @@ def apply_dedup_batch(
         os.path.join(state_dir, f"pairs_epoch_{epoch_id}")
     )
     _commit_epoch(state_dir, epoch_id)
+    if ttl_epochs is not None:
+        expire_epochs(state_dir, min_epoch=epoch_id - ttl_epochs + 1)
+    if max_segments is not None and len(_manifest_tokens(state_dir)) > max_segments:
+        compact_index(spark, state_dir, keep_last=max_segments // 2)
 
 
 def incremental_dedup_query(
@@ -238,11 +265,15 @@ def incremental_dedup_query(
     shingle_w: int = 1,
     char_n: int | None = None,
     trigger_available_now: bool = True,
+    max_segments: int | None = None,
+    ttl_epochs: int | None = None,
 ):
     """Start a streaming query maintaining the dedup index; returns the
     StreamingQuery. Late/out-of-order arrival needs no watermark: a doc
     is compared against exactly the docs indexed before it, whatever
-    wall-clock order that is."""
+    wall-clock order that is. ``max_segments`` / ``ttl_epochs`` enable
+    the per-batch index maintenance policy (see
+    :func:`apply_dedup_batch`)."""
     os.makedirs(state_dir, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -250,6 +281,7 @@ def incremental_dedup_query(
             batch_df, epoch_id, id_col=id_col, state_dir=state_dir,
             text_col=text_col, threshold=threshold, n_hashes=n_hashes,
             shingle_w=shingle_w, char_n=char_n,
+            max_segments=max_segments, ttl_epochs=ttl_epochs,
         )
 
     writer = (
