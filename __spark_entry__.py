@@ -464,15 +464,7 @@ def q_counting_wji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/dashing.h:233). With k=2048 ≫ vocab the CRMH bottom-k covers
     the universe, so its estimate is exact; CBBMH carries the b-bit
     sampling band."""
-    from pyspark.sql import types as T
-
-    from dashing_spark.functions import (
-        CountingBBitMinHash,
-        CountingKMV,
-        sketch_from_bytes,
-    )
-    from dashing_spark.functions.cbbmh import cbbmh_weighted_jaccard
-    from dashing_spark.functions.crmh import crmh_histogram_intersection
+    from dashing_spark.functions import CountingBBitMinHash, CountingKMV
 
     docs = _docs(spark, sf_dir)
     toks = _lang_tokens(docs).withColumn("__h", F.xxhash64("token"))
@@ -486,39 +478,34 @@ def q_counting_wji_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         "__h",
     )
-    exact = _exact_wji_pairs(docs)
-    blobs: dict[str, dict] = {"crmh": {}, "cbbmh": {}}
-    for r in sk_all.collect():
-        blobs[r["sketch_type"]][r["lang"]] = bytes(r["sketch"])
-    cr_blobs, cb_blobs = blobs["crmh"], blobs["cbbmh"]
-
-    @F.udf(T.DoubleType())
-    def crmh_sim(a_key, b_key):  # 10 pairs — driver-side blobs, tiny
-        return float(
-            crmh_histogram_intersection(
-                sketch_from_bytes(cr_blobs[a_key]),
-                sketch_from_bytes(cr_blobs[b_key]),
-            )
+    # VERDICT r4 #5: the similarities ride the DISTRIBUTED pair path —
+    # dist.all_pairs dispatches the homogeneous counting blobs to the
+    # vectorized crmh/cbbmh_triple_batch kernels (functions/compare.py)
+    # — so the driver gates the same code a cluster would run (the old
+    # shape computed the 10 pairs with driver-side row UDFs over
+    # collected blobs). Eager cache: exchange reuse does not fire
+    # across the per-type filter branches (accumulator-verified for
+    # the multi_type siblings), so without materialization each branch
+    # would re-run the token scan.
+    sk_all = sk_all.cache()
+    sk_all.count()
+    out = _exact_wji_pairs(docs)
+    for ok_name, name in (("crmh_ok", "crmh"), ("cbbmh_ok", "cbbmh")):
+        sk = sk_all.filter(F.col("sketch_type") == name).drop("sketch_type")
+        est = dist.all_pairs(sk, ["lang"], measures=("ji",)).select(
+            F.col("a_lang").alias("a_key"),
+            F.col("b_lang").alias("b_key"),
+            F.col("ji").alias(f"__est_{ok_name}"),
         )
-
-    @F.udf(T.DoubleType())
-    def cbbmh_sim(a_key, b_key):  # 10 pairs — driver-side blobs, tiny
-        return float(
-            cbbmh_weighted_jaccard(
-                sketch_from_bytes(cb_blobs[a_key]),
-                sketch_from_bytes(cb_blobs[b_key]),
-            )
-        )
-
-    out = exact.withColumn(
-        "crmh", crmh_sim(F.col("a_key"), F.col("b_key"))
-    ).withColumn("cbbmh", cbbmh_sim(F.col("a_key"), F.col("b_key")))
+        out = out.join(est, ["a_key", "b_key"])
     return out.select(
         "a_key",
         "b_key",
         F.round("wji", 9).alias("wji"),
-        (F.abs(F.col("crmh") - F.col("wji")) <= 0.05).alias("crmh_ok"),
-        (F.abs(F.col("cbbmh") - F.col("wji")) <= 0.05).alias("cbbmh_ok"),
+        (F.abs(F.col("__est_crmh_ok") - F.col("wji")) <= 0.05).alias("crmh_ok"),
+        (F.abs(F.col("__est_cbbmh_ok") - F.col("wji")) <= 0.05).alias(
+            "cbbmh_ok"
+        ),
     )
 
 
@@ -805,26 +792,51 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_stats(
-    spark: SparkSession, sf_dir: str, approx: DataFrame, ok_name: str, min_recall: float
+    spark: SparkSession,
+    sf_dir: str,
+    approx: DataFrame,
+    ok_name: str,
+    min_recall: float,
+    median_bound: float,
+    p10_bound: float,
 ) -> DataFrame:
-    """Stats form for approximate ANN: recall vs the in-Spark brute
-    force as a bound boolean, with the oracle-checkable exact columns
-    (vector count, k) hash-gated."""
+    """Stats form for approximate ANN. VERDICT r4 #8: gate the recall
+    DISTRIBUTION, not just a global floor — per-query-point recall is
+    aggregated to mean / median / 10th-percentile and each is bound-
+    checked (a mean-only gate passes an index that abandons a tail of
+    query points entirely). Exact columns (vector count, k) stay
+    hash-gated; the planes/centroid sample are seeded deterministic so
+    the bounds are stable across runs and scale factors (measured
+    identical deciles at sf0.001/0.01/0.1)."""
     emb = _embeddings(spark, sf_dir)
     exact = similarity.cosine_topk_exact(emb, emb, k=3).select("q_id", "n_id")
-    n_exact = exact.groupBy().agg(F.count("*").alias("n_exact"))
-    hits = (
-        approx.select("q_id", "n_id")
-        .join(exact, ["q_id", "n_id"])
-        .groupBy()
-        .agg(F.count("*").alias("n_hit"))
+    per_q = (
+        exact.join(
+            approx.select("q_id", "n_id").withColumn("__hit", F.lit(1)),
+            ["q_id", "n_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count("*")
+            ).alias("recall")
+        )
+    )
+    stats = per_q.agg(
+        F.avg("recall").alias("__mean"),
+        F.expr("percentile(recall, 0.5)").alias("__p50"),
+        F.expr("percentile(recall, 0.1)").alias("__p10"),
     )
     n_vec = emb.agg(F.count("*").alias("n_vectors"))
-    row = n_vec.crossJoin(n_exact).crossJoin(hits)
+    row = n_vec.crossJoin(stats)
     return row.select(
         "n_vectors",
         F.lit(3).alias("k"),
-        (F.col("n_hit") / F.col("n_exact") >= min_recall).alias(ok_name),
+        (F.col("__mean") >= min_recall).alias(ok_name),
+        (F.col("__p50") >= median_bound).alias(f"{ok_name}_median"),
+        (F.col("__p10") >= p10_bound).alias(f"{ok_name}_p10"),
     )
 
 
@@ -834,7 +846,10 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors); vector count hash-gated against the oracle."""
     emb = _embeddings(spark, sf_dir)
     approx = similarity.ivf_topk(emb, k=3, n_centroids=16, nprobe=4)
-    return _ann_recall_stats(spark, sf_dir, approx, "ivf_recall_ok", 0.4)
+    return _ann_recall_stats(
+        spark, sf_dir, approx, "ivf_recall_ok", 0.4,
+        median_bound=0.5, p10_bound=0.2,
+    )
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,7 +857,10 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes × 10 tables), vector count hash-gated."""
     emb = _embeddings(spark, sf_dir)
     approx = similarity.lsh_cosine_topk(emb, k=3, n_planes=3, n_tables=10)
-    return _ann_recall_stats(spark, sf_dir, approx, "lsh_recall_ok", 0.6)
+    return _ann_recall_stats(
+        spark, sf_dir, approx, "lsh_recall_ok", 0.6,
+        median_bound=0.75, p10_bound=0.5,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2241,11 +2259,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.6
         """,
         "ivf_cosine_topk": """
-            SELECT count(*)::BIGINT AS n_vectors, 3 AS k, true AS ivf_recall_ok
+            SELECT count(*)::BIGINT AS n_vectors, 3 AS k,
+                   true AS ivf_recall_ok,
+                   true AS ivf_recall_ok_median, true AS ivf_recall_ok_p10
             FROM embeddings
         """,
         "lsh_cosine_topk": """
-            SELECT count(*)::BIGINT AS n_vectors, 3 AS k, true AS lsh_recall_ok
+            SELECT count(*)::BIGINT AS n_vectors, 3 AS k,
+                   true AS lsh_recall_ok,
+                   true AS lsh_recall_ok_median, true AS lsh_recall_ok_p10
             FROM embeddings
         """,
         "simhash_near_dups": """

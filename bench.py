@@ -74,7 +74,13 @@ def main() -> None:
 
     runs: dict[str, int] = {}
 
-    def run(name, fn, repeats=None):
+    def run(name, fn, repeats=None, warmup=False):
+        # warmup=True: one UNTIMED execution first (VERDICT r4 #7) —
+        # iterative/broadcast-heavy queries absorb tens of seconds of
+        # JVM/codegen first-run cost that otherwise dominates the drift
+        # band and masks real regressions
+        if warmup:
+            fn()
         times = []
         for _ in range(max(1, repeats or repeats_default)):
             t0 = time.time()
@@ -292,6 +298,7 @@ def main() -> None:
     run(
         "q17_connected_components_1m",
         lambda: _dedup.connected_components(chain).groupBy("comp").count().count(),
+        warmup=True,
     )
     # q18: cross-doc duplicated 8-token spans over the full docs table in
     # the production (hash-key) configuration — one shuffle keyed by an
@@ -314,6 +321,7 @@ def main() -> None:
             key_cols=(),
             w=8,
         ).count(),
+        warmup=True,
     )
 
     # q20: streaming ingestion-time dedup across 5 epochs (VERDICT r3
