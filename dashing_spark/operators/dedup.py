@@ -201,7 +201,11 @@ DEFAULT_BUCKET_CAP = 1024
 
 
 def capped_band_join(
-    a: DataFrame, b: DataFrame, *, bucket_cap: int | None = DEFAULT_BUCKET_CAP
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Skew-safe equi-join of two band-row tables on (band, bhash) —
     the shared candidate-generation kernel for batch LSH dedup, n-gram
@@ -247,54 +251,102 @@ def capped_band_join(
     streaming index reads them back from parquet — so the fan-out hits
     storage, not the signature kernel.
 
+    ``symmetric=True`` declares that ``a`` and ``b`` hold the SAME
+    (band, bhash) row multiset (a self-join under different id
+    aliases): one count agg then sizes both sides, skipping the second
+    agg and the size-table join.
+
     ``bucket_cap=None`` restores the uncapped single-join plan."""
     if bucket_cap is None:
         return a.join(b, ["band", "bhash"]).select("a_id", "b_id")
     cap = int(bucket_cap)
     if cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
-    sa = a.groupBy("band", "bhash").agg(F.count("*").alias("__na"))
-    sb = b.groupBy("band", "bhash").agg(F.count("*").alias("__nb"))
     gexpr = lambda n: F.least(  # noqa: E731
         F.ceil(F.col(n) / cap), F.lit(_MAX_BUCKET_BLOCKS)
     ).cast("int")
-    sz = (
-        sa.join(sb, ["band", "bhash"])  # inner: one-sided keys emit no pairs
-        .select(
-            "band",
-            "bhash",
-            ((F.col("__na") > cap) | (F.col("__nb") > cap)).alias("__hot"),
-            gexpr("__na").alias("__ga"),
-            gexpr("__nb").alias("__gb"),
+    if symmetric:
+        sz = (
+            a.groupBy("band", "bhash")
+            .agg(F.count("*").alias("__na"))
+            .select(
+                "band",
+                "bhash",
+                (F.col("__na") > cap).alias("__hot"),
+                gexpr("__na").alias("__ga"),
+                gexpr("__na").alias("__gb"),
+            )
         )
-    )
+    else:
+        sa = a.groupBy("band", "bhash").agg(F.count("*").alias("__na"))
+        sb = b.groupBy("band", "bhash").agg(F.count("*").alias("__nb"))
+        sz = (
+            sa.join(sb, ["band", "bhash"])  # inner: one-sided keys emit no pairs
+            .select(
+                "band",
+                "bhash",
+                ((F.col("__na") > cap) | (F.col("__nb") > cap)).alias("__hot"),
+                gexpr("__na").alias("__ga"),
+                gexpr("__nb").alias("__gb"),
+            )
+        )
+    if not a.isStreaming and not b.isStreaming:
+        # the size table feeds four branches (cold/hot x a/b tag
+        # joins); a lazy checkpoint computes it once instead of
+        # re-running the count agg per branch
+        sz = sz.localCheckpoint(eager=False)
     at = a.join(sz, ["band", "bhash"])
     bt = b.join(sz, ["band", "bhash"])
+    # the PAIR joins carry a merge hint: their inputs look tiny at test
+    # scale, so AQE otherwise demotes them to broadcast-hash joins that
+    # stream the quadratic probe through the un-exchanged input
+    # partitioning (measured 78 s vs 2.4 s on a 2000-doc template
+    # family) — and at 100 TB neither side could broadcast anyway.
+    # Sort-merge is also the shape AQE's skew-join splitting applies
+    # to. The sizing tag joins above stay unhinted: Catalyst correctly
+    # broadcasts a small size table and shuffles a big one.
     cold = (
         at.filter(~F.col("__hot"))
         .select("a_id", "band", "bhash")
-        .join(bt.filter(~F.col("__hot")).select("b_id", "band", "bhash"),
-              ["band", "bhash"])
+        .join(
+            bt.filter(~F.col("__hot"))
+            .select("b_id", "band", "bhash")
+            .hint("merge"),
+            ["band", "bhash"],
+        )
         .select("a_id", "b_id")
     )
     # hot: block a-rows by ka = h(a_id) mod Ga, b-rows by kb = h(b_id)
     # mod Gb; replicate each row across the other axis so block pair
-    # (ka, kb) meets on exactly one reducer
+    # (ka, kb) meets on exactly one reducer. The sides are repartitioned
+    # with an EXPLICIT partition count on the grid keys: the hot rows
+    # are tiny in bytes, so AQE's coalescing would otherwise fuse the
+    # grid cells back onto one reducer (input-size heuristics cannot
+    # see quadratic join output) — measured 10.5 s vs 5.2 s on a
+    # 2000-doc family, and unboundedly worse as buckets grow. An
+    # explicit count is exempt from AQE coalescing.
+    spark = a.sparkSession
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        shuffle_n = 0  # "auto" (non-numeric) — fall back to parallelism
+    n_part = max(spark.sparkContext.defaultParallelism * 2, shuffle_n)
+    keys = ["band", "bhash", "__ka", "__kb"]
     ah = at.filter(F.col("__hot")).select(
         "a_id",
         "band",
         "bhash",
         F.pmod(F.xxhash64("a_id"), F.col("__ga")).cast("int").alias("__ka"),
         F.explode(F.sequence(F.lit(0), F.col("__gb") - 1)).alias("__kb"),
-    )
+    ).repartition(n_part, *keys)
     bh = bt.filter(F.col("__hot")).select(
         "b_id",
         "band",
         "bhash",
         F.explode(F.sequence(F.lit(0), F.col("__ga") - 1)).alias("__ka"),
         F.pmod(F.xxhash64("b_id"), F.col("__gb")).cast("int").alias("__kb"),
-    )
-    hot = ah.join(bh, ["band", "bhash", "__ka", "__kb"]).select("a_id", "b_id")
+    ).repartition(n_part, *keys)
+    hot = ah.join(bh.hint("merge"), keys).select("a_id", "b_id")
     return cold.unionByName(hot)
 
 
@@ -340,7 +392,7 @@ def lsh_candidate_pairs(
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
     return (
-        capped_band_join(a, b, bucket_cap=bucket_cap)
+        capped_band_join(a, b, bucket_cap=bucket_cap, symmetric=True)
         .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )

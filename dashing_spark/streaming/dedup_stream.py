@@ -193,7 +193,7 @@ def apply_dedup_batch(
     # (band, bhash) bucket
     a = new_bands.select(F.col("id").alias("a_id"), "band", "bhash")
     b = new_bands.select(F.col("id").alias("b_id"), "band", "bhash")
-    cand = dedup.capped_band_join(a, b).filter(
+    cand = dedup.capped_band_join(a, b, symmetric=True).filter(
         F.col("a_id") < F.col("b_id")
     )
     # … plus batch-vs-index candidates, normalized to (min, max) ids so
