@@ -4,11 +4,12 @@
 
 Section A — organic two-point scaling. The sf0.1 documents table (5000
 docs, the largest driver-generated fixture) is replicated R× with
-doc_id offsets and a 25%-length random-token suffix per replica, so
-cross-replica JI of a doc with its copies is ~0.67 < 0.9 and the
-near-dup structure stays WITHIN each replica: true pair mass grows
-linearly in R (organic growth of a web corpus with a fixed dup rate),
-not quadratically (which naive replication would fabricate). For each
+doc_id offsets and an INJECTIVE per-replica token renaming, so every
+within-replica Jaccard equals the original corpus's exactly and
+cross-replica JI is 0: true pair mass grows linearly in R (organic
+growth of a web corpus with a fixed dup rate), not quadratically
+(which naive replication would fabricate) and not sub-linearly (which
+a perturbation that also degrades within-replica JI would). For each
 point the three stages are timed/counted separately: candidate
 generation (banded join), exact verify, and total pipeline. The
 candidate:true ratio and the time-scaling exponent

@@ -206,6 +206,7 @@ def capped_band_join(
     *,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     symmetric: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Skew-safe equi-join of two band-row tables on (band, bhash) —
     the shared candidate-generation kernel for batch LSH dedup, n-gram
@@ -256,6 +257,14 @@ def capped_band_join(
     aliases): one count agg then sizes both sides, skipping the second
     agg and the size-table join.
 
+    ``materialize`` (default True) lazily localCheckpoints the size
+    table so the four routing branches share one computation.
+    localCheckpoint storage is executor-local and NON-fault-tolerant:
+    an executor loss after materialization fails the job instead of
+    recomputing (the job is idempotent — rerun it). On clusters with
+    preemptible executors pass False to keep full lineage at the cost
+    of re-running the count agg per branch.
+
     ``bucket_cap=None`` restores the uncapped single-join plan."""
     if bucket_cap is None:
         return a.join(b, ["band", "bhash"]).select("a_id", "b_id")
@@ -290,7 +299,7 @@ def capped_band_join(
                 gexpr("__nb").alias("__gb"),
             )
         )
-    if not a.isStreaming and not b.isStreaming:
+    if materialize and not a.isStreaming and not b.isStreaming:
         # the size table feeds four branches (cold/hot x a/b tag
         # joins); a lazy checkpoint computes it once instead of
         # re-running the count agg per branch
@@ -357,6 +366,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 128,
     bands: int = 32,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of their signature become a
     candidate pair. Pure DataFrame plan: explode band hashes, self-join
@@ -380,19 +390,27 @@ def lsh_candidate_pairs(
 
     ``bucket_cap`` bounds any single reducer's pair output per (band,
     bhash) bucket via :func:`capped_band_join` (exact — identical
-    candidate set); None restores the uncapped plan."""
+    candidate set); None restores the uncapped plan.
+
+    ``materialize`` (default True) lazily localCheckpoints the band
+    rows: the capped join's sizing/routing branches reference them 4-6
+    times, and the checkpoint computes the (possibly expensive
+    mapInPandas) signature lineage ONCE, serving every branch from
+    executor storage, GC-unpersisted with the plan (no session-pinned
+    cache). The storage is executor-local and NON-fault-tolerant — an
+    executor loss after materialization fails the (idempotent) job
+    rather than recomputing. On clusters with preemptible executors
+    pass False: full lineage is kept and each branch recomputes."""
     banded = lsh_band_rows(signatures, id_col, n_hashes=n_hashes, bands=bands)
-    if bucket_cap is not None and not banded.isStreaming:
-        # the capped join's sizing/routing branches reference the band
-        # rows 4-6 times; a lazy localCheckpoint computes the (possibly
-        # expensive mapInPandas) signature lineage ONCE on first action
-        # and serves every branch from executor storage, GC-unpersisted
-        # with the plan (no session-pinned cache)
+    if materialize and bucket_cap is not None and not banded.isStreaming:
         banded = banded.localCheckpoint(eager=False)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
     return (
-        capped_band_join(a, b, bucket_cap=bucket_cap, symmetric=True)
+        capped_band_join(
+            a, b, bucket_cap=bucket_cap, symmetric=True,
+            materialize=materialize,
+        )
         .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )

@@ -125,6 +125,11 @@ def apply_dedup_batch(
       window (old docs stop matching; their emitted pairs are dropped
       with them — read_pairs consumers snapshot before expiry).
 
+    Both knobs compose: with a TTL active, compaction only absorbs raw
+    epoch dirs (``absorb_compacted=False``) so segments age out whole
+    — per-doc retention stays ≤ 2×ttl_epochs and the segment count
+    stays bounded by ~ttl/(max_segments//2) + max_segments.
+
     A crash between the epoch commit and maintenance only defers the
     maintenance to the next batch."""
     if ttl_epochs is not None and ttl_epochs < 1:
@@ -250,7 +255,15 @@ def apply_dedup_batch(
     if ttl_epochs is not None:
         expire_epochs(state_dir, min_epoch=epoch_id - ttl_epochs + 1)
     if max_segments is not None and len(_manifest_tokens(state_dir)) > max_segments:
-        compact_index(spark, state_dir, keep_last=max_segments // 2)
+        # with a TTL active, never re-absorb existing segments: folding
+        # a segment forward re-stamps its docs with a newer max epoch,
+        # so it would never age past the horizon (see compact_index)
+        compact_index(
+            spark,
+            state_dir,
+            keep_last=max_segments // 2,
+            absorb_compacted=ttl_epochs is None,
+        )
 
 
 def incremental_dedup_query(
@@ -274,6 +287,13 @@ def incremental_dedup_query(
     wall-clock order that is. ``max_segments`` / ``ttl_epochs`` enable
     the per-batch index maintenance policy (see
     :func:`apply_dedup_batch`)."""
+    # fail fast on bad policy params — deferring to the first non-empty
+    # batch would start the query (and create its checkpoint dir) only
+    # to kill it with a StreamingQueryException later
+    if ttl_epochs is not None and ttl_epochs < 1:
+        raise ValueError(f"ttl_epochs must be >= 1, got {ttl_epochs}")
+    if max_segments is not None and max_segments < 2:
+        raise ValueError(f"max_segments must be >= 2, got {max_segments}")
     os.makedirs(state_dir, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -295,7 +315,10 @@ def incremental_dedup_query(
 
 
 def compact_index(
-    spark: SparkSession, state_dir: str, keep_last: int = 1
+    spark: SparkSession,
+    state_dir: str,
+    keep_last: int = 1,
+    absorb_compacted: bool = True,
 ) -> bool:
     """Merge all but the last ``keep_last`` manifest entries into ONE
     compacted segment — the maintenance operation that keeps the
@@ -306,12 +329,27 @@ def compact_index(
     docs/bands/pairs, so future batches still compare against every
     indexed doc.
 
-    Run OFFLINE (no active stream on this state_dir). Crash-safe by the
+    Run with no CONCURRENT consumer of this state_dir: either offline,
+    or auto-invoked from ``apply_dedup_batch``'s ``max_segments``
+    policy — safe there because foreachBatch serializes epochs, so
+    nothing reads the manifest while it compacts. Crash-safe by the
     manifest protocol: the merged segment is written to fresh directory
     names first, then the manifest rewrite commits atomically; a crash
     before the rewrite leaves only unreferenced garbage and the
     original state, so a re-run completes the job. Absorbed directories
     are deleted best-effort afterwards.
+
+    ``absorb_compacted=False`` restricts the merge to RAW epoch
+    entries, leaving existing ``c*`` segments in place. This is how
+    compaction composes with a TTL (`expire_epochs` drops whole
+    entries whose max covered epoch passed the horizon): re-absorbing
+    a segment would stamp its docs with an ever-newer max epoch, so a
+    segment that keeps getting folded forward NEVER ages out and the
+    oldest docs are retained forever. Left alone, a segment's age is
+    fixed at creation and the TTL drops it wholesale — per-doc
+    retention is bounded by ttl + segment-span ≤ 2×ttl.
+    ``apply_dedup_batch`` sets this automatically when both knobs are
+    active.
 
     Returns True if a compaction happened (>= 2 entries merged)."""
     import shutil
@@ -319,10 +357,16 @@ def compact_index(
     tokens = _manifest_tokens(state_dir)
     if keep_last < 0:
         raise ValueError(f"keep_last must be >= 0, got {keep_last}")
-    merge = tokens[: max(0, len(tokens) - keep_last)] if keep_last else tokens
+    window = tokens[: max(0, len(tokens) - keep_last)] if keep_last else tokens
+    if absorb_compacted:
+        merge = list(window)
+        retained_c: list[str] = []
+    else:
+        merge = [t for t in window if not t.startswith("c")]
+        retained_c = [t for t in window if t.startswith("c")]
     if len(merge) < 2:
         return False
-    kept = tokens[len(merge):]
+    kept = tokens[len(window):]
     target = f"c{max(_token_epoch(t) for t in merge)}"
     if target in tokens:
         raise ValueError(
@@ -342,7 +386,9 @@ def compact_index(
         # AND fewer parquet footers on every future epoch's index scan
         merged.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)
                         ).write.mode("overwrite").parquet(out)
-    _write_manifest(state_dir, [target] + kept)
+    # retained (older) segments keep their manifest position ahead of
+    # the new one: every epoch they cover precedes the merge set's
+    _write_manifest(state_dir, retained_c + [target] + kept)
     for t in merge:  # best-effort: unreferenced after the atomic rewrite
         for prefix in ("docs", "bands", "pairs"):
             shutil.rmtree(

@@ -551,6 +551,34 @@ class TestIndexCompaction:
         assert streamed == batch_pairs
         assert streamed  # non-vacuous
 
+    def test_ttl_with_compaction_stays_bounded(self, spark, docs, tmp_path):
+        """Review r5: with BOTH knobs active, compaction must not
+        re-absorb existing segments — folding a segment forward
+        re-stamps its docs with a newer max epoch, so the oldest docs
+        would never age past the TTL horizon and the index would grow
+        forever. With absorb_compacted=False (auto when ttl_epochs is
+        set), segments age out whole: retention ≤ 2×ttl."""
+        from pyspark.sql import functions as F
+
+        from dashing_spark.streaming import dedup_stream
+
+        state = str(tmp_path / "both_knobs")
+        small = docs.filter(F.col("doc_id") < 120)
+        n_epochs, ttl = 12, 3
+        for e in range(n_epochs):
+            batch = small.filter(F.pmod(F.col("doc_id"), F.lit(n_epochs)) == e)
+            dedup_stream.apply_dedup_batch(
+                batch, e, id_col="doc_id", state_dir=state,
+                threshold=0.9, max_segments=3, ttl_epochs=ttl,
+            )
+        toks = dedup_stream._manifest_tokens(state)
+        # every surviving entry's max covered epoch is within 2×ttl of
+        # the head — nothing was refreshed past its horizon
+        horizon = (n_epochs - 1) - 2 * ttl
+        assert all(dedup_stream._token_epoch(t) > horizon for t in toks), toks
+        # and the manifest itself stayed bounded (not one dir per epoch)
+        assert len(toks) <= ttl + 3, toks
+
     def test_maintenance_params_validated(self, spark, docs, tmp_path):
         from pyspark.sql import functions as F
 
@@ -565,6 +593,13 @@ class TestIndexCompaction:
         with pytest.raises(ValueError, match="ttl_epochs"):
             dedup_stream.apply_dedup_batch(
                 batch, 1, id_col="doc_id", state_dir=state, ttl_epochs=0
+            )
+        # the stream constructor fails FAST too (before the query — and
+        # its checkpoint dir — exists), not inside the first foreachBatch
+        with pytest.raises(ValueError, match="max_segments"):
+            dedup_stream.incremental_dedup_query(
+                None, id_col="doc_id", state_dir=state,
+                checkpoint_dir=str(tmp_path / "ck"), max_segments=1,
             )
 
     def test_expire_drops_old_matches(self, spark, docs, tmp_path):
