@@ -624,6 +624,8 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     fps: DataFrame | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming, exact recall.
 
@@ -639,7 +641,16 @@ def simhash_near_dups(
     Verify is JVM bit_count(a^b) — no Python in the pair stage.
     ``fps`` optionally supplies a precomputed (id, simhash) frame so a
     caller comparing against an oracle doesn't pay the fingerprint
-    mapInPandas pass twice."""
+    mapInPandas pass twice.
+
+    The ≥32-bit keys keep RANDOM fingerprints linear, but a template
+    family (near-identical docs → identical fingerprints) still
+    collides wholesale in every table — the same hot-bucket pocket as
+    the MinHash band join, so the self-join rides the same
+    :func:`capped_band_join` (``bucket_cap``/``materialize`` as in
+    :func:`lsh_candidate_pairs`; fingerprints are re-attached to the
+    surviving candidate ids afterwards — output-bound equi-joins —
+    rather than carried through the pair join)."""
     n_blocks = max_hamming + 3
     bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     block_exprs = [
@@ -656,22 +667,34 @@ def simhash_near_dups(
     ]
     if fps is None:
         fps = simhash_fingerprints(df, id_col, text_col)
+    if materialize and bucket_cap is not None and not fps.isStreaming:
+        # consumed by the band rows AND the two post-join fingerprint
+        # attaches — one mapInPandas pass, not three (same tradeoff as
+        # lsh_candidate_pairs; see its docstring)
+        fps = fps.localCheckpoint(eager=False)
     banded = fps.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(F.array(*tables)).alias("band", "chunk"),
+        F.col(id_col), F.posexplode(F.array(*tables)).alias("band", "bhash")
     )
-    a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band", "chunk"
-    )
-    b = banded.select(
-        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "band", "chunk"
-    )
-    pairs = (
-        a.join(b, ["band", "chunk"])
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
+    cands = (
+        capped_band_join(
+            a, b, bucket_cap=bucket_cap, symmetric=True,
+            materialize=materialize,
+        )
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
         .distinct()
+    )
+    sh = fps.select(F.col(id_col).alias("__jid"), "simhash")
+    pairs = (
+        cands.join(
+            sh.select(F.col("__jid").alias("a_id"), F.col("simhash").alias("a_sh")),
+            "a_id",
+        )
+        .join(
+            sh.select(F.col("__jid").alias("b_id"), F.col("simhash").alias("b_sh")),
+            "b_id",
+        )
     )
     ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
     return (
@@ -687,6 +710,8 @@ def simhash_bruteforce_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     fps: DataFrame | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """All-pairs SimHash Hamming ≤ max_hamming by brute force — the
     O(n²) recall oracle for `simhash_near_dups` on small fixtures."""

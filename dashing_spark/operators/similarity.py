@@ -202,16 +202,27 @@ def lsh_cosine_topk(
     table. Shuffle is a hash partition on (table, bucket); candidate
     pairs deduped before the cosine. Recall vs brute force is the test
     gate, n_tables the recall/cost dial."""
+    from dashing_spark.operators.dedup import capped_band_join
+
     sig = hyperplane_signatures(
         embeddings, n_planes, n_tables, seed, id_col, vec_col
+    ).select(
+        id_col, F.col("table").alias("band"), F.col("bucket").alias("bhash")
     )
-    a = sig.select(F.col(id_col).alias("q_id"), "table", "bucket")
-    b = sig.select(F.col(id_col).alias("n_id"), "table", "bucket")
+    if not sig.isStreaming:
+        # the capped join references the bucket rows from several
+        # branches — one mapInPandas signature pass, not one per branch
+        sig = sig.localCheckpoint(eager=False)
+    a = sig.select(F.col(id_col).alias("a_id"), "band", "bhash")
+    b = sig.select(F.col(id_col).alias("b_id"), "band", "bhash")
+    # skew-safe bucket join: a cluster of near-identical embeddings
+    # shares buckets in every table, the same template-family pocket as
+    # the MinHash/SimHash band joins (see dedup.capped_band_join)
     cand = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
+        capped_band_join(a, b, symmetric=True)
+        .filter(F.col("a_id") != F.col("b_id"))
         .distinct()
+        .select(F.col("a_id").alias("q_id"), F.col("b_id").alias("n_id"))
     )
     e = _vec_with_norm(embeddings, id_col, vec_col)
     pairs = (
@@ -371,15 +382,22 @@ def embedding_near_dups(
     multi-table LSH bucketing + exact verify on the candidate pairs.
     For true near-dups (cos→1) per-table collision prob → 1, so recall
     is high even with one table; extra tables cover the 0.9s."""
+    from dashing_spark.operators.dedup import capped_band_join
+
     sig = hyperplane_signatures(
         embeddings, n_planes, n_tables, seed, id_col, vec_col
+    ).select(
+        id_col, F.col("table").alias("band"), F.col("bucket").alias("bhash")
     )
-    a = sig.select(F.col(id_col).alias("a_id"), "table", "bucket")
-    b = sig.select(F.col(id_col).alias("b_id"), "table", "bucket")
+    if not sig.isStreaming:
+        sig = sig.localCheckpoint(eager=False)
+    a = sig.select(F.col(id_col).alias("a_id"), "band", "bhash")
+    b = sig.select(F.col(id_col).alias("b_id"), "band", "bhash")
+    # skew-safe bucket join — near-dup clusters ARE the hot-bucket
+    # input class here (see dedup.capped_band_join)
     cand = (
-        a.join(b, ["table", "bucket"])
+        capped_band_join(a, b, symmetric=True)
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
         .distinct()
     )
     e = _vec_with_norm(embeddings, id_col, vec_col)

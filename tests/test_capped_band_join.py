@@ -105,6 +105,21 @@ class TestCappedBandJoin:
         fam = {(a, b) for a in range(120) for b in range(a + 1, 120)}
         assert fam <= sigs_pairs
 
+    def test_simhash_capped_equals_uncapped(self, spark, family_docs):
+        """SimHash's multi-block table join shares the pocket (a
+        template family has near-identical fingerprints, so its ≥32-bit
+        keys collide wholesale) and now rides the same capped join —
+        output must be identical either way. (No full-family recovery
+        claim: SimHash promises Hamming ≤ 3, and two family docs differ
+        in TWO serial tokens, which can flip more than 3 bits.)"""
+        capped = dedup.simhash_near_dups(family_docs, "doc_id", bucket_cap=16)
+        plain = dedup.simhash_near_dups(family_docs, "doc_id", bucket_cap=None)
+        diff = capped.exceptAll(plain).unionByName(plain.exceptAll(capped))
+        assert diff.count() == 0
+        assert capped.count() > 100  # non-vacuous: family is dup-dense
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "__ka" in plan  # grid branch engaged at this cap
+
     def test_streaming_batch_uses_capped_join(self, spark, family_docs, tmp_path):
         """The streaming index twin emits the same pair set whether the
         family arrives in one batch or across two epochs — through the
