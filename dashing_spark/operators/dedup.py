@@ -667,10 +667,10 @@ def simhash_near_dups(
     ]
     if fps is None:
         fps = simhash_fingerprints(df, id_col, text_col)
-    if materialize and bucket_cap is not None and not fps.isStreaming:
-        # consumed by the band rows AND the two post-join fingerprint
-        # attaches — one mapInPandas pass, not three (same tradeoff as
-        # lsh_candidate_pairs; see its docstring)
+    if materialize and not fps.isStreaming:
+        # consumed by both band-row sides AND the two post-join
+        # fingerprint attaches — capped or not, one mapInPandas pass
+        # instead of four (same tradeoff as lsh_candidate_pairs)
         fps = fps.localCheckpoint(eager=False)
     banded = fps.select(
         F.col(id_col), F.posexplode(F.array(*tables)).alias("band", "bhash")
@@ -710,8 +710,6 @@ def simhash_bruteforce_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     fps: DataFrame | None = None,
-    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
-    materialize: bool = True,
 ) -> DataFrame:
     """All-pairs SimHash Hamming ≤ max_hamming by brute force — the
     O(n²) recall oracle for `simhash_near_dups` on small fixtures."""

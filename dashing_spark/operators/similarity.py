@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+from dashing_spark.operators.dedup import DEFAULT_BUCKET_CAP, capped_band_join
 from dashing_spark.operators.ship import ensure_shipped
 
 
@@ -189,6 +190,42 @@ def hyperplane_signatures(
     return embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
 
 
+def _bucket_candidate_pairs(
+    embeddings: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    bucket_cap: int | None,
+    materialize: bool,
+) -> DataFrame:
+    """Shared LSH candidate generator for :func:`lsh_cosine_topk` and
+    :func:`embedding_near_dups`: hyperplane signatures → (a_id, b_id)
+    bucket collisions through the skew-safe :func:`capped_band_join`
+    (a cluster of near-identical embeddings shares buckets in every
+    table — the same template-family pocket as the MinHash/SimHash band
+    joins). ``bucket_cap=None`` restores the plain bucket self-join
+    (also the streaming-compatible shape: the capped join's count agg +
+    join-back is unsupported on a stream); ``materialize=False`` keeps
+    full lineage for preemptible clusters."""
+    sig = hyperplane_signatures(
+        embeddings, n_planes, n_tables, seed, id_col, vec_col
+    ).select(
+        id_col, F.col("table").alias("band"), F.col("bucket").alias("bhash")
+    )
+    if materialize and not sig.isStreaming:
+        # the band rows feed both join sides (and the capped join's
+        # routing branches) — one mapInPandas signature pass, not one
+        # per branch
+        sig = sig.localCheckpoint(eager=False)
+    a = sig.select(F.col(id_col).alias("a_id"), "band", "bhash")
+    b = sig.select(F.col(id_col).alias("b_id"), "band", "bhash")
+    return capped_band_join(
+        a, b, bucket_cap=bucket_cap, symmetric=True, materialize=materialize
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     k: int,
@@ -197,29 +234,20 @@ def lsh_cosine_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors sharing a bucket in any
     table. Shuffle is a hash partition on (table, bucket); candidate
     pairs deduped before the cosine. Recall vs brute force is the test
-    gate, n_tables the recall/cost dial."""
-    from dashing_spark.operators.dedup import capped_band_join
-
-    sig = hyperplane_signatures(
-        embeddings, n_planes, n_tables, seed, id_col, vec_col
-    ).select(
-        id_col, F.col("table").alias("band"), F.col("bucket").alias("bhash")
-    )
-    if not sig.isStreaming:
-        # the capped join references the bucket rows from several
-        # branches — one mapInPandas signature pass, not one per branch
-        sig = sig.localCheckpoint(eager=False)
-    a = sig.select(F.col(id_col).alias("a_id"), "band", "bhash")
-    b = sig.select(F.col(id_col).alias("b_id"), "band", "bhash")
-    # skew-safe bucket join: a cluster of near-identical embeddings
-    # shares buckets in every table, the same template-family pocket as
-    # the MinHash/SimHash band joins (see dedup.capped_band_join)
+    gate, n_tables the recall/cost dial. ``bucket_cap``/``materialize``
+    as in :func:`dedup.capped_band_join` (None restores the uncapped
+    streaming-compatible plan)."""
     cand = (
-        capped_band_join(a, b, symmetric=True)
+        _bucket_candidate_pairs(
+            embeddings, n_planes, n_tables, seed, id_col, vec_col,
+            bucket_cap, materialize,
+        )
         .filter(F.col("a_id") != F.col("b_id"))
         .distinct()
         .select(F.col("a_id").alias("q_id"), F.col("b_id").alias("n_id"))
@@ -377,26 +405,20 @@ def embedding_near_dups(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via
     multi-table LSH bucketing + exact verify on the candidate pairs.
     For true near-dups (cos→1) per-table collision prob → 1, so recall
-    is high even with one table; extra tables cover the 0.9s."""
-    from dashing_spark.operators.dedup import capped_band_join
-
-    sig = hyperplane_signatures(
-        embeddings, n_planes, n_tables, seed, id_col, vec_col
-    ).select(
-        id_col, F.col("table").alias("band"), F.col("bucket").alias("bhash")
-    )
-    if not sig.isStreaming:
-        sig = sig.localCheckpoint(eager=False)
-    a = sig.select(F.col(id_col).alias("a_id"), "band", "bhash")
-    b = sig.select(F.col(id_col).alias("b_id"), "band", "bhash")
-    # skew-safe bucket join — near-dup clusters ARE the hot-bucket
-    # input class here (see dedup.capped_band_join)
+    is high even with one table; extra tables cover the 0.9s.
+    ``bucket_cap``/``materialize`` as in :func:`dedup.capped_band_join`
+    — near-dup clusters ARE the hot-bucket input class here."""
     cand = (
-        capped_band_join(a, b, symmetric=True)
+        _bucket_candidate_pairs(
+            embeddings, n_planes, n_tables, seed, id_col, vec_col,
+            bucket_cap, materialize,
+        )
         .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
