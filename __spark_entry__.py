@@ -894,10 +894,40 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + the PII scrub tier (merged gate slot): the
+    synthetic docs carry no PII, so every third doc gets a
+    deterministic injected email/SSN/phone/IPv4 tail — the oracle
+    injects the identical tail — and the query gates the per-kind
+    detection counts plus ``pii_gone`` (re-detection on the redacted
+    text finds nothing; the oracle asserts literal TRUE, so a
+    redaction regression hash-mismatches)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
-    scored = text.quality_score(docs)
+    pii_tail = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org from 10.0.0."),
+            F.col("doc_id").cast("string"),
+            F.lit(" ssn 123-45-6789 call +1 555-123-4567"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = docs.withColumn("aug_text", F.concat(F.col("text"), pii_tail))
+    aug = aug.withColumns(text.pii_counts_cols("aug_text"))
+    aug = aug.withColumn("red_text", text.redact_pii_col("aug_text"))
+    gone = [
+        (c == 0) | c.isNull()
+        for c in text.pii_counts_cols("red_text").values()
+    ]
+    aug = aug.withColumn(
+        "pii_gone",
+        gone[0] & gone[1] & gone[2] & gone[3],
+    )
+    scored = text.quality_score(aug)
     return scored.select(
-        "doc_id", "n_tokens", "digit_ratio", "stopword_ratio", "quality"
+        "doc_id", "n_tokens", "digit_ratio", "stopword_ratio", "quality",
+        "pii_email_count", "pii_ssn_count", "pii_phone_count",
+        "pii_ipv4_count", "pii_gone",
     )
 
 
@@ -2327,7 +2357,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "quality_scores": """
-            WITH f AS (
+            WITH aug AS (
+                SELECT doc_id, text,
+                       text || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact u' || doc_id
+                                || '@ex.org from 10.0.0.' || doc_id
+                                || ' ssn 123-45-6789 call +1 555-123-4567'
+                           ELSE '' END AS aug_text
+                FROM documents WHERE doc_id < 20
+            ), f AS (
                 SELECT doc_id,
                        length(text) AS nc,
                        len(string_split(text, ' ')) AS n_tokens,
@@ -2339,15 +2377,33 @@ def oracle_sql() -> dict[str, str]:
                        round(len(list_filter(string_split(text, ' '),
                            t -> list_contains(['the','a','of','and'], t)))
                            * 1.0 / len(string_split(text, ' ')), 6)
-                           AS stopword_ratio
-                FROM documents WHERE doc_id < 20
+                           AS stopword_ratio,
+                       len(regexp_extract_all(aug_text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'
+                           )) AS pii_email_count,
+                       len(regexp_extract_all(aug_text,
+                           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'
+                           )) AS pii_ssn_count,
+                       len(regexp_extract_all(aug_text,
+                           '[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{2,4}'
+                           )) AS pii_phone_count,
+                       len(regexp_extract_all(aug_text,
+                           '\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b'
+                           )) AS pii_ipv4_count
+                FROM aug
             )
             SELECT doc_id, n_tokens, digit_ratio, stopword_ratio,
                    round(
                        greatest(least(1.0 - abs(ln(nc + 1.0) - 5.5) / 5.5,
                                       1.0), 0.0) * 0.5
                        + greatest(1.0 - digit_ratio * 10, 0.0) * 0.25
-                       + least(stopword_ratio * 5, 1.0) * 0.25, 6) AS quality
+                       + least(stopword_ratio * 5, 1.0) * 0.25, 6) AS quality,
+                   pii_email_count, pii_ssn_count, pii_phone_count,
+                   pii_ipv4_count,
+                   -- Spark computes this by re-detecting on the
+                   -- redacted text; a redaction regression flips it to
+                   -- FALSE there and hash-mismatches against this TRUE
+                   true AS pii_gone
             FROM f
         """,
         "lang_id_confusion": """

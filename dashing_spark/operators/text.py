@@ -175,6 +175,71 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feat.withColumn("quality", F.round(score, 6))
 
 
+#: PII pattern per kind, in REDACTION PRIORITY order (emails first —
+#: an email's local part could otherwise be half-eaten by the phone
+#: pattern). Patterns are deliberately restricted to the syntax subset
+#: Java regex and RE2 (DuckDB) interpret identically: no lookarounds,
+#: no alternation (leftmost-first vs leftmost-longest divergence), no
+#: `\s` (Java includes \x0B, RE2 does not), ASCII classes only — so
+#: DuckDB oracles can replicate counts and redactions verbatim.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "ssn": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "phone": "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{2,4}",
+    "ipv4": "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b",
+}
+
+
+def pii_counts_cols(text_col) -> dict[str, "F.Column"]:
+    """``{pii_<kind>_count: Column}`` of non-overlapping match counts
+    per PII kind over ``text_col`` (name or Column) — pure JVM
+    ``regexp_count``, whole-stage codegen. DuckDB twin:
+    ``len(regexp_extract_all(text, pattern))``."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        f"pii_{kind}_count": F.regexp_count(c, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection counts (email / SSN-shaped / phone /
+    IPv4-shaped) — the detect side of the scrubbing pass every
+    training-data pipeline runs before release. Purely syntactic:
+    an SSN-shaped or IPv4-shaped match is a *candidate*, which is the
+    correct pipeline semantic (redaction must over-trigger, not
+    under-trigger). NULL text yields NULL counts (ANSI-safe)."""
+    return df.withColumns(pii_counts_cols(text_col))
+
+
+def redact_pii_col(text_col, replacement: str = "<{kind}>"):
+    """Expression redacting every :data:`PII_PATTERNS` match in
+    priority order. ``replacement`` may reference ``{kind}`` (default
+    emits ``<EMAIL>``-style typed tokens, preserving the fact that
+    *something* was there — downstream token counts shift by a bounded
+    amount instead of silently collapsing)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, replacement.format(kind=kind.upper()))
+    return c
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    replacement: str = "<{kind}>",
+) -> DataFrame:
+    """Redact PII in ``text_col`` (in place by default, or into
+    ``out_col``). Chained JVM ``regexp_replace`` — one codegen stage,
+    no Python. Idempotent for the default replacement: redaction
+    tokens contain no digits or ``@``, so a second pass finds nothing
+    (pinned by test)."""
+    return df.withColumn(
+        out_col or text_col, redact_pii_col(text_col, replacement)
+    )
+
+
 def lang_id_predict(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language-ID: score = |distinct tokens ∩ markers| per
     language, argmax with deterministic tie-break on language name."""

@@ -174,6 +174,65 @@ class TestText:
             assert r["total_tokens"] >= r["n_docs"] * 10
 
 
+class TestPII:
+    FIXTURE = [
+        (1, "mail jo.doe+x@sub.example.co.uk and b@c.io today"),
+        (2, "ssn 123-45-6789 then 999-99-9999 end"),
+        (3, "call +1 555-123-4567 or +44 207-946-0958"),
+        (4, "hosts 10.0.0.1 and 192.168.255.3 up"),
+        (5, "clean text with numbers 123 456-78 and 1.2.3 only"),
+        (6, ""),
+        (7, None),
+        (8, "mixed a@b.org 111-22-3333 +1 555-000-1111 8.8.8.8"),
+    ]
+
+    @pytest.fixture()
+    def pii_df(self, spark):
+        return spark.createDataFrame(
+            self.FIXTURE, "doc_id int, text string"
+        )
+
+    def test_counts_per_kind(self, spark, pii_df):
+        rows = {
+            r["doc_id"]: r
+            for r in text.pii_stats(pii_df).collect()
+        }
+        assert rows[1]["pii_email_count"] == 2
+        assert rows[2]["pii_ssn_count"] == 2
+        assert rows[3]["pii_phone_count"] == 2
+        assert rows[4]["pii_ipv4_count"] == 2
+        for kind in ("email", "ssn", "phone", "ipv4"):
+            assert rows[5][f"pii_{kind}_count"] == 0
+            assert rows[6][f"pii_{kind}_count"] == 0
+            assert rows[7][f"pii_{kind}_count"] is None  # NULL in, NULL out
+            assert rows[8][f"pii_{kind}_count"] == 1
+
+    def test_redaction_removes_all_detectable_pii(self, spark, pii_df):
+        red = text.redact_pii(pii_df)
+        residue = text.pii_stats(red)
+        leftover = residue.filter(
+            (F.col("pii_email_count") > 0)
+            | (F.col("pii_ssn_count") > 0)
+            | (F.col("pii_phone_count") > 0)
+            | (F.col("pii_ipv4_count") > 0)
+        ).count()
+        assert leftover == 0
+
+    def test_redaction_idempotent_and_typed(self, spark, pii_df):
+        once = text.redact_pii(pii_df, out_col="r1")
+        twice = text.redact_pii(once, text_col="r1", out_col="r2")
+        assert twice.filter(F.col("r1") != F.col("r2")).count() == 0
+        r8 = twice.filter(F.col("doc_id") == 8).collect()[0]["r1"]
+        assert r8 == "mixed <EMAIL> <SSN> <PHONE> <IPV4>"
+
+    def test_clean_text_untouched(self, spark, pii_df):
+        red = text.redact_pii(pii_df, out_col="red")
+        changed = red.filter(
+            F.col("doc_id").isin(5, 6) & (F.col("red") != F.col("text"))
+        ).count()
+        assert changed == 0
+
+
 class TestMultimodal:
     def test_decode_raises_for_unregistered_mime(self, spark, docs):
         from pyspark.sql import functions as F
