@@ -659,12 +659,36 @@ def q_containment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup family, both tiers in one slot: text-digest dedup
+    (the original query) plus canonical-URL dedup — the docs table has
+    no url column, so each doc gets a deterministic synthetic URL whose
+    case/port/www/tracking-param/fragment/slash VARIANTS (doc_id mod 4)
+    collapse under text.canonicalize_url_col; the oracle builds the
+    identical URLs and replicates the canonicalization chain in RE2, so
+    the raw-vs-canonical distinct gap is fully hash-gated."""
     docs = _docs(spark, sf_dir)
     digests = docs.select("lang", F.md5("text").alias("digest"))
-    return digests.groupBy("lang").agg(
+    d = digests.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("digest").alias("n_distinct_digests"),
     )
+    variant = F.pmod(F.col("doc_id"), F.lit(4))
+    raw_url = F.concat(
+        F.when(variant < 2, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(variant == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+        F.when(variant == 1, F.lit("?utm_source=feed"))
+        .when(variant == 2, F.lit("#sec"))
+        .when(variant == 3, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    u = text.url_dedup_stats(
+        docs.withColumn("url", raw_url), ["lang"]
+    ).select("lang", "n_raw_urls", "n_canonical_urls", "n_hosts")
+    return d.join(u, "lang")
 
 
 def q_dedup_tokenset_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2208,9 +2232,48 @@ def oracle_sql() -> dict[str, str]:
             FROM perdoc GROUP BY lang
         """,
         "dedup_exact_by_lang": """
+            WITH w AS (
+                SELECT lang, text,
+                       CASE WHEN doc_id % 4 < 2 THEN 'HTTPS://WWW.'
+                            ELSE 'https://' END
+                       || source || '.example.com'
+                       || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+                       || '/p/' || (doc_id % 200)
+                       || CASE doc_id % 4 WHEN 1 THEN '?utm_source=feed'
+                                          WHEN 2 THEN '#sec'
+                                          WHEN 3 THEN '/'
+                                          ELSE '' END AS url
+                FROM documents
+            ), s AS (
+                SELECT lang, text, url,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(
+                               regexp_replace(url, '#.*', ''),
+                               '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
+                           '[?&]fbclid=[^&]*', '', 'g'),
+                           '[?&]gclid=[^&]*', '', 'g'),
+                           '^([^?&]*)&', '\\1?'),
+                           '[?]$', '') AS u
+                FROM w
+            ), c AS (
+                SELECT lang, text, url,
+                       regexp_replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                               lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*', 0)),
+                               ':80$', ''), ':443$', ''), '://www[.]', '://')
+                           || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', ''),
+                           '/$', '') AS curl,
+                       regexp_replace(lower(regexp_extract(
+                           url, '^[A-Za-z]+://([^/?#:]*)', 1)),
+                           '^www[.]', '') AS hostc
+                FROM s
+            )
             SELECT lang, count(*) AS n_docs,
-                   count(DISTINCT md5(text)) AS n_distinct_digests
-            FROM documents GROUP BY lang
+                   count(DISTINCT md5(text)) AS n_distinct_digests,
+                   count(DISTINCT url) AS n_raw_urls,
+                   count(DISTINCT curl) AS n_canonical_urls,
+                   count(DISTINCT hostc) AS n_hosts
+            FROM c GROUP BY lang
         """,
         "dedup_tokenset_by_lang": """
             SELECT lang, count(*) AS n_docs,

@@ -240,6 +240,79 @@ def redact_pii(
     )
 
 
+#: tracking query parameters stripped by URL canonicalization —
+#: chained alternation-free patterns (Java/RE2 parity, as with
+#: :data:`PII_PATTERNS`); fragment is stripped first so values can
+#: safely be ``[^&]*``
+_URL_TRACKING_RES = [
+    "[?&]utm_[A-Za-z_]+=[^&]*",
+    "[?&]fbclid=[^&]*",
+    "[?&]gclid=[^&]*",
+]
+_URL_HEAD_RE = "^[A-Za-z]+://[^/?#]*"
+
+
+def canonicalize_url_col(url_col):
+    """Canonical form of a URL as a pure JVM expression chain: strip
+    the fragment, strip tracking params (utm_*/fbclid/gclid, repairing
+    a leading ``&`` to ``?``), lowercase scheme+host, drop default
+    ports (:80/:443) and a leading ``www.``, and drop a trailing
+    slash. The canonicalization every crawl pipeline applies before
+    URL-level dedup (reference computes no URLs — this is the
+    pipeline-tier addition over the north-rule page table). Scheme-less
+    strings pass through with only the generic steps applied. Each
+    regex step is in the Java∩RE2 subset; the DuckDB twin uses the
+    same patterns with the ``g`` flag / ``\\1`` replacements."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.regexp_replace(u, "#.*", "")
+    for pat in _URL_TRACKING_RES:
+        u = F.regexp_replace(u, pat, "")
+    # a removed first param leaves "path&k=v": promote the first '&'
+    # back to '?'. [^?&]* cannot skip separators, so the match anchors
+    # at the FIRST '&' and only when no '?' precedes it.
+    u = F.regexp_replace(u, "^([^?&]*)&", "$1?")
+    u = F.regexp_replace(u, "[?]$", "")
+    head = F.regexp_extract(u, _URL_HEAD_RE, 0)
+    rest = F.regexp_replace(u, _URL_HEAD_RE, "")
+    head = F.lower(head)
+    head = F.regexp_replace(head, ":80$", "")
+    head = F.regexp_replace(head, ":443$", "")
+    head = F.regexp_replace(head, "://www[.]", "://")
+    return F.regexp_replace(F.concat(head, rest), "/$", "")
+
+
+def url_host_col(url_col):
+    """Lowercased registrable host of a URL (port and a leading
+    ``www.`` stripped) — empty string when there is no scheme://host
+    prefix. The grouping key for host-level corpus stats and
+    per-host sampling."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#:]*)", 1))
+    return F.regexp_replace(host, "^www[.]", "")
+
+
+def url_dedup_stats(
+    df: DataFrame, key_cols, url_col: str = "url"
+) -> DataFrame:
+    """Per-key URL-level dedup stats: raw vs canonical distinct-URL
+    counts (their gap = dup pages reachable through URL variants —
+    tracking params, case, www/port/slash noise) and distinct host
+    count. One shuffle on ``key_cols``; countDistinct is partial-
+    aggregated map-side."""
+    canon = canonicalize_url_col(url_col)
+    host = url_host_col(url_col)
+    return (
+        df.select(*key_cols, F.col(url_col), canon.alias("__c"), host.alias("__h"))
+        .groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(url_col).alias("n_raw_urls"),
+            F.countDistinct("__c").alias("n_canonical_urls"),
+            F.countDistinct("__h").alias("n_hosts"),
+        )
+    )
+
+
 def lang_id_predict(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language-ID: score = |distinct tokens ∩ markers| per
     language, argmax with deterministic tie-break on language name."""

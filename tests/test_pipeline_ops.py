@@ -233,6 +233,62 @@ class TestPII:
         assert changed == 0
 
 
+class TestURLCanonicalize:
+    #: raw → (canonical, host) ground truth (hand-derived)
+    CASES = [
+        ("HTTPS://WWW.Example.COM:443/Path/7?utm_source=feed&ref=en#frag",
+         "https://example.com/Path/7?ref=en", "example.com"),
+        ("http://example.com:80/", "http://example.com", "example.com"),
+        ("https://example.com/a?utm_campaign=x&utm_medium=y&id=3",
+         "https://example.com/a?id=3", "example.com"),
+        ("https://sub.example.com/p?id=1&fbclid=abc",
+         "https://sub.example.com/p?id=1", "sub.example.com"),
+        ("https://example.com/p?gclid=z", "https://example.com/p",
+         "example.com"),
+        ("notaurl plain text", "notaurl plain text", ""),
+        ("https://example.com", "https://example.com", "example.com"),
+        ("", "", ""),
+    ]
+
+    def test_canonical_and_host_ground_truth(self, spark):
+        df = spark.createDataFrame(
+            [(i, c[0]) for i, c in enumerate(self.CASES)], "i int, u string"
+        )
+        got = {
+            r["i"]: (r["c"], r["h"])
+            for r in df.select(
+                "i",
+                text.canonicalize_url_col("u").alias("c"),
+                text.url_host_col("u").alias("h"),
+            ).collect()
+        }
+        for i, (_, canon, host) in enumerate(self.CASES):
+            assert got[i] == (canon, host), f"case {i}"
+
+    def test_variants_collapse_to_one_canonical(self, spark):
+        variants = [
+            "HTTPS://WWW.news.example.com:443/p/9",
+            "https://news.example.com/p/9?utm_source=feed",
+            "https://NEWS.example.com/p/9#sec",
+            "https://news.example.com/p/9/",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        out = text.url_dedup_stats(df.withColumn("k", F.lit("x")), ["k"]).collect()[0]
+        assert out["n_raw_urls"] == 4
+        assert out["n_canonical_urls"] == 1
+        assert out["n_hosts"] == 1
+
+    def test_canonicalization_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [(i, c[0]) for i, c in enumerate(self.CASES)], "i int, u string"
+        )
+        once = df.select("i", text.canonicalize_url_col("u").alias("c1"))
+        twice = once.select(
+            "i", "c1", text.canonicalize_url_col("c1").alias("c2")
+        )
+        assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
 class TestMultimodal:
     def test_decode_raises_for_unregistered_mime(self, spark, docs):
         from pyspark.sql import functions as F
