@@ -1136,12 +1136,20 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document duplicated 8-token spans (Lee et al. 2022
-    substring-dedup signal at fixed width): a span counted duplicated
-    when it occurs in >= 2 distinct docs. One shuffle keyed by the span
-    — no pair table; cost linear in corpus token count."""
+    """Both substring-dedup tiers in one slot (Lee et al. 2022): fixed-
+    width duplicated 8-token spans PLUS maximal duplicated runs — the
+    arbitrary-length form (islands of covered positions, token length
+    >= 16) a substring deduper would actually cut. One span-keyed
+    shuffle each, no pair table; the run tier adds one per-doc window."""
     docs = _docs(spark, sf_dir)
-    return dedup.duplicate_span_stats(docs, "doc_id", ["lang"], w=8)
+    spans = dedup.duplicate_span_stats(docs, "doc_id", ["lang"], w=8)
+    runs = dedup.duplicate_run_stats(
+        docs, "doc_id", ["lang"], w=8, min_len=16
+    ).select(
+        "lang", "n_docs_with_run", "total_runs", "total_run_tokens",
+        "max_run_len", "corpus_run_token_frac",
+    )
+    return spans.join(runs, "lang")
 
 
 def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2593,7 +2601,43 @@ def oracle_sql() -> dict[str, str]:
                            AS n_dup
                 FROM ds JOIN sd USING (span) GROUP BY ds.doc_id, ds.lang
             )
-            SELECT lang,
+            , sp AS (SELECT doc_id, lang, i,
+                            array_to_string(ts[i : i + 7], ' ') AS span
+                     FROM g),
+            dsp AS (SELECT span FROM (
+                        SELECT span, count(DISTINCT doc_id) AS nd
+                        FROM sp GROUP BY span) WHERE nd >= 2),
+            dp AS (SELECT doc_id, lang, i FROM sp JOIN dsp USING (span)),
+            ib AS (SELECT doc_id, lang, i,
+                          CASE WHEN i - lag(i) OVER (
+                              PARTITION BY doc_id ORDER BY i) > 8
+                          THEN 1 ELSE 0 END AS b
+                   FROM dp),
+            ii AS (SELECT doc_id, lang, i,
+                          sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS grp
+                   FROM ib),
+            rn AS (SELECT doc_id, lang, grp,
+                          max(i) - min(i) + 8 AS rlen
+                   FROM ii GROUP BY doc_id, lang, grp),
+            qr AS (SELECT doc_id, count(*) AS nr, sum(rlen) AS rt,
+                          max(rlen) AS mr
+                   FROM rn WHERE rlen >= 16 GROUP BY doc_id),
+            tk AS (SELECT doc_id, lang, len(ts) AS nt FROM d
+                   WHERE len(ts) >= 8),
+            runagg AS (
+                SELECT tk.lang,
+                       sum(CASE WHEN qr.nr IS NOT NULL THEN 1 ELSE 0
+                           END)::BIGINT AS n_docs_with_run,
+                       coalesce(sum(qr.nr), 0)::BIGINT AS total_runs,
+                       coalesce(sum(qr.rt), 0)::BIGINT
+                           AS total_run_tokens,
+                       coalesce(max(qr.mr), 0)::BIGINT AS max_run_len,
+                       round(coalesce(sum(qr.rt), 0)::DOUBLE
+                             / sum(tk.nt), 9) AS corpus_run_token_frac
+                FROM tk LEFT JOIN qr USING (doc_id) GROUP BY tk.lang
+            )
+            SELECT per.lang,
                    count(*)::BIGINT AS n_docs_with_spans,
                    sum(n_spans)::BIGINT AS total_spans,
                    sum(n_dup)::BIGINT AS total_dup_spans,
@@ -2602,8 +2646,15 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_dup::DOUBLE / n_spans), 5)
                        AS avg_doc_dup_span_frac,
                    sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT
-                       AS n_docs_with_dup_span
-            FROM per GROUP BY lang
+                       AS n_docs_with_dup_span,
+                   any_value(runagg.n_docs_with_run) AS n_docs_with_run,
+                   any_value(runagg.total_runs) AS total_runs,
+                   any_value(runagg.total_run_tokens) AS total_run_tokens,
+                   any_value(runagg.max_run_len) AS max_run_len,
+                   any_value(runagg.corpus_run_token_frac)
+                       AS corpus_run_token_frac
+            FROM per JOIN runagg ON per.lang = runagg.lang
+            GROUP BY per.lang
         """,
         "benchmark_decontamination": """
             WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts

@@ -24,7 +24,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from dashing_spark.functions import hashing
 from dashing_spark.functions.simhash import simhash_batch
@@ -880,6 +880,107 @@ def dedup_components(
     The keeper per cluster is its min id (== comp)."""
     pairs = minhash_lsh_dedup(df, id_col, text_col, threshold=threshold)
     return connected_components(pairs)
+
+
+def duplicate_run_stats(
+    df: DataFrame,
+    id_col: str,
+    key_cols: Sequence[str],
+    text_col: str = "text",
+    w: int = 8,
+    min_len: int = 16,
+    span_key: str = "text",
+) -> DataFrame:
+    """Maximal duplicated-token RUNS — the arbitrary-length form of the
+    Lee et al. 2022 substring-dedup signal that
+    :func:`duplicate_span_stats` measures at fixed width. A token
+    position is *covered* when some w-token span containing it occurs
+    in >= 2 distinct documents; maximal contiguous covered regions
+    ("islands") of token length >= ``min_len`` are the duplicated runs
+    a substring-level deduper would actually cut. (Lee et al. use a
+    suffix array at a 50-token threshold; seeding with w-token spans
+    and merging adjacent covered intervals finds exactly the regions
+    every duplicated substring of length >= w lies inside, and a
+    duplicated substring of length >= min_len >= w always produces such
+    an island — same detection power, but expressible as one shuffle +
+    one per-doc window instead of a global suffix sort.)
+
+    Emits per key group: docs with spans, docs with a qualifying run,
+    run count, run-token total, max run length, and the corpus
+    duplicated-run token fraction (duplicated-run tokens / all tokens
+    of span-bearing docs — one IEEE-exact rounded division).
+
+    Scale: the span->distinct-doc-count shuffle of
+    :func:`duplicate_span_stats` (linear in corpus tokens, no pair
+    table), plus ONE window partitioned by document — per-doc data, no
+    global sort. ``span_key="hash"`` as in :func:`duplicate_span_stats`
+    (8-byte exchange keys for the 100 TB configuration).
+    """
+    from dashing_spark.operators.text import token_ngrams_col
+
+    if min_len < w:
+        raise ValueError(f"min_len ({min_len}) must be >= w ({w})")
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        *key_cols,
+        F.posexplode(token_ngrams_col(text_col, w)).alias("__pos", "__span"),
+    )
+    if span_key == "hash":
+        spans = spans.withColumn("__span", F.xxhash64("__span"))
+    # span -> distinct-doc count (distinct (doc, span) first, as in
+    # duplicate_span_stats); dup spans join back to POSITION rows
+    span_docs = (
+        spans.select("__id", "__span")
+        .distinct()
+        .groupBy("__span")
+        .agg(F.count("*").alias("__ndocs"))
+        .filter(F.col("__ndocs") >= 2)
+        .select("__span")
+    )
+    dup_pos = spans.join(span_docs, "__span").select("__id", *key_cols, "__pos")
+    # islands: positions sorted per doc; fixed width w makes interval
+    # ends monotone, so a gap > w between consecutive covered starts
+    # begins a new island (pos' <= pos + w overlaps-or-abuts the
+    # previous [pos, pos+w-1] cover)
+    win = Window.partitionBy("__id").orderBy("__pos")
+    brk = (
+        F.when(F.col("__pos") - F.lag("__pos").over(win) > w, 1)
+        .otherwise(0)
+    )
+    isl = dup_pos.withColumn(
+        "__isl",
+        F.sum(brk).over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = isl.groupBy("__id", *key_cols, "__isl").agg(
+        (F.max("__pos") - F.min("__pos") + w).alias("__len")
+    )
+    q = runs.filter(F.col("__len") >= min_len)
+    per_run_doc = q.groupBy("__id", *key_cols).agg(
+        F.count("*").alias("__n_runs"),
+        F.sum("__len").alias("__run_toks"),
+        F.max("__len").alias("__max_run"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        *key_cols,
+        F.size(F.split(F.col(text_col), " ", -1)).alias("__n_toks"),
+        (F.size(F.split(F.col(text_col), " ", -1)) >= w).alias("__has_spans"),
+    ).filter(F.col("__has_spans"))
+    joined = toks.join(per_run_doc.drop(*key_cols), "__id", "left")
+    return joined.groupBy(*key_cols).agg(
+        F.count("*").alias("n_docs_with_spans"),
+        F.sum(F.when(F.col("__n_runs").isNotNull(), 1).otherwise(0)).alias(
+            "n_docs_with_run"
+        ),
+        F.coalesce(F.sum("__n_runs"), F.lit(0)).alias("total_runs"),
+        F.coalesce(F.sum("__run_toks"), F.lit(0)).alias("total_run_tokens"),
+        F.coalesce(F.max("__max_run"), F.lit(0)).alias("max_run_len"),
+        F.round(
+            F.coalesce(F.sum("__run_toks"), F.lit(0)) / F.sum("__n_toks"), 9
+        ).alias("corpus_run_token_frac"),
+    )
 
 
 def duplicate_span_stats(

@@ -730,6 +730,82 @@ class TestRepetition:
             assert got[lang]["corpus_dup_frac"] == round(1.0 - uniq / tot, 9)
 
 
+class TestDuplicateRuns:
+    @pytest.fixture()
+    def run_docs(self, spark):
+        # a 20-token boilerplate block shared by docs 1 and 2 at
+        # different offsets; docs 3/4 share only a single 4-token span;
+        # doc 5 is clean; doc 6 too short for any span
+        block = " ".join(f"b{i}" for i in range(20))
+        rows = [
+            (1, "u1 u2 u3 " + block + " t1 t2"),
+            (2, block + " z1 z2 z3 z4"),
+            (3, "p1 p2 s1 s2 s3 s4 p3 p4 p5 p6"),
+            (4, "q1 s1 s2 s3 s4 q2 q3 q4 q5 q6"),
+            (5, " ".join(f"c{i}" for i in range(30))),
+            (6, "x1 x2"),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_runs_found_and_measured(self, spark, run_docs):
+        out = dedup.duplicate_run_stats(
+            run_docs.withColumn("k", F.lit("g")), "doc_id", ["k"],
+            w=4, min_len=10,
+        ).collect()[0]
+        # docs 1 and 2 each carry one maximal 20-token duplicated run;
+        # the 4-token span of docs 3/4 is under min_len; doc 6 has no
+        # spans at all (w=4 > 2 tokens)
+        assert out["n_docs_with_spans"] == 5
+        assert out["n_docs_with_run"] == 2
+        assert out["total_runs"] == 2
+        assert out["total_run_tokens"] == 40
+        assert out["max_run_len"] == 20
+
+    def test_min_len_equal_w_counts_all_covered(self, spark, run_docs):
+        out = dedup.duplicate_run_stats(
+            run_docs.withColumn("k", F.lit("g")), "doc_id", ["k"],
+            w=4, min_len=4,
+        ).collect()[0]
+        # now the 4-token shared span of docs 3/4 qualifies too
+        assert out["n_docs_with_run"] == 4
+        assert out["total_runs"] == 4
+        assert out["total_run_tokens"] == 40 + 8
+        assert out["max_run_len"] == 20
+
+    def test_gap_does_not_bridge(self, spark):
+        # two duplicated 6-token regions separated by a > w gap must
+        # stay two runs, not merge into one
+        shared_a = "a1 a2 a3 a4 a5 a6"
+        shared_b = "d1 d2 d3 d4 d5 d6"
+        rows = [
+            (1, f"{shared_a} g1 g2 g3 g4 g5 g6 g7 {shared_b}"),
+            (2, f"{shared_a} h1 h2 h3 h4 h5 h6 h7 {shared_b}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = dedup.duplicate_run_stats(
+            df.withColumn("k", F.lit("g")), "doc_id", ["k"], w=4, min_len=4
+        ).collect()[0]
+        assert out["total_runs"] == 4  # 2 per doc
+        assert out["max_run_len"] == 6
+
+    def test_hash_key_matches_text_key(self, spark, run_docs):
+        a = dedup.duplicate_run_stats(
+            run_docs.withColumn("k", F.lit("g")), "doc_id", ["k"],
+            w=4, min_len=10, span_key="text",
+        ).collect()[0].asDict()
+        b = dedup.duplicate_run_stats(
+            run_docs.withColumn("k", F.lit("g")), "doc_id", ["k"],
+            w=4, min_len=10, span_key="hash",
+        ).collect()[0].asDict()
+        assert a == b
+
+    def test_min_len_below_w_raises(self, spark, run_docs):
+        with pytest.raises(ValueError):
+            dedup.duplicate_run_stats(
+                run_docs, "doc_id", [], w=8, min_len=4
+            )
+
+
 class TestDuplicateSpans:
     def test_hash_key_matches_text_key(self, spark, docs):
         a = {
