@@ -948,11 +948,40 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         gone[0] & gone[1] & gone[2] & gone[3],
     )
     scored = text.quality_score(aug)
+    # third tier in this slot: CCNet-shape unigram-LM scoring against
+    # the FULL corpus as reference; every fifth doc gets two injected
+    # out-of-vocabulary tokens, so n_oov (exact, hash-gated) pins the
+    # vocabulary construction, and lp_ok bounds the transcendental
+    # score instead of hashing it (ln/exp cross-engine rule)
+    from dashing_spark.operators import corpus
+
+    lm_in = docs.withColumn(
+        "lm_text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" qzv1oov qzv2oov")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    lm = corpus.unigram_logprob_scores(
+        lm_in, "doc_id", "lm_text",
+        ref=_docs(spark, sf_dir), ref_text_col="text",
+    ).select(
+        "doc_id",
+        F.col("n_tokens").alias("lm_n_tokens"),
+        "n_oov",
+        (
+            (F.col("logprob") < 0)
+            & (F.col("logprob") > -50)
+            & ~F.isnan("logprob")
+        ).alias("lp_ok"),
+    )
     return scored.select(
         "doc_id", "n_tokens", "digit_ratio", "stopword_ratio", "quality",
         "pii_email_count", "pii_ssn_count", "pii_phone_count",
         "pii_ipv4_count", "pii_gone",
-    )
+    ).join(lm, "doc_id")
 
 
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,7 +2492,7 @@ def oracle_sql() -> dict[str, str]:
                            )) AS pii_ipv4_count
                 FROM aug
             )
-            SELECT doc_id, n_tokens, digit_ratio, stopword_ratio,
+            SELECT f.doc_id, n_tokens, digit_ratio, stopword_ratio,
                    round(
                        greatest(least(1.0 - abs(ln(nc + 1.0) - 5.5) / 5.5,
                                       1.0), 0.0) * 0.5
@@ -2474,8 +2503,32 @@ def oracle_sql() -> dict[str, str]:
                    -- Spark computes this by re-detecting on the
                    -- redacted text; a redaction regression flips it to
                    -- FALSE there and hash-mismatches against this TRUE
-                   true AS pii_gone
-            FROM f
+                   true AS pii_gone,
+                   lm.lm_n_tokens, lm.n_oov,
+                   -- Spark bounds the transcendental LM score
+                   -- (finite, negative, above the smoothing floor)
+                   true AS lp_ok
+            FROM f JOIN (
+                WITH a2 AS (
+                    SELECT doc_id,
+                           text || CASE WHEN doc_id % 5 = 0
+                               THEN ' qzv1oov qzv2oov' ELSE '' END AS t2
+                    FROM documents WHERE doc_id < 20
+                ), lmtok AS (
+                    SELECT doc_id,
+                           unnest(string_split(t2, ' ')) AS tok
+                    FROM a2
+                ), v AS (
+                    SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                )
+                SELECT lmtok.doc_id,
+                       count(*)::BIGINT AS lm_n_tokens,
+                       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0
+                           END)::BIGINT AS n_oov
+                FROM lmtok LEFT JOIN v USING (tok)
+                GROUP BY lmtok.doc_id
+            ) lm ON f.doc_id = lm.doc_id
         """,
         "lang_id_confusion": """
             WITH t AS (SELECT doc_id, lang,

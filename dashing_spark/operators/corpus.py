@@ -177,3 +177,63 @@ def stratified_sample(
             F.lit(sample_cutoff_hex(rates[stratum], hex_digits)),
         ).otherwise(cutoff)
     return docs.filter(prefix < cutoff)
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref: DataFrame | None = None,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """CCNet-shape language-model quality score: train a unigram LM on
+    a reference corpus (``ref``; the corpus itself by default — the
+    "score web text by how much it looks like the reference" filter of
+    Wenzek et al. 2020, with a unigram model standing in for KenLM),
+    then score every document by its per-token mean log-probability
+    under add-one smoothing ``p(t) = (cnt(t)+1) / (N+V)``; unseen
+    tokens get ``1/(N+V)``. Low scores = rare-token soup; high scores
+    = reference-like prose.
+
+    Emits per doc: ``n_tokens``, ``n_oov`` (tokens absent from the
+    reference vocabulary — exact integers, oracle-replicable) and
+    ``logprob`` (the transcendental score itself; gate queries bound
+    it rather than hash it: ``ln(1/(N+V)) <= logprob <= 0``).
+
+    Scale: one groupBy over reference tokens (map-side partial), one
+    token->vocab equi-join (Catalyst broadcasts a small vocab; a web-
+    scale vocab shuffles on the token key), one per-doc rollup. The
+    N/V totals ride a one-row broadcast crossJoin — no driver collect.
+    """
+    ref = docs if ref is None else ref
+    rtoks = ref.select(
+        F.explode(
+            F.split(F.col(ref_text_col or text_col), " ", -1)
+        ).alias("__tok")
+    )
+    vocab = rtoks.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    totals = vocab.agg(
+        F.sum("__cnt").alias("__n"), F.count("*").alias("__v")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("__tok"),
+    )
+    scored = (
+        toks.join(vocab, "__tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__n") + F.col("__v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__cnt").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        F.avg("__lp").alias("logprob"),
+    )

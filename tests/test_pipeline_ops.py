@@ -909,6 +909,61 @@ class TestDecontamination:
         assert kept_ids == train_ids - flagged
 
 
+class TestUnigramLogprob:
+    @pytest.fixture()
+    def lm_docs(self, spark):
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the mat"),
+            (3, "zyx1 zyx2 zyx3 zyx4 zyx5 zyx6"),  # rare-token soup
+            (4, "the the the the the the"),  # most common token only
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_common_scores_above_rare(self, spark, lm_docs):
+        from dashing_spark.operators import corpus
+
+        out = {
+            r["doc_id"]: r
+            for r in corpus.unigram_logprob_scores(lm_docs).collect()
+        }
+        # all-"the" doc > normal prose > singleton-token soup
+        assert out[4]["logprob"] > out[1]["logprob"] > out[3]["logprob"]
+        for r in out.values():
+            assert r["logprob"] < 0
+            assert r["n_oov"] == 0  # self-reference: nothing is OOV
+
+    def test_oov_against_separate_reference(self, spark, lm_docs):
+        from dashing_spark.operators import corpus
+
+        ref = lm_docs.filter(F.col("doc_id") < 3)
+        out = {
+            r["doc_id"]: r
+            for r in corpus.unigram_logprob_scores(
+                lm_docs, ref=ref
+            ).collect()
+        }
+        assert out[3]["n_oov"] == 6  # every zyx token unseen in ref
+        assert out[1]["n_oov"] == 0
+        # unseen-token doc must score below any in-reference doc
+        assert out[3]["logprob"] < min(
+            out[1]["logprob"], out[2]["logprob"], out[4]["logprob"]
+        )
+
+    def test_exact_probability_arithmetic(self, spark):
+        from dashing_spark.operators import corpus
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a a b")], "doc_id int, text string"
+        )
+        r = corpus.unigram_logprob_scores(df).collect()[0]
+        # N=3, V=2: p(a)=(2+1)/5, p(b)=(1+1)/5
+        expect = (2 * math.log(3 / 5) + math.log(2 / 5)) / 3
+        assert abs(r["logprob"] - expect) < 1e-12
+        assert r["n_tokens"] == 3
+
+
 class TestStratifiedSample:
     def test_rate_bounds_and_determinism(self, spark, docs):
         from dashing_spark.operators import corpus
