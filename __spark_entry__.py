@@ -1108,12 +1108,48 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline (exact dedup → MinHash-LSH near-dup
     → quality filter): per-stage survivor counts, every keeper rule
-    deterministic and reproduced exactly by the SQL oracle."""
+    deterministic and reproduced exactly by the SQL oracle. PLUS the
+    C4 line-dedup tier (merged slot): docs re-split into two token-half
+    lines — exact-dup docs share both halves, so the corpus-wide
+    canonical-first keeper rule has real work — with total/kept line
+    counts hash-gated against the DuckDB struct-min replica."""
     from dashing_spark.operators import corpus
 
     docs = _docs(spark, sf_dir)
     _, stats = corpus.curate(docs, near_threshold=0.9, min_quality=0.5)
-    return stats
+    ts = F.split(F.col("text"), " ", -1)
+    n = F.size(ts)
+    half = (n / 2).cast("int")
+    two = docs.withColumn(
+        "t2",
+        F.concat(
+            F.array_join(F.slice(ts, 1, half), " "),
+            F.lit("\n"),
+            F.array_join(F.slice(ts, half + 1, n - half), " "),
+        ),
+    )
+    ld = dedup.line_dedup(two, "doc_id", "t2")
+    extra = (
+        ld.agg(
+            F.sum("n_lines").alias("a"), F.sum("n_kept").alias("b")
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("line_dedup_lines").alias("stage"),
+                        F.col("a").alias("n_out"),
+                    ),
+                    F.struct(
+                        F.lit("line_dedup_kept").alias("stage"),
+                        F.col("b").alias("n_out"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.stage", "r.n_out")
+    )
+    return stats.unionByName(extra)
 
 
 def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2801,10 +2837,30 @@ def oracle_sql() -> dict[str, str]:
             ),
             s3 AS (SELECT s2.doc_id FROM s2 JOIN q USING (doc_id)
                    WHERE q.quality >= 0.5)
+            , dts AS (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents),
+            two AS (SELECT doc_id,
+                           array_to_string(ts[1 : len(ts) // 2], ' ')
+                           || chr(10) ||
+                           array_to_string(ts[len(ts) // 2 + 1 : len(ts)],
+                                           ' ') AS t2
+                    FROM dts),
+            lx AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM two),
+            ll AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS i, ls
+                   FROM lx),
+            lr AS (SELECT doc_id, i, ls[i] AS line FROM ll),
+            lk AS (SELECT line, min(row(doc_id, i)) AS kk
+                   FROM lr WHERE length(line) >= 1 GROUP BY line),
+            kept AS (
+                SELECT lr.doc_id FROM lr LEFT JOIN lk USING (line)
+                WHERE lk.kk IS NULL OR row(lr.doc_id, lr.i) = lk.kk
+            )
             SELECT 'input' AS stage, count(*)::BIGINT AS n_out FROM documents
             UNION ALL SELECT 'exact_dedup', count(*)::BIGINT FROM s1
             UNION ALL SELECT 'near_dedup', count(*)::BIGINT FROM s2
             UNION ALL SELECT 'quality', count(*)::BIGINT FROM s3
+            UNION ALL SELECT 'line_dedup_lines', count(*)::BIGINT FROM lr
+            UNION ALL SELECT 'line_dedup_kept', count(*)::BIGINT FROM kept
         """,
     }
 

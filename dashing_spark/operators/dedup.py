@@ -882,6 +882,80 @@ def dedup_components(
     return connected_components(pairs)
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style corpus-wide line deduplication (Raffel et al. 2020
+    §2.2 applied at line granularity — the preprocessing step that
+    strips repeated boilerplate lines, nav menus, cookie banners):
+    every line occurring at more than one (doc, position) in the
+    corpus keeps only its CANONICAL first occurrence (minimum
+    (doc id, position)) and is dropped everywhere else; documents are
+    reassembled in original line order. Lines shorter than
+    ``min_line_chars`` bypass dedup (deduping "" or "-" would shred
+    formatting, and C4's rule targets sentence-scale boilerplate).
+
+    Emits (id, text_out, n_lines, n_kept) per document — a document
+    whose every line was a non-canonical duplicate comes back with
+    ``text_out = ''`` and ``n_kept = 0``, not dropped.
+
+    Scale: hot lines ("Home", "") are the dominant input class, so the
+    keeper is a ``groupBy(line).agg(min(struct(id, pos)))`` —
+    map-side-combinable partial aggregation, NOT a row_number window
+    (which would sort every occurrence of a hot line on one reducer).
+    The line→keeper equi-join is 1:1 on the line rows (keeper rows
+    replicate, output never exceeds input), then one groupBy(id)
+    rebuilds documents. Two line-keyed shuffles, both linear."""
+    # \Q..\E-quote the separator: Spark's split takes a regex, DuckDB's
+    # string_split (the oracle) is literal — quoting keeps any sep safe
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + line_sep + "\\E", -1)
+        ).alias("__pos", "__line"),
+    )
+    keepers = (
+        lines.filter(F.length("__line") >= min_line_chars)
+        .groupBy("__line")
+        .agg(F.min(F.struct("__id", "__pos")).alias("__k"))
+    )
+    kept = (
+        lines.join(keepers, "__line", "left")
+        .filter(
+            F.col("__k").isNull()  # short line: always kept
+            | (
+                (F.col("__k.__id") == F.col("__id"))
+                & (F.col("__k.__pos") == F.col("__pos"))
+            )
+        )
+        .select("__id", "__pos", "__line")
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            line_sep,
+        ).alias("text_out"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_out", F.lit("")).alias("text_out"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def duplicate_run_stats(
     df: DataFrame,
     id_col: str,

@@ -730,6 +730,64 @@ class TestRepetition:
             assert got[lang]["corpus_dup_frac"] == round(1.0 - uniq / tot, 9)
 
 
+class TestLineDedup:
+    @pytest.fixture()
+    def line_docs(self, spark):
+        rows = [
+            (1, "cookie banner\nunique alpha\nnav menu"),
+            (2, "cookie banner\nunique beta\nnav menu"),
+            (3, "unique gamma\ncookie banner"),
+            (4, "cookie banner"),  # every line a non-canonical dup
+            (5, "x\n\nunique delta\nx"),  # short lines bypass dedup
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_canonical_first_occurrence_kept(self, spark, line_docs):
+        out = {
+            r["doc_id"]: r
+            for r in dedup.line_dedup(line_docs, min_line_chars=2).collect()
+        }
+        # doc 1 holds the canonical "cookie banner" AND "nav menu"
+        assert out[1]["text_out"] == "cookie banner\nunique alpha\nnav menu"
+        assert out[2]["text_out"] == "unique beta"
+        assert out[3]["text_out"] == "unique gamma"
+        assert out[4]["text_out"] == ""
+        assert out[4]["n_kept"] == 0
+        assert out[4]["n_lines"] == 1
+
+    def test_short_lines_bypass(self, spark, line_docs):
+        out = {
+            r["doc_id"]: r
+            for r in dedup.line_dedup(line_docs, min_line_chars=2).collect()
+        }
+        # both "x" lines and the empty line survive (length < 2)
+        assert out[5]["text_out"] == "x\n\nunique delta\nx"
+        assert out[5]["n_kept"] == 4
+
+    def test_total_line_conservation(self, spark, line_docs):
+        out = dedup.line_dedup(line_docs, min_line_chars=2)
+        agg = out.agg(
+            F.sum("n_lines").alias("t"), F.sum("n_kept").alias("k")
+        ).collect()[0]
+        # 13 lines total; "cookie banner" drops 3 of 4, "nav menu" 1 of 2
+        assert agg["t"] == 13
+        assert agg["k"] == 9
+
+    def test_partitioning_independent(self, spark, line_docs):
+        a = sorted(
+            map(tuple, dedup.line_dedup(line_docs, min_line_chars=2).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup.line_dedup(
+                    line_docs.repartition(7), min_line_chars=2
+                ).collect(),
+            )
+        )
+        assert a == b
+
+
 class TestDuplicateRuns:
     @pytest.fixture()
     def run_docs(self, spark):
