@@ -11,6 +11,7 @@ N-vs-4N parallelism scaling report.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -83,6 +84,11 @@ def main() -> None:
             fn()
         times = []
         for _ in range(max(1, repeats or repeats_default)):
+            # release Python refs to prior queries' localCheckpoint
+            # frames so ContextCleaner can evict their executor blocks
+            # before timing — accumulated blocks were one source of the
+            # 6-8x outlier runs in the r4/r5 driver bands
+            gc.collect()
             t0 = time.time()
             fn()
             times.append(round(time.time() - t0, 3))
@@ -308,6 +314,35 @@ def main() -> None:
         lambda: _dedup.duplicate_span_stats(
             docs, "doc_id", ["lang"], w=8, span_key="hash"
         ).count(),
+    )
+    # q18b: maximal duplicated runs — the arbitrary-length substring
+    # signal (span shuffle + one doc-partitioned window on top of q18's
+    # cost model)
+    run(
+        "q18b_duplicate_runs",
+        lambda: _dedup.duplicate_run_stats(
+            docs, "doc_id", ["lang"], w=8, min_len=16, span_key="hash"
+        ).count(),
+    )
+    # q18c: C4 line dedup over a two-line split of the corpus — two
+    # line-keyed linear shuffles (keeper agg + reassembly), no window
+    _ts = F.split(F.col("text"), " ", -1)
+    _half = (F.size(_ts) / 2).cast("int")
+    two_line = docs.withColumn(
+        "t2",
+        F.concat(
+            F.array_join(F.slice(_ts, 1, _half), " "),
+            F.lit("\n"),
+            F.array_join(
+                F.slice(_ts, _half + 1, F.size(_ts) - _half), " "
+            ),
+        ),
+    )
+    run(
+        "q18c_line_dedup",
+        lambda: _dedup.line_dedup(two_line, "doc_id", "t2")
+        .agg(F.sum("n_kept"))
+        .collect(),
     )
     # q19: benchmark decontamination — exact broadcast-join overlap plus
     # the Bloom probe over every training gram (two mapInPandas passes)
