@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+from functools import reduce
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -943,10 +944,9 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c == 0) | c.isNull()
         for c in text.pii_counts_cols("red_text").values()
     ]
-    aug = aug.withColumn(
-        "pii_gone",
-        gone[0] & gone[1] & gone[2] & gone[3],
-    )
+    # reduce, not a fixed-arity conjunction: a PII kind added to
+    # text.PII_PATTERNS must automatically join this gate
+    aug = aug.withColumn("pii_gone", reduce(lambda a, b: a & b, gone))
     scored = text.quality_score(aug)
     # third tier in this slot: CCNet-shape unigram-LM scoring against
     # the FULL corpus as reference; every fifth doc gets two injected
@@ -1117,18 +1117,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     _, stats = corpus.curate(docs, near_threshold=0.9, min_quality=0.5)
-    ts = F.split(F.col("text"), " ", -1)
-    n = F.size(ts)
-    half = (n / 2).cast("int")
-    two = docs.withColumn(
-        "t2",
-        F.concat(
-            F.array_join(F.slice(ts, 1, half), " "),
-            F.lit("\n"),
-            F.array_join(F.slice(ts, half + 1, n - half), " "),
-        ),
-    )
-    ld = dedup.line_dedup(two, "doc_id", "t2")
+    ld = dedup.line_dedup(dedup.two_line_split(docs), "doc_id", "t2")
     extra = (
         ld.agg(
             F.sum("n_lines").alias("a"), F.sum("n_kept").alias("b")
@@ -1207,9 +1196,17 @@ def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 16) a substring deduper would actually cut. One span-keyed
     shuffle each, no pair table; the run tier adds one per-doc window."""
     docs = _docs(spark, sf_dir)
-    spans = dedup.duplicate_span_stats(docs, "doc_id", ["lang"], w=8)
+    # one corpus-wide span explosion feeds both tiers (the dominant
+    # linear cost); lazy localCheckpoint so the two consumers hit
+    # storage, not a second Generate+scan
+    sp = dedup.span_rows(docs, "doc_id", ["lang"], w=8).localCheckpoint(
+        eager=False
+    )
+    spans = dedup.duplicate_span_stats(
+        docs, "doc_id", ["lang"], w=8, spans=sp
+    )
     runs = dedup.duplicate_run_stats(
-        docs, "doc_id", ["lang"], w=8, min_len=16
+        docs, "doc_id", ["lang"], w=8, min_len=16, spans=sp
     ).select(
         "lang", "n_docs_with_run", "total_runs", "total_run_tokens",
         "max_run_len", "corpus_run_token_frac",

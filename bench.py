@@ -325,22 +325,13 @@ def main() -> None:
         ).count(),
     )
     # q18c: C4 line dedup over a two-line split of the corpus — two
-    # line-keyed linear shuffles (keeper agg + reassembly), no window
-    _ts = F.split(F.col("text"), " ", -1)
-    _half = (F.size(_ts) / 2).cast("int")
-    two_line = docs.withColumn(
-        "t2",
-        F.concat(
-            F.array_join(F.slice(_ts, 1, _half), " "),
-            F.lit("\n"),
-            F.array_join(
-                F.slice(_ts, _half + 1, F.size(_ts) - _half), " "
-            ),
-        ),
-    )
+    # line-keyed linear shuffles (keeper agg + reassembly), no window;
+    # same split construction as the gate query (dedup.two_line_split)
     run(
         "q18c_line_dedup",
-        lambda: _dedup.line_dedup(two_line, "doc_id", "t2")
+        lambda: _dedup.line_dedup(
+            _dedup.two_line_split(docs), "doc_id", "t2"
+        )
         .agg(F.sum("n_kept"))
         .collect(),
     )

@@ -882,6 +882,28 @@ def dedup_components(
     return connected_components(pairs)
 
 
+def two_line_split(
+    df: DataFrame, text_col: str = "text", out_col: str = "t2"
+) -> DataFrame:
+    """Deterministically re-split single-line text into two token-half
+    lines joined by ``\\n`` — the fixture transform the gate query and
+    bench share to give :func:`line_dedup` real work on a corpus whose
+    synthetic docs carry no newlines (exact-dup docs share both
+    halves). One definition so bench and gate measure the same
+    construction."""
+    ts = F.split(F.col(text_col), " ", -1)
+    n = F.size(ts)
+    half = (n / 2).cast("int")
+    return df.withColumn(
+        out_col,
+        F.concat(
+            F.array_join(F.slice(ts, 1, half), " "),
+            F.lit("\n"),
+            F.array_join(F.slice(ts, half + 1, n - half), " "),
+        ),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -956,6 +978,35 @@ def line_dedup(
     )
 
 
+def span_rows(
+    df: DataFrame,
+    id_col: str,
+    key_cols: Sequence[str],
+    text_col: str = "text",
+    w: int = 8,
+    span_key: str = "text",
+) -> DataFrame:
+    """(__id, *key_cols, __pos, __span) w-token span rows — the shared
+    first stage of :func:`duplicate_span_stats` and
+    :func:`duplicate_run_stats`. A caller running both tiers should
+    build this once (``.localCheckpoint(eager=False)`` or persist) and
+    pass it via their ``spans=`` parameter, so the corpus-wide span
+    explosion — the dominant linear cost — happens once, not per
+    tier."""
+    from dashing_spark.operators.text import token_ngrams_col
+
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        *key_cols,
+        F.posexplode(token_ngrams_col(text_col, w)).alias(
+            "__pos", "__span"
+        ),
+    )
+    if span_key == "hash":
+        spans = spans.withColumn("__span", F.xxhash64("__span"))
+    return spans
+
+
 def duplicate_run_stats(
     df: DataFrame,
     id_col: str,
@@ -964,6 +1015,7 @@ def duplicate_run_stats(
     w: int = 8,
     min_len: int = 16,
     span_key: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated-token RUNS — the arbitrary-length form of the
     Lee et al. 2022 substring-dedup signal that
@@ -988,19 +1040,14 @@ def duplicate_run_stats(
     :func:`duplicate_span_stats` (linear in corpus tokens, no pair
     table), plus ONE window partitioned by document — per-doc data, no
     global sort. ``span_key="hash"`` as in :func:`duplicate_span_stats`
-    (8-byte exchange keys for the 100 TB configuration).
+    (8-byte exchange keys for the 100 TB configuration). ``spans``
+    optionally supplies a pre-built :func:`span_rows` frame so a
+    caller running both tiers pays the span explosion once.
     """
-    from dashing_spark.operators.text import token_ngrams_col
-
     if min_len < w:
         raise ValueError(f"min_len ({min_len}) must be >= w ({w})")
-    spans = df.select(
-        F.col(id_col).alias("__id"),
-        *key_cols,
-        F.posexplode(token_ngrams_col(text_col, w)).alias("__pos", "__span"),
-    )
-    if span_key == "hash":
-        spans = spans.withColumn("__span", F.xxhash64("__span"))
+    if spans is None:
+        spans = span_rows(df, id_col, key_cols, text_col, w, span_key)
     # span -> distinct-doc count (distinct (doc, span) first, as in
     # duplicate_span_stats); dup spans join back to POSITION rows
     span_docs = (
@@ -1064,6 +1111,7 @@ def duplicate_span_stats(
     text_col: str = "text",
     w: int = 8,
     span_key: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated token-span detection (the substring-
     level dedup signal of Lee et al. 2022, "Deduplicating Training Data
@@ -1085,17 +1133,13 @@ def duplicate_span_stats(
     map-side partial aggregation, one shuffle keyed by the span, then a
     doc-level rollup — span rows never join against themselves and no
     pair table is formed, so cost is linear in corpus token count.
+    ``spans`` optionally supplies a pre-built :func:`span_rows` frame
+    (shared with :func:`duplicate_run_stats`); the position column is
+    dropped before the distinct.
     """
-    from dashing_spark.operators.text import token_ngrams_col
-
-    spans = df.select(
-        F.col(id_col).alias("__id"),
-        *key_cols,
-        F.explode(token_ngrams_col(text_col, w)).alias("__span"),
-    )
-    if span_key == "hash":
-        spans = spans.withColumn("__span", F.xxhash64("__span"))
-    doc_spans = spans.distinct()
+    if spans is None:
+        spans = span_rows(df, id_col, key_cols, text_col, w, span_key)
+    doc_spans = spans.drop("__pos").distinct()
     # span -> in how many distinct docs it appears (distinct above makes
     # count(*) a distinct-doc count — no second distinct aggregation)
     span_docs = doc_spans.groupBy("__span").agg(

@@ -212,15 +212,29 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(pii_counts_cols(text_col))
 
 
-def redact_pii_col(text_col, replacement: str = "<{kind}>"):
+def redact_pii_col(text_col, replacement: str = "<{kind}>", passes: int = 2):
     """Expression redacting every :data:`PII_PATTERNS` match in
     priority order. ``replacement`` may reference ``{kind}`` (default
     emits ``<EMAIL>``-style typed tokens, preserving the fact that
     *something* was there — downstream token counts shift by a bounded
-    amount instead of silently collapsing)."""
+    amount instead of silently collapsing).
+
+    The chain is applied ``passes`` times (default 2): replacing one
+    match can CREATE the word boundary that unmasks an adjacent
+    ``\\b``-anchored match the first scan could not see (e.g.
+    ``+1 555-123-4567123-45-6789`` — the SSN is boundary-blocked until
+    the phone is replaced). A second pass redacts everything one level
+    of unmasking can reveal; deeper nestings would need each newly
+    exposed match to have been boundary-blocked by the previous one,
+    and the ``pii_gone`` re-detection gate in the entry query guards
+    the residual class. Extra passes are no-ops on clean text
+    (replacement tokens contain no digits or ``@``)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    for kind, pat in PII_PATTERNS.items():
-        c = F.regexp_replace(c, pat, replacement.format(kind=kind.upper()))
+    for _ in range(max(1, passes)):
+        for kind, pat in PII_PATTERNS.items():
+            c = F.regexp_replace(
+                c, pat, replacement.format(kind=kind.upper())
+            )
     return c
 
 
@@ -229,14 +243,16 @@ def redact_pii(
     text_col: str = "text",
     out_col: str | None = None,
     replacement: str = "<{kind}>",
+    passes: int = 2,
 ) -> DataFrame:
     """Redact PII in ``text_col`` (in place by default, or into
     ``out_col``). Chained JVM ``regexp_replace`` — one codegen stage,
     no Python. Idempotent for the default replacement: redaction
-    tokens contain no digits or ``@``, so a second pass finds nothing
-    (pinned by test)."""
+    tokens contain no digits or ``@``, so a repeat pass finds nothing
+    (pinned by test); see :func:`redact_pii_col` for why the chain
+    runs twice by default."""
     return df.withColumn(
-        out_col or text_col, redact_pii_col(text_col, replacement)
+        out_col or text_col, redact_pii_col(text_col, replacement, passes)
     )
 
 

@@ -184,6 +184,10 @@ class TestPII:
         (6, ""),
         (7, None),
         (8, "mixed a@b.org 111-22-3333 +1 555-000-1111 8.8.8.8"),
+        # replacement-induced unmasking: the SSN here is boundary-
+        # blocked by the phone's digits until the phone is redacted —
+        # only the second chain pass can see it (r5 review find)
+        (9, "call +1 555-123-4567123-45-6789 now"),
     ]
 
     @pytest.fixture()
