@@ -48,6 +48,7 @@ def curate(
     max_overlap_frac: float = 0.3,
     sample_rates: dict[str, float] | None = None,
     strat_col: str = "lang",
+    line_dedup_sep: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline. Returns (kept_docs, stats) where
     stats is a lazy one-row-per-stage frame: (stage, n_out).
@@ -66,7 +67,11 @@ def curate(
     ``bench`` drops docs overlapping the benchmark frame at >=
     ``max_overlap_frac`` of their 8-grams (decontamination);
     ``sample_rates`` applies the stratified md5-prefix sampler last
-    (mixture weighting happens after all quality gates)."""
+    (mixture weighting happens after all quality gates);
+    ``line_dedup_sep`` (e.g. ``"\\n"``) enables the C4 corpus-wide
+    line-dedup rewrite between exact and near-dup dedup — document
+    counts don't change, text does, so it runs before every
+    text-derived stage."""
     # stage 1: exact dedup (min-id keeper per byte-identical text)
     keepers = (
         docs.select(F.md5(F.col(text_col)).alias("__dg"), F.col(id_col))
@@ -75,6 +80,15 @@ def curate(
         .select(id_col)
     )
     s1 = docs.join(keepers, id_col, "left_semi")
+    # stage 1b: optional C4 line dedup — rewrites text (strips corpus-
+    # wide duplicate lines, keeping each line's canonical first
+    # occurrence) BEFORE every text-derived stage, so near-dup
+    # signatures and quality scores see the cleaned text
+    if line_dedup_sep is not None:
+        ld = dedup.line_dedup(s1, id_col, text_col, line_sep=line_dedup_sep)
+        s1 = s1.drop(text_col).join(
+            ld.select(id_col, F.col("text_out").alias(text_col)), id_col
+        )
     # stage 2: near-dup dedup
     pairs = dedup.minhash_lsh_dedup(s1, id_col, text_col, threshold=near_threshold)
     if near_mode == "components":

@@ -443,6 +443,44 @@ class TestCorpusCuration:
             "input", "exact_dedup", "near_dedup", "quality", "lang"
         }
 
+    def test_line_dedup_stage_matches_standalone(self, spark, docs):
+        """curate(line_dedup_sep=...) must rewrite text exactly as the
+        standalone op applied after exact dedup — chain == composition
+        of standalone stages, the invariant every other stage pins."""
+        from dashing_spark.operators import corpus, dedup
+
+        two = dedup.two_line_split(docs).drop("text").withColumnRenamed(
+            "t2", "text"
+        )
+        kept, stats = corpus.curate(
+            two, near_threshold=0.9, min_quality=0.0,
+            line_dedup_sep="\n",
+        )
+        # standalone replica: exact dedup keepers, then line_dedup
+        keepers = (
+            two.select(F.md5("text").alias("dg"), "doc_id")
+            .groupBy("dg")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        s1 = two.join(keepers, "doc_id", "left_semi")
+        expect = dedup.line_dedup(s1, "doc_id", "text").select(
+            "doc_id", F.col("text_out").alias("text")
+        )
+        got = kept.select("doc_id", "text")
+        joined = got.join(
+            expect.withColumnRenamed("text", "etext"), "doc_id", "left"
+        )
+        # every surviving doc carries the standalone-rewritten text
+        assert joined.filter(
+            F.col("etext").isNull() | (F.col("text") != F.col("etext"))
+        ).count() == 0
+        # the rewrite did real work: some doc lost a duplicate line
+        changed = s1.join(
+            expect.withColumnRenamed("text", "etext"), "doc_id"
+        ).filter(F.col("text") != F.col("etext"))
+        assert changed.count() > 0
+
     def test_full_chain_matches_standalone_stages(self, spark, docs):
         from dashing_spark.operators import contamination, corpus
 
@@ -866,6 +904,56 @@ class TestDuplicateRuns:
             dedup.duplicate_run_stats(
                 run_docs, "doc_id", [], w=8, min_len=4
             )
+
+
+class TestSpanSharing:
+    def test_shared_span_frame_scans_input_once_per_consumer(self, spark, docs):
+        """The merged gate query builds span_rows once (lazy
+        localCheckpoint) and feeds BOTH substring tiers; pinned at
+        runtime with a rows accumulator on the input: the checkpoint
+        materialization reads the docs once, and the only other input
+        read is duplicate_run_stats' token-count branch — 2 × n_docs
+        total. Without sharing, each tier re-runs the explode from the
+        scan (4-5 × n_docs measured)."""
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        n_docs = docs.count()
+        acc = spark.sparkContext.accumulator(0)
+
+        def counted(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        src = docs.mapInPandas(counted, schema=docs.schema)
+        sp = dedup.span_rows(src, "doc_id", ["lang"], w=8).localCheckpoint(
+            eager=False
+        )
+        a = dedup.duplicate_span_stats(
+            src, "doc_id", ["lang"], w=8, spans=sp
+        )
+        b = dedup.duplicate_run_stats(
+            src, "doc_id", ["lang"], w=8, min_len=16, spans=sp
+        )
+        a.join(b.select("lang", "total_runs"), "lang").collect()
+        assert acc.value == 2 * n_docs, (
+            f"span frame not shared: input scanned {acc.value / n_docs:.1f}x"
+        )
+
+    def test_line_dedup_plan_has_no_window(self, spark, docs):
+        """line_dedup's keeper must stay a partial-aggregable min, not
+        a row_number window — a hot boilerplate line would otherwise
+        sort every occurrence on one reducer."""
+        plan = (
+            dedup.line_dedup(dedup.two_line_split(docs), "doc_id", "t2")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert "partial_merge" in plan or "partial" in plan.lower()
 
 
 class TestDuplicateSpans:
