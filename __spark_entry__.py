@@ -2322,7 +2322,7 @@ def oracle_sql() -> dict[str, str]:
                                '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
                            '[?&]fbclid=[^&]*', '', 'g'),
                            '[?&]gclid=[^&]*', '', 'g'),
-                           '^([^?&]*)&', '\\1?'),
+                           '^([^?&]*)&([A-Za-z0-9_%.-]+=)', '\\1?\\2'),
                            '[?]$', '') AS u
                 FROM w
             ), c AS (
@@ -2515,13 +2515,13 @@ def oracle_sql() -> dict[str, str]:
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'
                            )) AS pii_email_count,
                        len(regexp_extract_all(aug_text,
-                           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'
+                           '[0-9]{3}-[0-9]{2}-[0-9]{4}'
                            )) AS pii_ssn_count,
                        len(regexp_extract_all(aug_text,
                            '[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{2,4}'
                            )) AS pii_phone_count,
                        len(regexp_extract_all(aug_text,
-                           '\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b'
+                           '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'
                            )) AS pii_ipv4_count
                 FROM aug
             )

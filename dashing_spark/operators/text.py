@@ -180,13 +180,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: pattern). Patterns are deliberately restricted to the syntax subset
 #: Java regex and RE2 (DuckDB) interpret identically: no lookarounds,
 #: no alternation (leftmost-first vs leftmost-longest divergence), no
-#: `\s` (Java includes \x0B, RE2 does not), ASCII classes only — so
-#: DuckDB oracles can replicate counts and redactions verbatim.
+#: `\s` (Java includes \x0B, RE2 does not), and NO `\b` — Java's word
+#: boundary is Unicode-aware (é/ü/ñ are word chars) while RE2's is
+#: ASCII-only, so `\bé1.2.3.4` diverges (found by the seeded
+#: randomized parity sweep in tests/test_regex_parity.py). Dropping
+#: the boundaries makes detection over-trigger on digit-abutted
+#: candidates, which is the correct scrubbing direction (redact too
+#: much, never too little) and keeps counts engine-identical.
 PII_PATTERNS = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
-    "ssn": "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
     "phone": "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{2,4}",
-    "ipv4": "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
 }
 
 
@@ -219,16 +224,15 @@ def redact_pii_col(text_col, replacement: str = "<{kind}>", passes: int = 2):
     *something* was there — downstream token counts shift by a bounded
     amount instead of silently collapsing).
 
-    The chain is applied ``passes`` times (default 2): replacing one
-    match can CREATE the word boundary that unmasks an adjacent
-    ``\\b``-anchored match the first scan could not see (e.g.
-    ``+1 555-123-4567123-45-6789`` — the SSN is boundary-blocked until
-    the phone is replaced). A second pass redacts everything one level
-    of unmasking can reveal; deeper nestings would need each newly
-    exposed match to have been boundary-blocked by the previous one,
-    and the ``pii_gone`` re-detection gate in the entry query guards
-    the residual class. Extra passes are no-ops on clean text
-    (replacement tokens contain no digits or ``@``)."""
+    The chain is applied ``passes`` times (default 2) as insurance
+    against replacement-induced unmasking: while :data:`PII_PATTERNS`
+    deliberately carries no ``\\b`` anchors (see its comment — the
+    original boundary-anchored patterns could be unmasked by an
+    adjacent replacement, reproduced in the r5 review), a second pass
+    guarantees anything a single replacement round newly exposes is
+    also redacted, and the ``pii_gone`` re-detection gate in the entry
+    query guards the residual class. Extra passes are no-ops on clean
+    text (replacement tokens contain no digits or ``@``)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     for _ in range(max(1, passes)):
         for kind, pat in PII_PATTERNS.items():
@@ -285,8 +289,9 @@ def canonicalize_url_col(url_col):
         u = F.regexp_replace(u, pat, "")
     # a removed first param leaves "path&k=v": promote the first '&'
     # back to '?'. [^?&]* cannot skip separators, so the match anchors
-    # at the FIRST '&' and only when no '?' precedes it.
-    u = F.regexp_replace(u, "^([^?&]*)&", "$1?")
+    # at the FIRST '&' and only when no '?' precedes it; requiring a
+    # k=v tail keeps a literal '&' in a query-less path untouched.
+    u = F.regexp_replace(u, "^([^?&]*)&([A-Za-z0-9_%.-]+=)", "$1?$2")
     u = F.regexp_replace(u, "[?]$", "")
     head = F.regexp_extract(u, _URL_HEAD_RE, 0)
     rest = F.regexp_replace(u, _URL_HEAD_RE, "")

@@ -1,0 +1,161 @@
+"""Seeded randomized cross-engine parity + invariants for the r5
+regex-chain operators (PII detect/redact, URL canonicalization).
+
+These ops promise their DuckDB oracles replicate them VERBATIM — that
+rests on staying inside the Java∩RE2 syntax subset, which hand-picked
+fixtures can't fully exercise. A deterministic random composer (seeded,
+so failures reproduce) builds adversarial corpora: PII fragments glued
+with digit/empty/unicode separators (the adjacency class that produced
+the round-5 unmasking bug), URL pieces in every case/port/param/frag
+combination. One Spark job per test; DuckDB replays per row.
+"""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dashing_spark.operators import text
+
+
+PII_SNIPPETS = [
+    "jo.doe+x@sub.example.co.uk",
+    "a@b.io",
+    "admin@192.168.0.1",
+    "123-45-6789",
+    "999-99-9999",
+    "+1 555-123-4567",
+    "+44 207-946-0958",
+    "10.0.0.1",
+    "192.168.255.3",
+    "8.8.8.8",
+]
+JUNK = ["hello", "worldé", "42", "x9y", "...", "-", "(call)", "foo_bar", ""]
+SEPS = ["", " ", ",", "x", "9", "-", " ", "@"]
+
+
+def _pii_corpus(n=400, seed=7):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        parts = [rng.choice(PII_SNIPPETS + JUNK) for _ in range(rng.randint(1, 6))]
+        s = parts[0]
+        for p in parts[1:]:
+            s += rng.choice(SEPS) + p
+        out.append(s)
+    return out
+
+
+def _url_corpus(n=400, seed=11):
+    rng = random.Random(seed)
+    schemes = ["https://", "HTTP://", "ftp://", "HTTPS://", ""]
+    wwws = ["www.", "WWW.", ""]
+    hosts = ["Example.COM", "sub.ex.org", "ex-a.net", "XN--test.de"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/x&y", "/p/7/", "/a%20b"]
+    queries = [
+        "",
+        "?id=3",
+        "?utm_source=f",
+        "?utm_a=1&id=2",
+        "?id=1&utm_b=2&gclid=z",
+        "?a=1&b=2",
+        "?fbclid=q",
+        "?utm_x=1&utm_y=2",
+        "?gclid=z&id=9",
+    ]
+    frags = ["", "#sec", "#a?b", "#"]
+    out = []
+    for _ in range(n):
+        out.append(
+            rng.choice(schemes)
+            + rng.choice(wwws)
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + rng.choice(queries)
+            + rng.choice(frags)
+        )
+    return out
+
+
+#: the oracle replica of canonicalize_url_col / url_host_col — keep in
+#: lockstep with the dedup_exact_by_lang oracle in __spark_entry__.py
+DUCK_CANON = """
+WITH s1 AS (SELECT regexp_replace(?, '#.*', '') AS u),
+s2 AS (SELECT regexp_replace(u, '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g') AS u FROM s1),
+s3 AS (SELECT regexp_replace(u, '[?&]fbclid=[^&]*', '', 'g') AS u FROM s2),
+s4 AS (SELECT regexp_replace(u, '[?&]gclid=[^&]*', '', 'g') AS u FROM s3),
+s5 AS (SELECT regexp_replace(u, '^([^?&]*)&([A-Za-z0-9_%.-]+=)', '\\1?\\2') AS u FROM s4),
+s6 AS (SELECT regexp_replace(u, '[?]$', '') AS u FROM s5),
+s7 AS (SELECT u, regexp_replace(regexp_replace(regexp_replace(
+           lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*', 0)),
+           ':80$', ''), ':443$', ''), '://www[.]', '://') AS head,
+       regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS rest FROM s7src)
+SELECT regexp_replace(head || rest, '/$', ''),
+       regexp_replace(lower(regexp_extract(?,
+           '^[A-Za-z]+://([^/?#:]*)', 1)), '^www[.]', '')
+FROM s7
+""".replace("FROM s7src", "FROM s6")
+
+
+class TestPIIRandomized:
+    def test_counts_match_duckdb(self, spark):
+        corpus = _pii_corpus()
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(corpus)], "i int, t string"
+        )
+        rows = {
+            r["i"]: r
+            for r in df.withColumns(text.pii_counts_cols("t")).collect()
+        }
+        con = duckdb.connect()
+        for i, s in enumerate(corpus):
+            for kind, pat in text.PII_PATTERNS.items():
+                d = con.execute(
+                    "select len(regexp_extract_all(?, ?))", [s, pat]
+                ).fetchone()[0]
+                assert rows[i][f"pii_{kind}_count"] == d, (i, kind, s)
+
+    def test_redaction_complete_and_idempotent(self, spark):
+        corpus = _pii_corpus()
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(corpus)], "i int, t string"
+        )
+        red = df.withColumn("r1", text.redact_pii_col("t")).withColumn(
+            "r2", text.redact_pii_col(F.col("r1"))
+        )
+        out = red.withColumns(text.pii_counts_cols("r1")).collect()
+        for r in out:
+            for kind in text.PII_PATTERNS:
+                assert r[f"pii_{kind}_count"] == 0, (
+                    f"residual {kind} after redaction in {r['r1']!r}"
+                )
+            assert r["r1"] == r["r2"], f"not idempotent: {r['t']!r}"
+
+
+class TestURLRandomized:
+    def test_canonicalize_matches_duckdb_and_idempotent(self, spark):
+        corpus = _url_corpus()
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(corpus)], "i int, u string"
+        )
+        got = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                text.canonicalize_url_col("u").alias("c1"),
+                text.url_host_col("u").alias("h"),
+            )
+            .withColumn("c2", text.canonicalize_url_col(F.col("c1")))
+            .collect()
+        }
+        con = duckdb.connect()
+        for i, u in enumerate(corpus):
+            dc, dh = con.execute(DUCK_CANON, [u, u]).fetchone()
+            assert got[i]["c1"] == dc, (i, u, got[i]["c1"], dc)
+            assert got[i]["h"] == dh, (i, u)
+            assert got[i]["c2"] == got[i]["c1"], (
+                f"not idempotent: {u!r} -> {got[i]['c1']!r} -> {got[i]['c2']!r}"
+            )
