@@ -157,6 +157,10 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
     spark.stop()
+    print(
+        f"SUMMARY: {len(names) - n_fail}/{len(names)} green"
+        + (f" — {n_fail} FAILED" if n_fail else "")
+    )
     return 1 if n_fail else 0
 
 
