@@ -908,14 +908,41 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token stats + the Unicode-normalization tier (merged slot): the
+    ASCII synthetic corpus is already NFC, so every fourth doc gets an
+    injected NFD tail (combining acute + doubled space); the oracle
+    builds the identical tail with chr(769) and replicates NFC via
+    DuckDB's nfc_normalize (verified equal to Python unicodedata) and
+    the whitespace collapse via the same explicit regexp class — both
+    added columns are exact integers."""
     docs = _docs(spark, sf_dir)
-    return text.token_stats(docs, ["lang"]).select(
+    base = text.token_stats(docs, ["lang"]).select(
         "lang",
         "n_docs",
         "total_tokens",
         "avg_tokens_per_doc",
         F.round("avg_ttr", 5).alias("avg_ttr"),
     )
+    aug = docs.withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" cafe\u0301  x")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    nfc_only = text.normalize_text(
+        aug, "aug", out_col="nfc", collapse_whitespace=False
+    )
+    full = text.normalize_text(nfc_only, "aug", out_col="norm")
+    norm_stats = full.groupBy("lang").agg(
+        F.sum(F.when(F.col("nfc") != F.col("aug"), 1).otherwise(0)).alias(
+            "n_nfc_changed"
+        ),
+        F.sum(F.length("norm")).alias("sum_norm_chars"),
+    )
+    return base.join(norm_stats, "lang")
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2478,16 +2505,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "token_stats_by_lang": """
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-                   round(avg(n_tok), 6) AS avg_tokens_per_doc,
-                   round(round(avg(CAST(n_uniq AS DOUBLE) / n_tok), 6), 5)
-                       AS avg_ttr
-            FROM (SELECT lang,
-                         len(string_split(text, ' ')) AS n_tok,
-                         len(list_distinct(string_split(text, ' '))) AS n_uniq
-                  FROM documents)
-            GROUP BY lang
+            WITH base AS (
+                SELECT lang, count(*) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                       round(avg(n_tok), 6) AS avg_tokens_per_doc,
+                       round(round(avg(CAST(n_uniq AS DOUBLE) / n_tok), 6),
+                             5) AS avg_ttr
+                FROM (SELECT lang,
+                             len(string_split(text, ' ')) AS n_tok,
+                             len(list_distinct(string_split(text, ' ')))
+                                 AS n_uniq
+                      FROM documents)
+                GROUP BY lang
+            ), a AS (
+                SELECT lang,
+                       text || CASE WHEN doc_id % 4 = 0
+                           THEN ' cafe' || chr(769) || '  x'
+                           ELSE '' END AS aug
+                FROM documents
+            ), n AS (
+                SELECT lang,
+                       CASE WHEN nfc_normalize(aug) <> aug THEN 1
+                            ELSE 0 END AS changed,
+                       length(trim(regexp_replace(nfc_normalize(aug),
+                           '[ \t\r\n]+', ' ', 'g'))) AS nlen
+                FROM a
+            ), norm AS (
+                SELECT lang,
+                       CAST(sum(changed) AS BIGINT) AS n_nfc_changed,
+                       CAST(sum(nlen) AS BIGINT) AS sum_norm_chars
+                FROM n GROUP BY lang
+            )
+            SELECT base.*, norm.n_nfc_changed, norm.sum_norm_chars
+            FROM base JOIN norm USING (lang)
         """,
         "quality_scores": """
             WITH aug AS (

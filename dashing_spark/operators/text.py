@@ -334,6 +334,46 @@ def url_dedup_stats(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Unicode text normalization — the canonical preprocessing before
+    any hash-based dedup (byte-identical dedup is meaningless while
+    'café' has two encodings). ``form`` normalization (NFC/NFKC/...)
+    runs as an Arrow-vectorized pandas UDF — the one step the JVM has
+    no builtin for — and whitespace collapse stays a JVM regexp
+    (explicit ``[ \\t\\r\\n]`` class; ``\\s`` is banned from the
+    cross-engine subset). DuckDB's ``nfc_normalize`` matches Python's
+    ``unicodedata`` on NFC exactly (verified), so NFC tiers can be
+    hash-gated; ``lowercase`` uses Python ``str.lower``, whose dialect
+    differs from DuckDB ``lower`` on İ/final-sigma — keep it out of
+    hash-gated oracle columns. NULL text passes through as NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        out = s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if x is not None
+            else None
+        )
+        if lowercase:
+            out = out.map(lambda x: x.lower() if x is not None else None)
+        return out
+
+    c = _norm(F.col(text_col))
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, "[ \\t\\r\\n]+", " "))
+    return df.withColumn(out_col or text_col, c)
+
+
 def lang_id_predict(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language-ID: score = |distinct tokens ∩ markers| per
     language, argmax with deterministic tie-break on language name."""

@@ -237,6 +237,53 @@ class TestPII:
         assert changed == 0
 
 
+class TestNormalizeText:
+    CASES = [
+        (1, "cafe\u0301 time", "caf\u00e9 time"),  # NFD -> NFC composition
+        (2, "a  b\t c\nd", "a b c d"),  # whitespace collapse + trim
+        (3, "  plain  ", "plain"),
+        (4, "\u00e9 already nfc", "\u00e9 already nfc"),
+        (5, None, None),
+        (6, "", ""),
+    ]
+
+    def test_nfc_and_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(i, s) for i, s, _ in self.CASES], "i int, t string"
+        )
+        got = {
+            r["i"]: r["n"]
+            for r in text.normalize_text(df, "t", out_col="n").collect()
+        }
+        for i, _, expect in self.CASES:
+            assert got[i] == expect, (i, got[i])
+
+    def test_matches_duckdb_nfc(self, spark):
+        import duckdb
+
+        strs = ["café", "ﬁne ﬂow", "ño", "ascii only", "ＡＢ"]
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "i int, t string")
+        got = {
+            r["i"]: r["n"]
+            for r in text.normalize_text(
+                df, "t", out_col="n", collapse_whitespace=False
+            ).collect()
+        }
+        con = duckdb.connect()
+        for i, s in enumerate(strs):
+            d = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
+            assert got[i] == d, (i, s)
+
+    def test_idempotent(self, spark):
+        df = spark.createDataFrame(
+            [(i, s) for i, s, _ in self.CASES if s is not None],
+            "i int, t string",
+        )
+        once = text.normalize_text(df, "t", out_col="n1")
+        twice = text.normalize_text(once, "n1", out_col="n2")
+        assert twice.filter(F.col("n1") != F.col("n2")).count() == 0
+
+
 class TestURLCanonicalize:
     #: raw → (canonical, host) ground truth (hand-derived)
     CASES = [
