@@ -935,7 +935,12 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     nfc_only = text.normalize_text(
         aug, "aug", out_col="nfc", collapse_whitespace=False
     )
-    full = text.normalize_text(nfc_only, "aug", out_col="norm")
+    # the collapse tier reuses the already-NFC column (NFC is
+    # idempotent) — pure JVM, not a second pandas-UDF pass
+    full = nfc_only.withColumn(
+        "norm",
+        F.trim(F.regexp_replace(F.col("nfc"), "[ \\t\\r\\n]+", " ")),
+    )
     norm_stats = full.groupBy("lang").agg(
         F.sum(F.when(F.col("nfc") != F.col("aug"), 1).otherwise(0)).alias(
             "n_nfc_changed"
@@ -2349,7 +2354,7 @@ def oracle_sql() -> dict[str, str]:
                                '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g'),
                            '[?&]fbclid=[^&]*', '', 'g'),
                            '[?&]gclid=[^&]*', '', 'g'),
-                           '^([^?&]*)&([A-Za-z0-9_%.-]+=)', '\\1?\\2'),
+                           '^([^?&]*)&([^?&#=]+=)', '\\1?\\2'),
                            '[?]$', '') AS u
                 FROM w
             ), c AS (

@@ -85,6 +85,10 @@ def curate(
     # occurrence) BEFORE every text-derived stage, so near-dup
     # signatures and quality scores see the cleaned text
     if line_dedup_sep is not None:
+        if not s1.isStreaming:
+            # s1 feeds line_dedup's explode/base branches AND the
+            # rewrite join probe — one exact-dedup pass, not three
+            s1 = s1.localCheckpoint(eager=False)
         ld = dedup.line_dedup(s1, id_col, text_col, line_sep=line_dedup_sep)
         s1 = s1.drop(text_col).join(
             ld.select(id_col, F.col("text_out").alias(text_col)), id_col

@@ -910,6 +910,7 @@ def line_dedup(
     text_col: str = "text",
     line_sep: str = "\n",
     min_line_chars: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """C4-style corpus-wide line deduplication (Raffel et al. 2020
     §2.2 applied at line granularity — the preprocessing step that
@@ -923,7 +924,14 @@ def line_dedup(
 
     Emits (id, text_out, n_lines, n_kept) per document — a document
     whose every line was a non-canonical duplicate comes back with
-    ``text_out = ''`` and ``n_kept = 0``, not dropped.
+    ``text_out = ''`` and ``n_kept = 0``, not dropped; NULL text comes
+    back as NULL with zero lines (a pipeline stage must never lose
+    rows — pinned by test and relied on by ``corpus.curate``).
+    ``materialize`` (default True) lazily localCheckpoints the line
+    rows, which feed four plan branches (keeper agg, semi probe,
+    short-line filter, totals) — pass False on preemptible clusters to
+    keep full lineage at the cost of re-running the explode per
+    branch.
 
     Scale: hot lines ("Home", "") are the dominant input class, and
     NO stage here keys on the bare line for anything bigger than one
@@ -938,12 +946,16 @@ def line_dedup(
     rebuild."""
     # \Q..\E-quote the separator: Spark's split takes a regex, DuckDB's
     # string_split (the oracle) is literal — quoting keeps any sep safe
-    lines = df.select(
+    lines = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.split(F.col(text_col), "\\Q" + line_sep + "\\E", -1)
         ).alias("__pos", "__line"),
     )
+    if materialize and not lines.isStreaming:
+        # four consumers below (keeper agg, semi probe, short-line
+        # filter, totals) — one explode pass, not four
+        lines = lines.localCheckpoint(eager=False)
     longl = lines.filter(F.length("__line") >= min_line_chars)
     keepers = (
         longl.groupBy("__line")
@@ -981,12 +993,19 @@ def line_dedup(
         F.count("*").alias("n_kept"),
     )
     totals = lines.groupBy("__id").agg(F.count("*").alias("n_lines"))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).isNull().alias("__nulltext"),
+    )
     return (
-        totals.join(rebuilt, "__id", "left")
+        base.join(totals, "__id", "left")
+        .join(rebuilt, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce("text_out", F.lit("")).alias("text_out"),
-            "n_lines",
+            F.when(F.col("__nulltext"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("text_out", F.lit("")))
+            .alias("text_out"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )

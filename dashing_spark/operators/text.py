@@ -290,8 +290,11 @@ def canonicalize_url_col(url_col):
     # a removed first param leaves "path&k=v": promote the first '&'
     # back to '?'. [^?&]* cannot skip separators, so the match anchors
     # at the FIRST '&' and only when no '?' precedes it; requiring a
-    # k=v tail keeps a literal '&' in a query-less path untouched.
-    u = F.regexp_replace(u, "^([^?&]*)&([A-Za-z0-9_%.-]+=)", "$1?$2")
+    # k=v tail keeps a literal '&' in a query-less path untouched. The
+    # key class is NEGATED (anything but separators/'=') — an
+    # allowlist missed legal key chars like '+'/'~'/':' and split the
+    # canonical forms of equivalent URLs (r5 review find).
+    u = F.regexp_replace(u, "^([^?&]*)&([^?&#=]+=)", "$1?$2")
     u = F.regexp_replace(u, "[?]$", "")
     head = F.regexp_extract(u, _URL_HEAD_RE, 0)
     rest = F.regexp_replace(u, _URL_HEAD_RE, "")
@@ -354,6 +357,10 @@ def normalize_text(
     differs from DuckDB ``lower`` on İ/final-sigma — keep it out of
     hash-gated oracle columns. NULL text passes through as NULL."""
     from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        # fail on the driver, not as an opaque executor traceback
+        raise ValueError(f"invalid normalization form: {form!r}")
 
     @pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:

@@ -296,6 +296,11 @@ class TestURLCanonicalize:
          "https://sub.example.com/p?id=1", "sub.example.com"),
         ("https://example.com/p?gclid=z", "https://example.com/p",
          "example.com"),
+        # promotion must handle non-alnum query keys ('+' is legal) so
+        # equivalent URLs share one canonical form (r5 review find)
+        ("http://x.com?utm_a=1&TOK+EN=AbC", "http://x.com?TOK+EN=AbC",
+         "x.com"),
+        ("http://x.com?TOK+EN=AbC", "http://x.com?TOK+EN=AbC", "x.com"),
         ("notaurl plain text", "notaurl plain text", ""),
         ("https://example.com", "https://example.com", "example.com"),
         ("", "", ""),
@@ -828,8 +833,19 @@ class TestLineDedup:
             (3, "unique gamma\ncookie banner"),
             (4, "cookie banner"),  # every line a non-canonical dup
             (5, "x\n\nunique delta\nx"),  # short lines bypass dedup
+            (6, None),  # NULL text must come back, not vanish
         ]
         return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_null_text_survives(self, spark, line_docs):
+        out = {
+            r["doc_id"]: r
+            for r in dedup.line_dedup(line_docs, min_line_chars=2).collect()
+        }
+        assert 6 in out, "NULL-text doc dropped — pipeline lost a row"
+        assert out[6]["text_out"] is None
+        assert out[6]["n_lines"] == 0
+        assert out[6]["n_kept"] == 0
 
     def test_canonical_first_occurrence_kept(self, spark, line_docs):
         out = {
@@ -962,10 +978,6 @@ class TestSpanSharing:
         read is duplicate_run_stats' token-count branch — 2 × n_docs
         total. Without sharing, each tier re-runs the explode from the
         scan (4-5 × n_docs measured)."""
-        import pandas as pd
-
-        from pyspark.sql import types as T
-
         n_docs = docs.count()
         acc = spark.sparkContext.accumulator(0)
 

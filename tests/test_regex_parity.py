@@ -13,7 +13,6 @@ combination. One Spark job per test; DuckDB replays per row.
 import random
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F
 
 from dashing_spark.operators import text
@@ -87,17 +86,17 @@ WITH s1 AS (SELECT regexp_replace(?, '#.*', '') AS u),
 s2 AS (SELECT regexp_replace(u, '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g') AS u FROM s1),
 s3 AS (SELECT regexp_replace(u, '[?&]fbclid=[^&]*', '', 'g') AS u FROM s2),
 s4 AS (SELECT regexp_replace(u, '[?&]gclid=[^&]*', '', 'g') AS u FROM s3),
-s5 AS (SELECT regexp_replace(u, '^([^?&]*)&([A-Za-z0-9_%.-]+=)', '\\1?\\2') AS u FROM s4),
+s5 AS (SELECT regexp_replace(u, '^([^?&]*)&([^?&#=]+=)', '\\1?\\2') AS u FROM s4),
 s6 AS (SELECT regexp_replace(u, '[?]$', '') AS u FROM s5),
 s7 AS (SELECT u, regexp_replace(regexp_replace(regexp_replace(
            lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*', 0)),
            ':80$', ''), ':443$', ''), '://www[.]', '://') AS head,
-       regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS rest FROM s7src)
+       regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS rest FROM s6)
 SELECT regexp_replace(head || rest, '/$', ''),
        regexp_replace(lower(regexp_extract(?,
            '^[A-Za-z]+://([^/?#:]*)', 1)), '^www[.]', '')
 FROM s7
-""".replace("FROM s7src", "FROM s6")
+"""
 
 
 class TestPIIRandomized:

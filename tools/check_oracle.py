@@ -129,6 +129,7 @@ def main() -> int:
         oracles = {**oracles, **entry.legacy_oracle_sql()}
     names = args or list(qs)
     n_fail = 0
+    n_rows_only = 0
     for name in names:
         t0 = time.time()
         try:
@@ -139,6 +140,7 @@ def main() -> int:
             continue
         if name not in oracles:
             status = "rows-only"
+            n_rows_only += 1
             print(f"ok?  {name}: {len(spdf)} rows ({status}, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
@@ -157,8 +159,10 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
     spark.stop()
+    n_green = len(names) - n_fail - n_rows_only
     print(
-        f"SUMMARY: {len(names) - n_fail}/{len(names)} green"
+        f"SUMMARY: {n_green}/{len(names)} oracle-green"
+        + (f", {n_rows_only} rows-only" if n_rows_only else "")
         + (f" — {n_fail} FAILED" if n_fail else "")
     )
     return 1 if n_fail else 0
