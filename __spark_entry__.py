@@ -1321,6 +1321,18 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5.0) * F.sqrt(rate * (1 - rate) / F.col("n_total"))
         + F.lit(2.0) / F.col("n_total")
     )
+    # second tier in this slot: exact-k per-stratum sampling — the
+    # fixed-budget companion to the fixed-rate Bernoulli above. The
+    # selected SET is pinned by count + doc_id sum (both exact; the
+    # oracle re-derives the same k smallest md5(doc_id) per lang)
+    ek = (
+        corpus.exact_k_sample(docs, 13)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_exact_k"),
+            F.sum("doc_id").alias("sum_exact_k_ids"),
+        )
+    )
     return (
         t.join(k, "lang", "left")
         .fillna({"n_kept": 0, "sum_chars_kept": 0})
@@ -1332,6 +1344,7 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars_kept",
             (F.abs(frac - rate) <= slack).alias("rate_ok"),
         )
+        .join(ek, "lang")
     )
 
 
@@ -2839,14 +2852,28 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'g' END
                 GROUP BY lang
             )
+            , ek AS (
+                SELECT lang,
+                       count(*)::BIGINT AS n_exact_k,
+                       CAST(sum(doc_id) AS BIGINT) AS sum_exact_k_ids
+                FROM (
+                    SELECT lang, doc_id,
+                           row_number() OVER (
+                               PARTITION BY lang
+                               ORDER BY md5(doc_id::VARCHAR)
+                           ) AS rk
+                    FROM documents
+                ) WHERE rk <= 13 GROUP BY lang
+            )
             SELECT t.lang,
                    t.n_total::BIGINT AS n_total,
                    COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
                    round(COALESCE(k.n_kept, 0)::DOUBLE / t.n_total, 9)
                        AS kept_frac,
                    COALESCE(k.sum_chars_kept, 0)::BIGINT AS sum_chars_kept,
-                   true AS rate_ok
-            FROM t LEFT JOIN k USING (lang)
+                   true AS rate_ok,
+                   ek.n_exact_k, ek.sum_exact_k_ids
+            FROM t LEFT JOIN k USING (lang) JOIN ek USING (lang)
         """,
         "corpus_curation": """
             WITH k AS (SELECT min(doc_id) AS doc_id FROM documents

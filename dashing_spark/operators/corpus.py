@@ -30,7 +30,7 @@ The stats frame is lazy — one aggregate per stage, no driver loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from dashing_spark.operators import dedup, text
 
@@ -195,6 +195,69 @@ def stratified_sample(
             F.lit(sample_cutoff_hex(rates[stratum], hex_digits)),
         ).otherwise(cutoff)
     return docs.filter(prefix < cutoff)
+
+
+def exact_k_sample(
+    docs: DataFrame,
+    k: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    margin: float = 1.0,
+) -> DataFrame:
+    """Deterministic EXACT-k per-stratum sample: the k documents with
+    the smallest ``md5(id)`` per stratum. Hash order makes the sample
+    reproducible across engines, partitionings, and runs — the
+    fixed-budget companion to :func:`stratified_sample`'s fixed-rate
+    Bernoulli (e.g. "exactly 10k eval docs per language").
+
+    Scale: a naive per-stratum rank sorts every row of a hot stratum
+    on one reducer. Instead: (1) per-stratum counts via one map-side
+    agg; (2) a RATE PREFILTER keeps rows whose 32-bit md5 prefix falls
+    under ``(k/n)(1+margin)`` — candidate sets are ~k(1+margin) per
+    stratum regardless of stratum size; (3) only candidates pay the
+    rank window. Strata whose candidate set came up short (possible
+    only under extreme hash clustering) fall back to ranking the whole
+    stratum, so the result is EXACT always — the prefilter is a pure
+    optimization, never a correctness dial.
+
+    Returns the sampled rows (all input columns)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if margin < 0:
+        raise ValueError(f"margin must be >= 0, got {margin}")
+    h = F.md5(F.col(id_col).cast("string"))
+    hashed = docs.withColumn("__h", h).withColumn(
+        "__h32", F.conv(F.substring("__h", 1, 8), 16, 10).cast("double")
+    )
+    counts = hashed.groupBy(strat_col).agg(F.count("*").alias("__n"))
+    cut = F.least(
+        F.lit(2.0**32),
+        F.lit(float(k) * (1.0 + margin)) / F.col("__n") * F.lit(2.0**32),
+    )
+    cand = hashed.join(F.broadcast(counts), strat_col).filter(
+        F.col("__h32") < cut
+    )
+    # exactness fallback: a stratum with < k candidates ranks in full
+    deficient = (
+        cand.groupBy(strat_col)
+        .agg(F.count("*").alias("__c"))
+        .join(counts, strat_col)
+        .filter((F.col("__c") < F.lit(k)) & (F.col("__n") > F.col("__c")))
+        .select(strat_col)
+    )
+    pool = cand.drop("__n").unionByName(
+        hashed.join(F.broadcast(deficient), strat_col, "left_semi").join(
+            cand.select(id_col).withColumnRenamed(id_col, "__cid"),
+            F.col(id_col) == F.col("__cid"),
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy(strat_col).orderBy("__h")
+    return (
+        pool.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__h", "__h32", "__rk")
+    )
 
 
 def unigram_logprob_scores(

@@ -1118,6 +1118,69 @@ class TestDecontamination:
         assert kept_ids == train_ids - flagged
 
 
+class TestExactKSample:
+    def _expected(self, docs, k):
+        """Ground truth: k smallest md5(doc_id) per lang, via pandas."""
+        import hashlib
+
+        rows = docs.select("doc_id", "lang").collect()
+        by_lang = {}
+        for r in rows:
+            h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+            by_lang.setdefault(r["lang"], []).append((h, r["doc_id"]))
+        out = {}
+        for lang, items in by_lang.items():
+            out[lang] = {i for _, i in sorted(items)[:k]}
+        return out
+
+    def test_exact_k_and_deterministic(self, spark, docs):
+        from dashing_spark.operators import corpus
+
+        expect = self._expected(docs, 7)
+        got = {}
+        for r in corpus.exact_k_sample(docs, 7).select("doc_id", "lang").collect():
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert got == expect
+        got2 = {}
+        for r in (
+            corpus.exact_k_sample(docs.repartition(9), 7)
+            .select("doc_id", "lang")
+            .collect()
+        ):
+            got2.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert got2 == expect
+
+    def test_zero_margin_fallback_still_exact(self, spark, docs):
+        """margin=0 makes the prefilter expect exactly k candidates, so
+        hash fluctuation leaves some strata short — the full-stratum
+        fallback must still produce the exact hash-order top-k."""
+        from dashing_spark.operators import corpus
+
+        expect = self._expected(docs, 11)
+        got = {}
+        for r in (
+            corpus.exact_k_sample(docs, 11, margin=0.0)
+            .select("doc_id", "lang")
+            .collect()
+        ):
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert got == expect
+
+    def test_small_stratum_returns_all(self, spark, docs):
+        from dashing_spark.operators import corpus
+
+        out = corpus.exact_k_sample(docs, 10**6)
+        assert out.count() == docs.count()
+
+    def test_rejects_bad_params(self, spark, docs):
+        from dashing_spark.operators import corpus
+
+        with pytest.raises(ValueError):
+            corpus.exact_k_sample(docs, 0)
+        with pytest.raises(ValueError):
+            corpus.exact_k_sample(docs, 5, margin=-0.1)
+
+
 class TestUnigramLogprob:
     @pytest.fixture()
     def lm_docs(self, spark):
