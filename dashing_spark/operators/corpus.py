@@ -226,37 +226,59 @@ def exact_k_sample(
     if margin < 0:
         raise ValueError(f"margin must be >= 0, got {margin}")
     h = F.md5(F.col(id_col).cast("string"))
-    hashed = docs.withColumn("__h", h).withColumn(
-        "__h32", F.conv(F.substring("__h", 1, 8), 16, 10).cast("double")
+    # surrogate stratum key: equi-joins drop NULL keys, but NULL is a
+    # legitimate stratum (the oracle's PARTITION BY treats it as its
+    # own group) — coalesce to a \\x00 sentinel no real value carries
+    sk = F.coalesce(
+        F.col(strat_col).cast("string"), F.lit("\x00__null_stratum__")
     )
-    counts = hashed.groupBy(strat_col).agg(F.count("*").alias("__n"))
+    hashed = (
+        docs.withColumn("__h", h)
+        .withColumn(
+            "__h32", F.conv(F.substring("__h", 1, 8), 16, 10).cast("double")
+        )
+        .withColumn("__sk", sk)
+    )
+    if not hashed.isStreaming:
+        # three consumers (counts, candidates, fallback probe) — one
+        # scan+hash pass, not three
+        hashed = hashed.localCheckpoint(eager=False)
+    counts = hashed.groupBy("__sk").agg(F.count("*").alias("__n"))
     cut = F.least(
         F.lit(2.0**32),
         F.lit(float(k) * (1.0 + margin)) / F.col("__n") * F.lit(2.0**32),
     )
-    cand = hashed.join(F.broadcast(counts), strat_col).filter(
+    cand = hashed.join(F.broadcast(counts), "__sk").filter(
         F.col("__h32") < cut
     )
-    # exactness fallback: a stratum with < k candidates ranks in full
+    # exactness fallback: any stratum with < k candidates ranks in
+    # full. Derived from counts LEFT-joined to candidate counts — a
+    # stratum whose prefilter matched NOTHING has no cand row at all
+    # and must still fall back (coalesce(__c, 0)).
+    ccnt = cand.groupBy("__sk").agg(F.count("*").alias("__c"))
     deficient = (
-        cand.groupBy(strat_col)
-        .agg(F.count("*").alias("__c"))
-        .join(counts, strat_col)
-        .filter((F.col("__c") < F.lit(k)) & (F.col("__n") > F.col("__c")))
-        .select(strat_col)
+        counts.join(ccnt, "__sk", "left")
+        .filter(
+            (F.coalesce("__c", F.lit(0)) < F.lit(k))
+            & (F.col("__n") > F.coalesce("__c", F.lit(0)))
+        )
+        .select("__sk")
     )
-    pool = cand.drop("__n").unionByName(
-        hashed.join(F.broadcast(deficient), strat_col, "left_semi").join(
-            cand.select(id_col).withColumnRenamed(id_col, "__cid"),
-            F.col(id_col) == F.col("__cid"),
-            "left_anti",
+    # deficient strata contribute their FULL stratum (semi join);
+    # everyone else contributes candidates (anti join) — both keyed on
+    # the stratum, so duplicate ids across strata can't cross-exclude
+    pool = (
+        cand.drop("__n")
+        .join(F.broadcast(deficient), "__sk", "left_anti")
+        .unionByName(
+            hashed.join(F.broadcast(deficient), "__sk", "left_semi")
         )
     )
-    w = Window.partitionBy(strat_col).orderBy("__h")
+    w = Window.partitionBy("__sk").orderBy("__h")
     return (
         pool.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
-        .drop("__h", "__h32", "__rk")
+        .drop("__h", "__h32", "__rk", "__sk")
     )
 
 

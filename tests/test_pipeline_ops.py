@@ -1180,6 +1180,59 @@ class TestExactKSample:
         with pytest.raises(ValueError):
             corpus.exact_k_sample(docs, 5, margin=-0.1)
 
+    def test_zero_candidate_stratum_still_sampled(self, spark):
+        """A stratum whose every md5 prefix lands above the prefilter
+        cut produces NO candidate rows — it must still fall back and
+        return k rows, not vanish (r5 review find: doc_ids 0-3 all
+        hash above 2^31, so k=1 with margin=1 matched nothing)."""
+        from dashing_spark.operators import corpus
+
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(4)], "doc_id int, lang string"
+        )
+        out = corpus.exact_k_sample(df, 1).collect()
+        assert len(out) == 1
+        import hashlib
+
+        expect = min(range(4), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        assert out[0]["doc_id"] == expect
+
+    def test_null_stratum_is_its_own_group(self, spark):
+        from dashing_spark.operators import corpus
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 else None) for i in range(40)],
+            "doc_id int, lang string",
+        )
+        got = {}
+        for r in corpus.exact_k_sample(df, 3).collect():
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert len(got.get(None, ())) == 3
+        assert len(got.get("en", ())) == 3
+
+    def test_duplicate_ids_across_strata_independent(self, spark):
+        """The same id in two strata must be ranked independently —
+        stratum-level (not id-level) fallback joins (r5 review find)."""
+        from dashing_spark.operators import corpus
+
+        rows = [(i, "small") for i in range(3)] + [
+            (i, "big") for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        got = {}
+        for r in corpus.exact_k_sample(df, 2, margin=0.0).collect():
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        import hashlib
+
+        for lang, n in (("small", 3), ("big", 200)):
+            expect = set(
+                sorted(
+                    range(n),
+                    key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+                )[:2]
+            )
+            assert got[lang] == expect, lang
+
 
 class TestUnigramLogprob:
     @pytest.fixture()
