@@ -1210,6 +1210,59 @@ class TestExactKSample:
         assert len(got.get(None, ())) == 3
         assert len(got.get("en", ())) == 3
 
+    def test_randomized_matches_python_ground_truth(self, spark):
+        """Seeded random strata sizes/ids/NULLs vs a pure-Python
+        replica of 'k smallest md5 per stratum'."""
+        import hashlib
+        import random
+
+        from dashing_spark.operators import corpus
+
+        rng = random.Random(23)
+        rows = []
+        for s in range(12):
+            strat = None if s == 0 else f"s{s}"
+            for _ in range(rng.randint(1, 60)):
+                rows.append((rng.randint(0, 10**6), strat))
+        rows = list({(i, s) for i, s in rows})  # unique ids per stratum
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        k = 4
+        expect = {}
+        for i, s in rows:
+            expect.setdefault(s, []).append(
+                (hashlib.md5(str(i).encode()).hexdigest(), i)
+            )
+        expect = {
+            s: {i for _, i in sorted(v)[:k]} for s, v in expect.items()
+        }
+        got = {}
+        for r in corpus.exact_k_sample(df, k, margin=0.2).collect():
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert got == expect
+
+    def test_prefilter_bounds_the_rank_window(self, spark):
+        """The scale mechanism itself: on one 50k-row stratum with k=5
+        the candidate pool entering the rank window must stay ~k(1+m),
+        not the stratum size (binomial mean 10; 500 is a >40x slack
+        bound with astronomically small failure probability)."""
+        from dashing_spark.operators import corpus
+        from pyspark.sql import functions as Fx
+
+        df = spark.range(50_000).select(
+            Fx.col("id").alias("doc_id"), Fx.lit("one").alias("lang")
+        )
+        out = corpus.exact_k_sample(df, 5)
+        assert out.count() == 5
+        # reconstruct the candidate pool the operator builds
+        h32 = Fx.conv(
+            Fx.substring(Fx.md5(Fx.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        cut = 5 * 2.0 / 50_000 * 2.0**32
+        pool_n = df.filter(h32 < Fx.lit(cut)).count()
+        assert pool_n <= 500, pool_n
+
     def test_duplicate_ids_across_strata_independent(self, spark):
         """The same id in two strata must be ranked independently —
         stratum-level (not id-level) fallback joins (r5 review find)."""
