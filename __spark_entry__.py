@@ -1736,13 +1736,30 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distmat_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-matrix emission sinks: UT-TSV + PHYLIP + packed binary
     written from the exact JI pairs; the packed file is read back
-    through the `printmat` reader and must reproduce every value."""
+    through the `printmat` reader and must reproduce every value. PLUS
+    the document interchange tier (merged slot): the docs table writes
+    to JSONL and quoted CSV and reads back with ZERO symmetric
+    multiset difference — `doc_formats_ok` flips FALSE (and
+    hash-mismatches the oracle's literal TRUE) on any lossy format
+    option."""
     import os as _os
     import tempfile
 
-    from dashing_spark.sources import sinks
+    from dashing_spark.sources import sinks, tables as _tables
 
     docs = _docs(spark, sf_dir)
+    fmt_ok = True
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    for fmt in ("jsonl", "csv"):
+        fd = tempfile.mkdtemp(prefix=f"dashspark_doc_{fmt}_")
+        _tables.write_documents(docs, _os.path.join(fd, "d"), fmt)
+        back = _tables.read_documents(
+            spark, _os.path.join(fd, "d"), fmt, schema=ddl
+        ).select(*docs.columns)
+        n_diff = (
+            back.exceptAll(docs).unionAll(docs.exceptAll(back)).count()
+        )
+        fmt_ok = fmt_ok and (n_diff == 0)
     pairs = dist.exact_pair_measures(_lang_tokens(docs), "lang", "token", ("ji",))
     d = tempfile.mkdtemp(prefix="dashspark_mat_")
     keys = sinks.write_packed_binary(pairs, "ji", _os.path.join(d, "m.bin"))
@@ -1768,7 +1785,13 @@ def q_distmat_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "a_key string, b_key string, ji double, roundtrip_ok boolean"
     )
     # round in Spark so the rounding rule matches the SQL oracle exactly
-    return out.select("a_key", "b_key", F.round("ji", 6).alias("ji"), "roundtrip_ok")
+    return out.select(
+        "a_key",
+        "b_key",
+        F.round("ji", 6).alias("ji"),
+        "roundtrip_ok",
+        F.lit(bool(fmt_ok)).alias("doc_formats_ok"),
+    )
 
 
 def q_multi_w_shingle_ji(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2249,7 +2272,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1.lang AS a_key, s2.lang AS b_key,
                    round(CAST(COALESCE(i.t2, 0) AS DOUBLE)
                          / (s1.sz + s2.sz - COALESCE(i.t2, 0)), 6) AS ji,
-                   true AS roundtrip_ok
+                   true AS roundtrip_ok,
+                   -- Spark computes this as a symmetric-exceptAll
+                   -- equality of the JSONL/CSV roundtripped docs table
+                   true AS doc_formats_ok
             FROM sizes s1 JOIN sizes s2 ON s1.lang < s2.lang
             LEFT JOIN inter i ON i.a_key = s1.lang AND i.b_key = s2.lang
         """,

@@ -127,3 +127,67 @@ def extract_text(pages: DataFrame) -> DataFrame:
         "text_extracted",
         F.regexp_replace(F.decode(F.col("html"), "UTF-8"), "<[^>]+>", ""),
     )
+
+
+#: document interchange formats — parquet is the native store; jsonl is
+#: the web-pipeline exchange format (lossless for arbitrary strings);
+#: csv is the lowest common denominator (quoted/escaped + multiLine so
+#: embedded newlines and quotes survive)
+DOC_FORMATS = ("parquet", "jsonl", "csv")
+
+
+def write_documents(df: DataFrame, path: str, fmt: str = "jsonl") -> None:
+    """Write a documents-shaped frame in an interchange format. Spark
+    native writers throughout — one file per partition, no driver
+    funnel; `mode=overwrite` so retried jobs are idempotent."""
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    elif fmt == "jsonl":
+        df.write.mode("overwrite").json(path)
+    elif fmt == "csv":
+        # quoteAll + a sentinel nullValue: otherwise NULL and '' both
+        # serialize to nothing and the distinction is lost on read;
+        # quoting also preserves leading/trailing whitespace
+        (
+            df.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .option("quoteAll", True)
+            .option("nullValue", "\\N")
+            # the WRITER trims by default — lossless means off
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(path)
+        )
+    else:
+        raise ValueError(f"fmt must be one of {DOC_FORMATS}, got {fmt!r}")
+
+
+def read_documents(
+    spark: SparkSession, path: str, fmt: str = "jsonl", schema=None
+) -> DataFrame:
+    """Read documents written by :func:`write_documents`. ``schema``
+    (DDL string or StructType) pins column types — JSON/CSV inference
+    would otherwise widen/narrow types run-to-run, which breaks
+    bit-stable downstream hashing. ``multiLine`` on CSV so quoted
+    embedded newlines round-trip."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(path)
+    if fmt == "csv":
+        r = (
+            spark.read.option("header", True)
+            .option("escape", '"')
+            .option("multiLine", True)
+            .option("nullValue", "\\N")
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+        )
+        if schema is not None:
+            r = r.schema(schema)
+        return r.csv(path)
+    raise ValueError(f"fmt must be one of {DOC_FORMATS}, got {fmt!r}")

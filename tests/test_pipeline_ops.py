@@ -1118,6 +1118,45 @@ class TestDecontamination:
         assert kept_ids == train_ids - flagged
 
 
+class TestDocumentFormats:
+    SCHEMA = "doc_id long, text string, lang string"
+
+    @pytest.fixture()
+    def tricky_docs(self, spark):
+        rows = [
+            (1, "plain text", "en"),
+            (2, 'quotes "inside" here', "en"),
+            (3, "comma, separated, values", "de"),
+            (4, "embedded\nnewline\r\nboth", "fr"),
+            (5, "unicode café ñ 中文", "zh"),
+            (6, None, "es"),
+            (7, "", "es"),
+            (8, "trailing space ", "en"),
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    @pytest.mark.parametrize("fmt", ["jsonl", "csv", "parquet"])
+    def test_roundtrip_lossless(self, spark, tricky_docs, fmt, tmp_path):
+        from dashing_spark.sources import tables
+
+        p = str(tmp_path / fmt)
+        tables.write_documents(tricky_docs, p, fmt)
+        back = tables.read_documents(spark, p, fmt, schema=self.SCHEMA)
+        diff = back.exceptAll(tricky_docs).unionAll(
+            tricky_docs.exceptAll(back)
+        )
+        bad = diff.collect()
+        assert not bad, f"{fmt} roundtrip diff: {bad}"
+
+    def test_bad_format_raises(self, spark, tricky_docs, tmp_path):
+        from dashing_spark.sources import tables
+
+        with pytest.raises(ValueError):
+            tables.write_documents(tricky_docs, str(tmp_path / "x"), "xml")
+        with pytest.raises(ValueError):
+            tables.read_documents(spark, str(tmp_path / "x"), "xml")
+
+
 class TestExactKSample:
     def _expected(self, docs, k):
         """Ground truth: k smallest md5(doc_id) per lang, via pandas."""
