@@ -1750,14 +1750,27 @@ def q_distmat_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     fmt_ok = True
     ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    # the fixture corpus is format-benign (no quotes/newlines/NULLs),
+    # so hostile rows ride along — without them a lossy format option
+    # would leave this gate green (r5 review find)
+    hostile = spark.createDataFrame(
+        [
+            (-1, 'q"uote, comma\nand\r\nnewlines', "en", "synth", 27),
+            (-2, None, "de", "synth", 0),
+            (-3, "", "fr", "synth", 0),
+            (-4, " padded \\N text ", "es", "synth", 16),
+        ],
+        ddl,
+    )
+    probe = docs.unionByName(hostile)
     for fmt in ("jsonl", "csv"):
         fd = tempfile.mkdtemp(prefix=f"dashspark_doc_{fmt}_")
-        _tables.write_documents(docs, _os.path.join(fd, "d"), fmt)
+        _tables.write_documents(probe, _os.path.join(fd, "d"), fmt)
         back = _tables.read_documents(
             spark, _os.path.join(fd, "d"), fmt, schema=ddl
-        ).select(*docs.columns)
+        ).select(*probe.columns)
         n_diff = (
-            back.exceptAll(docs).unionAll(docs.exceptAll(back)).count()
+            back.exceptAll(probe).unionAll(probe.exceptAll(back)).count()
         )
         fmt_ok = fmt_ok and (n_diff == 0)
     pairs = dist.exact_pair_measures(_lang_tokens(docs), "lang", "token", ("ji",))

@@ -153,7 +153,12 @@ def write_documents(df: DataFrame, path: str, fmt: str = "jsonl") -> None:
             .option("header", True)
             .option("escape", '"')
             .option("quoteAll", True)
-            .option("nullValue", "\\N")
+            # Spark's reader matches nullValue AFTER unquoting, so ANY
+            # sentinel collides with identical literal text; a single
+            # NUL char is the least-collidable choice (web text never
+            # legitimately contains it — unlike '\\N', which appears
+            # verbatim in MySQL/TSV dumps and was silently nulled)
+            .option("nullValue", "\x00")
             # the WRITER trims by default — lossless means off
             .option("ignoreLeadingWhiteSpace", False)
             .option("ignoreTrailingWhiteSpace", False)
@@ -172,7 +177,10 @@ def read_documents(
     bit-stable downstream hashing. ``multiLine`` on CSV so quoted
     embedded newlines round-trip."""
     if fmt == "parquet":
-        return spark.read.parquet(path)
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)  # pins types for foreign-written files
+        return r.parquet(path)
     if fmt == "jsonl":
         r = spark.read
         if schema is not None:
@@ -183,7 +191,7 @@ def read_documents(
             spark.read.option("header", True)
             .option("escape", '"')
             .option("multiLine", True)
-            .option("nullValue", "\\N")
+            .option("nullValue", "\x00")
             .option("ignoreLeadingWhiteSpace", False)
             .option("ignoreTrailingWhiteSpace", False)
         )

@@ -1132,6 +1132,11 @@ class TestDocumentFormats:
             (6, None, "es"),
             (7, "", "es"),
             (8, "trailing space ", "en"),
+            # literal '\\N' text (MySQL/TSV dump convention) must NOT
+            # be confused with NULL by the CSV null sentinel (r5
+            # review find: the old '\\N' sentinel silently nulled it)
+            (9, "\\N", "de"),
+            (10, "ends with \\N", "de"),
         ]
         return spark.createDataFrame(rows, self.SCHEMA)
 
