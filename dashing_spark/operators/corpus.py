@@ -333,10 +333,18 @@ def unigram_logprob_scores(
             ),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.sum(F.when(F.col("__cnt").isNull(), 1).otherwise(0)).alias(
             "n_oov"
         ),
         F.avg("__lp").alias("logprob"),
+    )
+    # NULL-text docs produce zero token rows (explode of a NULL split
+    # emits nothing), so left-join the rollup back onto the full id set:
+    # every input doc comes back, NULL text as n_tokens=0 / NULL logprob.
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .fillna({"n_tokens": 0, "n_oov": 0})
     )

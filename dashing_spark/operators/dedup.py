@@ -904,6 +904,15 @@ def two_line_split(
     )
 
 
+def _regex_quote(s: str) -> str:
+    """``java.util.regex.Pattern.quote`` semantics in Python: wrap in
+    ``\\Q..\\E`` with any embedded literal ``\\E`` broken out as
+    ``\\E\\\\E\\Q`` (close quote, escaped backslash + E, reopen) — a
+    bare wrap would let a separator containing ``\\E`` terminate the
+    quote early and mis-split."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -949,7 +958,7 @@ def line_dedup(
     lines = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + line_sep + "\\E", -1)
+            F.split(F.col(text_col), _regex_quote(line_sep), -1)
         ).alias("__pos", "__line"),
     )
     if materialize and not lines.isStreaming:

@@ -118,6 +118,16 @@ def _attach_measures(
 _MAX_GRID_BLOCKS = 64
 
 
+def _validate_n_blocks(n_blocks) -> None:
+    """Reject anything but int/None once the "auto" sentinel has been
+    resolved — a stray string would otherwise hit `n_blocks > 1` and
+    raise an opaque str-vs-int TypeError."""
+    if n_blocks is not None and not isinstance(n_blocks, int):
+        raise ValueError(
+            f"n_blocks must be an int, None, or 'auto'; got {n_blocks!r}"
+        )
+
+
 def pick_pair_strategy(sketches: DataFrame) -> int | None:
     """Size-based physical-strategy selector for the all-pairs stage —
     the Spark analogue of the reference's distance-matrix mmap spill
@@ -194,6 +204,7 @@ def all_pairs(
     key_cols = list(key_cols)
     if n_blocks == "auto":
         n_blocks = pick_pair_strategy(sketches)
+    _validate_n_blocks(n_blocks)
     a = _prefixed(sketches, key_cols, "a_")
     b = _prefixed(sketches, key_cols, "b_")
     cond = F.struct(*[F.col(f"a_{k}") for k in key_cols]) < F.struct(
@@ -255,6 +266,7 @@ def query_reference(
     key_cols = list(key_cols)
     if n_blocks == "auto":
         n_blocks = pick_pair_strategy(references)
+    _validate_n_blocks(n_blocks)
     q = _prefixed(queries, key_cols, "a_")
     r = _prefixed(references, key_cols, "b_")
     if n_blocks and n_blocks > 1:

@@ -236,8 +236,11 @@ def redact_pii_col(text_col, replacement: str = "<{kind}>", passes: int = 2):
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     for _ in range(max(1, passes)):
         for kind, pat in PII_PATTERNS.items():
+            # plain substring substitution, not str.format: a caller
+            # replacement containing literal braces ("{REDACTED}")
+            # must not raise at plan-build time
             c = F.regexp_replace(
-                c, pat, replacement.format(kind=kind.upper())
+                c, pat, replacement.replace("{kind}", kind.upper())
             )
     return c
 

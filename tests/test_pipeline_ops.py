@@ -229,6 +229,17 @@ class TestPII:
         r8 = twice.filter(F.col("doc_id") == 8).collect()[0]["r1"]
         assert r8 == "mixed <EMAIL> <SSN> <PHONE> <IPV4>"
 
+    def test_replacement_with_literal_braces(self, spark, pii_df):
+        """A caller replacement containing literal braces must not
+        raise at plan-build time (str.format would KeyError on
+        "{REDACTED}") — r5 ADVICE; substring substitution only."""
+        red = text.redact_pii(
+            pii_df, out_col="red", replacement="{REDACTED:{kind}}"
+        )
+        r1 = {r["doc_id"]: r["red"] for r in red.collect()}
+        assert "{REDACTED:EMAIL}" in r1[1]
+        assert "@" not in r1[1]
+
     def test_clean_text_untouched(self, spark, pii_df):
         red = text.redact_pii(pii_df, out_col="red")
         changed = red.filter(
@@ -878,6 +889,30 @@ class TestLineDedup:
         assert agg["t"] == 13
         assert agg["k"] == 9
 
+    def test_separator_containing_quote_terminator(self, spark):
+        """A line_sep containing literal ``\\E`` must not terminate the
+        \\Q..\\E quote early and mis-split (r5 ADVICE) — Pattern.quote
+        break-out semantics."""
+        sep = "\\E|"
+        rows = [
+            (1, sep.join(["dup line", "unique a", "dup line"])),
+            (2, "dup line"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {
+            r["doc_id"]: r
+            for r in dedup.line_dedup(
+                df, line_sep=sep, min_line_chars=2
+            ).collect()
+        }
+        # a naive \Q\E|\E quote would split doc 1 on regex `|` (every
+        # char) instead of the literal separator — 3 real lines here
+        assert out[1]["n_lines"] == 3
+        assert out[1]["text_out"] == sep.join(
+            ["dup line", "unique a"]
+        )
+        assert out[2]["text_out"] == ""
+
     def test_partitioning_independent(self, spark, line_docs):
         a = sorted(
             map(tuple, dedup.line_dedup(line_docs, min_line_chars=2).collect())
@@ -1384,6 +1419,24 @@ class TestUnigramLogprob:
         expect = (2 * math.log(3 / 5) + math.log(2 / 5)) / 3
         assert abs(r["logprob"] - expect) < 1e-12
         assert r["n_tokens"] == 3
+
+    def test_null_text_docs_keep_their_row(self, spark):
+        """Never-lose-rows: NULL-text docs produce zero token rows but
+        must still come back (n_tokens=0, NULL logprob) so downstream
+        inner joins don't silently drop them (r5 ADVICE)."""
+        from dashing_spark.operators import corpus
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, None), (3, "")],
+            "doc_id int, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               corpus.unigram_logprob_scores(df).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[2]["n_tokens"] == 0 and out[2]["n_oov"] == 0
+        assert out[2]["logprob"] is None
+        # empty string splits to one "" token — still a row
+        assert out[3]["n_tokens"] == 1
 
 
 class TestStratifiedSample:
