@@ -673,7 +673,7 @@ def q_dedup_exact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("digest").alias("n_distinct_digests"),
     )
-    variant = F.pmod(F.col("doc_id"), F.lit(4))
+    variant = F.pmod(F.col("doc_id"), F.lit(6))
     raw_url = F.concat(
         F.when(variant < 2, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://")),
         F.col("source"),
@@ -684,6 +684,10 @@ def q_dedup_exact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(variant == 1, F.lit("?utm_source=feed"))
         .when(variant == 2, F.lit("#sec"))
         .when(variant == 3, F.lit("/"))
+        # variants 4/5: the same two params in both orders — must
+        # collapse to ONE canonical form (param sorting, r6)
+        .when(variant == 4, F.lit("?b=2&a=1"))
+        .when(variant == 5, F.lit("?a=1&b=2"))
         .otherwise(F.lit("")),
     )
     u = text.url_dedup_stats(
@@ -2388,17 +2392,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_by_lang": """
             WITH w AS (
                 SELECT lang, text,
-                       CASE WHEN doc_id % 4 < 2 THEN 'HTTPS://WWW.'
+                       CASE WHEN doc_id % 6 < 2 THEN 'HTTPS://WWW.'
                             ELSE 'https://' END
                        || source || '.example.com'
-                       || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+                       || CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END
                        || '/p/' || (doc_id % 200)
-                       || CASE doc_id % 4 WHEN 1 THEN '?utm_source=feed'
+                       || CASE doc_id % 6 WHEN 1 THEN '?utm_source=feed'
                                           WHEN 2 THEN '#sec'
                                           WHEN 3 THEN '/'
+                                          WHEN 4 THEN '?b=2&a=1'
+                                          WHEN 5 THEN '?a=1&b=2'
                                           ELSE '' END AS url
                 FROM documents
-            ), s AS (
+            ), s0 AS (
                 SELECT lang, text, url,
                        regexp_replace(regexp_replace(regexp_replace(
                            regexp_replace(regexp_replace(
@@ -2409,6 +2415,16 @@ def oracle_sql() -> dict[str, str]:
                            '^([^?&]*)&([^?&#=]+=)', '\\1?\\2'),
                            '[?]$', '') AS u
                 FROM w
+            ), s AS (
+                SELECT lang, text, url,
+                       CASE WHEN regexp_extract(u, '[?](.*)$', 1) = ''
+                            THEN u
+                            ELSE regexp_replace(u, '[?].*$', '') || '?' ||
+                                 array_to_string(list_sort(string_split(
+                                     regexp_extract(u, '[?](.*)$', 1),
+                                     '&')), '&')
+                       END AS u
+                FROM s0
             ), c AS (
                 SELECT lang, text, url,
                        regexp_replace(

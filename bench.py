@@ -23,6 +23,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def host_bandwidth_sentinel(n_bytes: int = 1 << 28, repeats: int = 3) -> float:
+    """Single-thread memory-copy bandwidth in GB/s (read+write counted),
+    best of ``repeats`` passes over a ``n_bytes`` buffer.
+
+    This sandbox VM drifts through degraded memory-bandwidth phases
+    (r5: q0 +14% on UNCHANGED code, machine verified idle) — a
+    wall-time record without a host-health sentinel is ambiguous
+    between a code regression and a sick host. The sentinel is pure
+    numpy memcpy: no Spark, no allocator churn in the timed region,
+    deterministic input, ~50 ms per pass. Compare the emitted
+    ``host_sentinel_gbps`` across rounds before reading any per-query
+    delta as real."""
+    import numpy as np
+
+    a = np.ones(n_bytes // 8, dtype=np.int64)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # touch both buffers before timing
+    best = 0.0
+    for _ in range(repeats):
+        t = time.perf_counter()
+        np.copyto(b, a)
+        dt = time.perf_counter() - t
+        best = max(best, 2 * a.nbytes / dt / 1e9)
+    return round(best, 2)
+
+
 def _spark():
     from pyspark.sql import SparkSession
 
@@ -46,6 +72,7 @@ def main() -> None:
     from dashing_spark.functions import HLL, KLL, CountMinSketch
     from dashing_spark.operators import agg, dedup, dist, freq, similarity, text
 
+    sentinel_start = host_bandwidth_sentinel()
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -432,7 +459,10 @@ def main() -> None:
     # EARLIER stdout line and a sidecar file; the driver only keeps a ~2 KB
     # stdout *tail*, and round 4 lost its per-query record when the
     # one-line dump outgrew that window (BENCH_r04.json parsed:null).
+    sentinel_end = host_bandwidth_sentinel()
     detail = {
+        "host_sentinel_gbps_start": sentinel_start,
+        "host_sentinel_gbps_end": sentinel_end,
         "runs_per_query": runs,
         "drift_band": drift,
         "streaming_epoch_secs": epoch_secs,
@@ -464,6 +494,11 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "docs_per_sec_sketch_build": sketch_docs_per_sec,
+                # host-health sentinel (min of start/end single-thread
+                # memcpy GB/s): read per-query deltas vs other rounds
+                # ONLY after comparing this number — r5's "+14% on
+                # unchanged code" was a degraded-VM phase, not code
+                "host_sentinel_gbps": min(sentinel_start, sentinel_end),
             },
             separators=(",", ":"),
         )

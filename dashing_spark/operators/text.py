@@ -299,6 +299,19 @@ def canonicalize_url_col(url_col):
     # canonical forms of equivalent URLs (r5 review find).
     u = F.regexp_replace(u, "^([^?&]*)&([^?&#=]+=)", "$1?$2")
     u = F.regexp_replace(u, "[?]$", "")
+    # sort surviving query params: ?a=1&b=2 and ?b=2&a=1 must collapse
+    # — param-order variance is the biggest residual URL-dup class
+    # after tracking params. Binary string sort on the &-split segments
+    # (Spark UTF8String and DuckDB default collation both compare raw
+    # UTF-8 bytes, so the twin's list_sort agrees).
+    q = F.regexp_extract(u, "[?](.*)$", 1)
+    u = F.when(q == "", u).otherwise(
+        F.concat(
+            F.regexp_replace(u, "[?].*$", ""),
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split(q, "&", -1)), "&"),
+        )
+    )
     head = F.regexp_extract(u, _URL_HEAD_RE, 0)
     rest = F.regexp_replace(u, _URL_HEAD_RE, "")
     head = F.lower(head)

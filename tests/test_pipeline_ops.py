@@ -315,6 +315,13 @@ class TestURLCanonicalize:
         ("notaurl plain text", "notaurl plain text", ""),
         ("https://example.com", "https://example.com", "example.com"),
         ("", "", ""),
+        # surviving query params are sorted (r6): both orders → one form
+        ("https://example.com/a?z=9&a=1", "https://example.com/a?a=1&z=9",
+         "example.com"),
+        ("https://example.com/a?a=1&z=9", "https://example.com/a?a=1&z=9",
+         "example.com"),
+        ("https://example.com/a?z=9&utm_x=1&a=1",
+         "https://example.com/a?a=1&z=9", "example.com"),
     ]
 
     def test_canonical_and_host_ground_truth(self, spark):
@@ -331,6 +338,17 @@ class TestURLCanonicalize:
         }
         for i, (_, canon, host) in enumerate(self.CASES):
             assert got[i] == (canon, host), f"case {i}"
+
+    def test_param_order_variants_collapse(self, spark):
+        variants = [
+            "https://news.example.com/p/9?a=1&b=2",
+            "https://news.example.com/p/9?b=2&a=1",
+            "https://news.example.com/p/9?b=2&utm_x=1&a=1",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        out = text.url_dedup_stats(df.withColumn("k", F.lit("x")), ["k"]).collect()[0]
+        assert out["n_raw_urls"] == 3
+        assert out["n_canonical_urls"] == 1
 
     def test_variants_collapse_to_one_canonical(self, spark):
         variants = [

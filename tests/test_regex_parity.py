@@ -60,9 +60,12 @@ def _url_corpus(n=400, seed=11):
         "?utm_a=1&id=2",
         "?id=1&utm_b=2&gclid=z",
         "?a=1&b=2",
+        "?b=2&a=1",
+        "?z=1&a=2&m=3",
         "?fbclid=q",
         "?utm_x=1&utm_y=2",
         "?gclid=z&id=9",
+        "?id=9&gclid=z&utm_k=1",
     ]
     frags = ["", "#sec", "#a?b", "#"]
     out = []
@@ -87,7 +90,12 @@ s2 AS (SELECT regexp_replace(u, '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g') AS u FROM s
 s3 AS (SELECT regexp_replace(u, '[?&]fbclid=[^&]*', '', 'g') AS u FROM s2),
 s4 AS (SELECT regexp_replace(u, '[?&]gclid=[^&]*', '', 'g') AS u FROM s3),
 s5 AS (SELECT regexp_replace(u, '^([^?&]*)&([^?&#=]+=)', '\\1?\\2') AS u FROM s4),
-s6 AS (SELECT regexp_replace(u, '[?]$', '') AS u FROM s5),
+s6a AS (SELECT regexp_replace(u, '[?]$', '') AS u FROM s5),
+s6 AS (SELECT CASE WHEN regexp_extract(u, '[?](.*)$', 1) = '' THEN u
+              ELSE regexp_replace(u, '[?].*$', '') || '?' ||
+                   array_to_string(list_sort(string_split(
+                       regexp_extract(u, '[?](.*)$', 1), '&')), '&')
+              END AS u FROM s6a),
 s7 AS (SELECT u, regexp_replace(regexp_replace(regexp_replace(
            lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*', 0)),
            ':80$', ''), ':443$', ''), '://www[.]', '://') AS head,
