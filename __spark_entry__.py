@@ -971,6 +971,10 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@ex.org from 10.0.0."),
             F.col("doc_id").cast("string"),
             F.lit(" ssn 123-45-6789 call +1 555-123-4567"),
+            # r6 kinds: US phones, card shapes, full-form IPv6
+            F.lit(" or (555) 123-4567 / 555.123.4567"
+                  " card 4111111111111111 / 4111 1111 1111 1111"
+                  " v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334"),
         ),
     ).otherwise(F.lit(""))
     aug = docs.withColumn("aug_text", F.concat(F.col("text"), pii_tail))
@@ -1015,8 +1019,10 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "doc_id", "n_tokens", "digit_ratio", "stopword_ratio", "quality",
-        "pii_email_count", "pii_ssn_count", "pii_phone_count",
-        "pii_ipv4_count", "pii_gone",
+        # every kind in text.PII_PATTERNS gets its count hash-gated —
+        # a kind added there must also gain an oracle twin column
+        *[f"pii_{k}_count" for k in text.PII_PATTERNS],
+        "pii_gone",
     ).join(lm, "doc_id")
 
 
@@ -2619,6 +2625,9 @@ def oracle_sql() -> dict[str, str]:
                            THEN ' contact u' || doc_id
                                 || '@ex.org from 10.0.0.' || doc_id
                                 || ' ssn 123-45-6789 call +1 555-123-4567'
+                                || ' or (555) 123-4567 / 555.123.4567'
+                                || ' card 4111111111111111 / 4111 1111 1111 1111'
+                                || ' v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334'
                            ELSE '' END AS aug_text
                 FROM documents WHERE doc_id < 20
             ), f AS (
@@ -2644,6 +2653,21 @@ def oracle_sql() -> dict[str, str]:
                            '[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{2,4}'
                            )) AS pii_phone_count,
                        len(regexp_extract_all(aug_text,
+                           '[(][0-9]{3}[)][ ]?[0-9]{3}[-. ][0-9]{4}'
+                           )) AS pii_phone_us_count,
+                       len(regexp_extract_all(aug_text,
+                           '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'
+                           )) AS pii_phone_us_dash_count,
+                       len(regexp_extract_all(aug_text,
+                           '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}'
+                           )) AS pii_card_grouped_count,
+                       len(regexp_extract_all(aug_text,
+                           '[0-9]{13,19}'
+                           )) AS pii_card_count,
+                       len(regexp_extract_all(aug_text,
+                           '[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}'
+                           )) AS pii_ipv6_count,
+                       len(regexp_extract_all(aug_text,
                            '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'
                            )) AS pii_ipv4_count
                 FROM aug
@@ -2655,7 +2679,9 @@ def oracle_sql() -> dict[str, str]:
                        + greatest(1.0 - digit_ratio * 10, 0.0) * 0.25
                        + least(stopword_ratio * 5, 1.0) * 0.25, 6) AS quality,
                    pii_email_count, pii_ssn_count, pii_phone_count,
-                   pii_ipv4_count,
+                   pii_phone_us_count, pii_phone_us_dash_count,
+                   pii_card_grouped_count, pii_card_count,
+                   pii_ipv6_count, pii_ipv4_count,
                    -- Spark computes this by re-detecting on the
                    -- redacted text; a redaction regression flips it to
                    -- FALSE there and hash-mismatches against this TRUE

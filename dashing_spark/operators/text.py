@@ -191,7 +191,24 @@ PII_PATTERNS = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
     "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
     "phone": "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ]?[0-9]{2,4}",
+    # US-format phones (r5 verdict #3): the paren form and the
+    # separator form are distinct patterns because the parity subset
+    # bans alternation. The separator class [-. ] deliberately does
+    # NOT overlap the SSN shape (3-3-4 vs 3-2-4 digit groups) or the
+    # 4-4-4-4 grouped card shape (any 3-digit prefix of a 4-digit
+    # group is followed by a digit, never a separator).
+    "phone_us": "[(][0-9]{3}[)][ ]?[0-9]{3}[-. ][0-9]{4}",
+    "phone_us_dash": "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    # card-shaped digit runs: 4x4 grouped and 13-19 contiguous.
+    # Over-triggers on long ids/timestamps by design (redact too
+    # much, never too little). Greedy {13,19} splits a 32-digit run
+    # 19+13 identically in Java and RE2.
+    "card_grouped": "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}",
+    "card": "[0-9]{13,19}",
     "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    # full 8-group IPv6 form only: compressed (::) forms need
+    # alternation, which the parity subset bans — documented gap
+    "ipv6": "[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}",
 }
 
 

@@ -1,6 +1,8 @@
 """Tests for training-data pipeline operators: dedup, similarity search,
 text analysis, multimodal plumbing."""
 
+from functools import reduce
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -188,6 +190,10 @@ class TestPII:
         # blocked by the phone's digits until the phone is redacted —
         # only the second chain pass can see it (r5 review find)
         (9, "call +1 555-123-4567123-45-6789 now"),
+        # r6 kinds: US phones, card shapes, full-form IPv6
+        (10, "ring (555) 123-4567 or 555.123.4567 maybe 555-000-1234"),
+        (11, "pay 4111111111111111 or 4111 1111 1111 1111 done"),
+        (12, "addr 2001:0db8:85a3:0000:0000:8a2e:0370:7334 up"),
     ]
 
     @pytest.fixture()
@@ -211,15 +217,30 @@ class TestPII:
             assert rows[7][f"pii_{kind}_count"] is None  # NULL in, NULL out
             assert rows[8][f"pii_{kind}_count"] == 1
 
+    def test_counts_new_kinds(self, spark, pii_df):
+        rows = {
+            r["doc_id"]: r
+            for r in text.pii_stats(pii_df).collect()
+        }
+        assert rows[10]["pii_phone_us_count"] == 1  # paren form
+        # dot form + plain dash form (paren-form tail has no 3-3-4 run)
+        assert rows[10]["pii_phone_us_dash_count"] == 2
+        assert rows[11]["pii_card_count"] == 1
+        assert rows[11]["pii_card_grouped_count"] == 1
+        assert rows[12]["pii_ipv6_count"] == 1
+        # no cross-triggering between the digit-shape kinds
+        assert rows[10]["pii_card_count"] == 0
+        assert rows[11]["pii_phone_us_dash_count"] == 0
+        assert rows[2]["pii_phone_us_dash_count"] == 0  # SSNs stay SSNs
+        assert rows[12]["pii_card_count"] == 0
+        # intl phones DO also carry a 3-3-4 run — documented over-trigger
+        assert rows[3]["pii_phone_us_dash_count"] == 2
+
     def test_redaction_removes_all_detectable_pii(self, spark, pii_df):
         red = text.redact_pii(pii_df)
         residue = text.pii_stats(red)
-        leftover = residue.filter(
-            (F.col("pii_email_count") > 0)
-            | (F.col("pii_ssn_count") > 0)
-            | (F.col("pii_phone_count") > 0)
-            | (F.col("pii_ipv4_count") > 0)
-        ).count()
+        conds = [c > 0 for c in text.pii_counts_cols("text").values()]
+        leftover = residue.filter(reduce(lambda a, b: a | b, conds)).count()
         assert leftover == 0
 
     def test_redaction_idempotent_and_typed(self, spark, pii_df):

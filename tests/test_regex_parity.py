@@ -29,6 +29,18 @@ PII_SNIPPETS = [
     "10.0.0.1",
     "192.168.255.3",
     "8.8.8.8",
+    "(555) 123-4567",
+    "(555)123-4567",
+    "555-123-4567",
+    "555.123.4567",
+    "4111111111111111",
+    "4111 1111 1111 1111",
+    "4111-1111-1111-1111",
+    "30569309025904",
+    "12345678901234567890123456789012",  # 32 digits: greedy 19+13 split
+    "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+    "2001:db8:85a3:0:0:8a2e:370:7334",
+    "fe80::1",  # compressed form — documented non-match
 ]
 JUNK = ["hello", "worldé", "42", "x9y", "...", "-", "(call)", "foo_bar", ""]
 SEPS = ["", " ", ",", "x", "9", "-", " ", "@"]
