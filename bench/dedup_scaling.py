@@ -188,6 +188,59 @@ def section_b(spark, family: int):
     return out
 
 
+def section_b2(spark, family: int, cap: int):
+    """Structural per-reducer load evidence at a family size past the
+    old 128-block clamp (r5 verdict #4). Materializing the pair set at
+    10⁵ docs is output-bound (C(10⁵,2) ≈ 5·10⁹ pairs) regardless of
+    capping, so this section measures the LOAD BOUND analytically from
+    the real band rows and the real id-hash block assignment: the max
+    per-grid-cell pair count is (max a-block) × (max b-block) for the
+    hottest bucket — exactly what one reducer materializes. Reported
+    for the unclamped grid (G = ceil(n/cap)) and for a simulation of
+    the old clamp (G = min(ceil(n/cap), 128))."""
+    from pyspark.sql import functions as F
+
+    from dashing_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.range(family).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base + " serial"), F.col("id")).alias("text"),
+    )
+    sigs = dedup.minhash_signatures(docs, "doc_id")
+    banded = dedup.lsh_band_rows(sigs, "doc_id").cache()
+    sizes = banded.groupBy("band", "bhash").agg(F.count("*").alias("n"))
+    out = {
+        "section": "B2_structural_load_at_family",
+        "family": family,
+        "bucket_cap": cap,
+        "max_bucket_rows": int(
+            sizes.agg(F.max("n")).collect()[0][0]
+        ),
+    }
+    for tag, clamp in (("unclamped", None), ("old_128_clamp", 128)):
+        g = F.ceil(F.col("n") / cap)
+        if clamp is not None:
+            g = F.least(g, F.lit(clamp))
+        blocks = (
+            banded.join(sizes, ["band", "bhash"])
+            .filter(F.col("n") > cap)
+            .select(
+                "band",
+                "bhash",
+                F.pmod(F.xxhash64("doc_id"), g.cast("int")).alias("blk"),
+            )
+            .groupBy("band", "bhash", "blk")
+            .agg(F.count("*").alias("bn"))
+        )
+        mx = blocks.agg(F.max("bn")).collect()[0][0] or 0
+        out[f"max_block_rows_{tag}"] = int(mx)
+        out[f"max_reducer_pairs_{tag}"] = int(mx) * int(mx)
+    out["cap_squared_bound"] = cap * cap
+    banded.unpersist()
+    return out
+
+
 def main():
     replicas = 10
     family = 10_000
@@ -207,6 +260,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     print(json.dumps(section_a(spark, replicas)))
     print(json.dumps(section_b(spark, family)))
+    print(json.dumps(section_b2(spark, 100_000, 256)))
     spark.stop()
 
 

@@ -189,11 +189,6 @@ def lsh_band_rows(
     )
 
 
-#: per-side grid clamp for hot-bucket splitting: replication cost on a
-#: hot bucket's rows is at most this factor, and a clamped bucket of n
-#: rows still bounds any single reducer's pair output at (n/128)^2
-_MAX_BUCKET_BLOCKS = 128
-
 #: default per-bucket row cap: a cold bucket emits at most cap^2 = 2^20
 #: candidate pairs (~16 MB of 16-byte rows) on whichever reducer owns
 #: its (band, bhash) key
@@ -230,12 +225,18 @@ def capped_band_join(
     * buckets where BOTH sides hold ≤ bucket_cap rows take the plain
       join (output ≤ cap² per bucket; the or-of-sides criterion also
       cannot overflow, unlike a |A_k|·|B_k| product over long counts);
-    * hot buckets split each side into G = ceil(n/cap) (≤ 128) blocks
-      by id hash; each side is exploded across the OTHER side's block
-      axis, and one equi-join on (band, bhash, ka, kb) lands every
-      block pair on its own reducer — per-reducer output ≤ cap², at a
-      replication cost of G× on hot-bucket rows only (rows, not pairs:
-      n·G ≤ n²/cap ≪ n² for any hot n).
+    * hot buckets split each side into G = ceil(n/cap) blocks by id
+      hash — UNCLAMPED (r5's 128-block clamp is gone), so per-reducer
+      output is ≈ cap² for ANY bucket size (blocks are id-hash-
+      balanced, not exact: measured ≤ 1.6·cap² at a 10⁵-row bucket,
+      bench/dedup_scaling.py §B2, vs (n/128)² → unbounded growth
+      under the old clamp). The replication cost is
+      G× on hot-bucket rows only: n·G = n²/cap rows, always exactly
+      1/cap of the n² pair rows the join must emit for that bucket
+      anyway — replication can never dominate the output it bounds.
+      The per-row explode materializes a G-int sequence array (8·G
+      bytes transient per row): ~8 KB at a 10⁶-row bucket, 8 MB only
+      at a 10⁹-row bucket whose 10¹⁸-pair output is the real limit.
 
     Every (a, b) colliding combination appears exactly once (a's
     exploded kb meets b's home block and vice versa is a different
@@ -271,9 +272,7 @@ def capped_band_join(
     cap = int(bucket_cap)
     if cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
-    gexpr = lambda n: F.least(  # noqa: E731
-        F.ceil(F.col(n) / cap), F.lit(_MAX_BUCKET_BLOCKS)
-    ).cast("int")
+    gexpr = lambda n: F.ceil(F.col(n) / cap).cast("int")  # noqa: E731
     if symmetric:
         sz = (
             a.groupBy("band", "bhash")

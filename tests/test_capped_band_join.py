@@ -48,6 +48,25 @@ class TestCappedBandJoin:
         assert diff.count() == 0
         assert capped.count() > 5000  # non-vacuous: the family is dense
 
+    def test_identity_past_old_128_block_clamp(self, spark):
+        """r5 clamped the grid at 128 blocks per side; r6 removed the
+        clamp (G = ceil(n/cap), any size). Force G = 150 > 128 with
+        cap=1 on a 150-doc family bucket and pin capped ≡ uncapped —
+        the regime the old code never reached."""
+        base = " ".join(f"tok{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(i, base + f" serial{i}") for i in range(150)],
+            ["doc_id", "text"],
+        )
+        sigs = dedup.minhash_signatures(docs, "doc_id")
+        capped = dedup.lsh_candidate_pairs(sigs, "doc_id", bucket_cap=1)
+        uncapped = dedup.lsh_candidate_pairs(sigs, "doc_id", bucket_cap=None)
+        diff = capped.exceptAll(uncapped).unionByName(
+            uncapped.exceptAll(capped)
+        )
+        assert diff.count() == 0
+        assert capped.count() > 2000
+
     def test_capped_equals_uncapped_rectangular(self, spark, family_docs):
         """Streaming batch-vs-index shape: two DIFFERENT band tables,
         duplicate band emissions preserved (multiset equality via
