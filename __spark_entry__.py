@@ -1017,6 +1017,22 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.isnan("logprob")
         ).alias("lp_ok"),
     )
+    # fourth tier (r6): bigram LM with stupid backoff — n_bigram_hits
+    # is an exact integer (hash-gated vs a DuckDB bigram join); the
+    # transcendental score is bound-checked like the unigram one
+    bg = corpus.bigram_logprob_scores(
+        lm_in, "doc_id", "lm_text",
+        ref=_docs(spark, sf_dir), ref_text_col="text",
+    ).select(
+        "doc_id",
+        "n_bigram_hits",
+        (
+            (F.col("logprob") < 0)
+            & (F.col("logprob") > -50)
+            & ~F.isnan("logprob")
+        ).alias("bg_lp_ok"),
+    )
+    lm = lm.join(bg, "doc_id")
     return scored.select(
         "doc_id", "n_tokens", "digit_ratio", "stopword_ratio", "quality",
         # every kind in text.PII_PATTERNS gets its count hash-gated —
@@ -2689,7 +2705,9 @@ def oracle_sql() -> dict[str, str]:
                    lm.lm_n_tokens, lm.n_oov,
                    -- Spark bounds the transcendental LM score
                    -- (finite, negative, above the smoothing floor)
-                   true AS lp_ok
+                   true AS lp_ok,
+                   lm.n_bigram_hits,
+                   true AS bg_lp_ok
             FROM f JOIN (
                 WITH a2 AS (
                     SELECT doc_id,
@@ -2703,12 +2721,32 @@ def oracle_sql() -> dict[str, str]:
                 ), v AS (
                     SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
                     FROM documents
+                ), rbg AS (
+                    SELECT DISTINCT ts[i] AS u, ts[i+1] AS v2
+                    FROM (SELECT string_split(text, ' ') AS ts
+                          FROM documents) rt,
+                         LATERAL unnest(range(1, len(ts))) AS r(i)
+                ), dbg AS (
+                    SELECT doc_id, ts[i] AS u, ts[i+1] AS v2
+                    FROM (SELECT doc_id, string_split(t2, ' ') AS ts
+                          FROM a2) dt,
+                         LATERAL unnest(range(1, len(ts))) AS r(i)
+                ), bh AS (
+                    SELECT dbg.doc_id,
+                           sum(CASE WHEN rbg.u IS NOT NULL THEN 1 ELSE 0
+                               END)::BIGINT AS n_bigram_hits
+                    FROM dbg LEFT JOIN rbg
+                      ON dbg.u = rbg.u AND dbg.v2 = rbg.v2
+                    GROUP BY dbg.doc_id
                 )
                 SELECT lmtok.doc_id,
                        count(*)::BIGINT AS lm_n_tokens,
                        sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0
-                           END)::BIGINT AS n_oov
+                           END)::BIGINT AS n_oov,
+                       COALESCE(any_value(bh.n_bigram_hits),
+                                0)::BIGINT AS n_bigram_hits
                 FROM lmtok LEFT JOIN v USING (tok)
+                           LEFT JOIN bh ON bh.doc_id = lmtok.doc_id
                 GROUP BY lmtok.doc_id
             ) lm ON f.doc_id = lm.doc_id
         """,

@@ -348,3 +348,121 @@ def unigram_logprob_scores(
         .join(agg, id_col, "left")
         .fillna({"n_tokens": 0, "n_oov": 0})
     )
+
+
+def _token_prev_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __v, __u) rows: every token with its predecessor (__u NULL
+    for the first token). One explode over arrays_zip of the token
+    array with its right-shifted self — no per-doc window."""
+    ts = F.split(F.col(text_col), " ", -1)
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(ts, 1, F.size(ts) - 1),
+    )
+    return (
+        df.select(
+            F.col(id_col), ts.alias("__ts"), prev.alias("__pv")
+        )
+        .select(
+            id_col,
+            F.explode(F.arrays_zip("__ts", "__pv")).alias("__z"),
+        )
+        .select(
+            id_col,
+            F.col("__z.__ts").alias("__v"),
+            F.col("__z.__pv").alias("__u"),
+        )
+    )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref: DataFrame | None = None,
+    ref_text_col: str | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model quality score with stupid backoff (Brants
+    et al. 2007) — the fidelity step from :func:`unigram_logprob_scores`
+    toward CCNet's KenLM: per token ``v`` with context ``u``,
+
+        S(v|u) = cnt(u,v) / cnt(u)          if the bigram is in ref
+               = alpha * (cnt(v)+1)/(N+V)   otherwise (backoff to the
+                                            add-one unigram)
+
+    and the first token of a doc scores as its unigram. Emits per doc:
+    ``n_tokens``, ``n_oov`` (unigram-absent — exact ints, oracle-
+    replicable), ``n_bigram_hits`` (scoring-frame bigrams present in
+    the reference — exact int) and ``logprob`` (mean log S; gate
+    queries bound it rather than hash it, per the transcendental
+    cross-engine rule).
+
+    Scale: two reference groupBys (unigram + bigram counts, both
+    map-side partial), three token-keyed equi-joins on the scoring
+    rows (context unigram, backoff unigram, bigram — web-scale count
+    tables shuffle on their token keys, small ones broadcast via AQE),
+    a one-row broadcast totals crossJoin, one per-doc rollup. No
+    driver collect; no per-doc window (predecessors come from one
+    array zip). NULL-text docs keep their row (n_tokens=0)."""
+    ref = docs if ref is None else ref
+    rcol = ref_text_col or text_col
+    rrows = _token_prev_rows(ref, id_col, rcol)
+    vocab = rrows.groupBy(F.col("__v").alias("__tok")).agg(
+        F.count("*").alias("__cnt")
+    )
+    bigrams = (
+        rrows.filter(F.col("__u").isNotNull())
+        .groupBy("__u", "__v")
+        .agg(F.count("*").alias("__cbg"))
+    )
+    totals = vocab.agg(
+        F.sum("__cnt").alias("__n"), F.count("*").alias("__v_sz")
+    )
+    toks = _token_prev_rows(docs, id_col, text_col)
+    scored = (
+        toks.join(
+            vocab.select(
+                F.col("__tok").alias("__v"), F.col("__cnt").alias("__cv")
+            ),
+            "__v",
+            "left",
+        )
+        .join(
+            vocab.select(
+                F.col("__tok").alias("__u"), F.col("__cnt").alias("__cu")
+            ),
+            "__u",
+            "left",
+        )
+        .join(bigrams, ["__u", "__v"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    uni = (F.coalesce(F.col("__cv"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("__n") + F.col("__v_sz")
+    )
+    prob = (
+        F.when(F.col("__u").isNull(), uni)  # doc-initial token
+        .when(
+            F.col("__cbg").isNotNull() & (F.col("__cu") > 0),
+            F.col("__cbg") / F.col("__cu"),
+        )
+        .otherwise(F.lit(alpha) * uni)
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__cv").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        F.sum(
+            F.when(
+                F.col("__u").isNotNull() & F.col("__cbg").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_bigram_hits"),
+        F.avg(F.log(prob)).alias("logprob"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .fillna({"n_tokens": 0, "n_oov": 0, "n_bigram_hits": 0})
+    )

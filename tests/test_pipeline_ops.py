@@ -1459,6 +1459,75 @@ class TestUnigramLogprob:
         assert abs(r["logprob"] - expect) < 1e-12
         assert r["n_tokens"] == 3
 
+    def test_bigram_exact_arithmetic(self, spark):
+        from dashing_spark.operators import corpus
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a a b")], "doc_id int, text string"
+        )
+        r = corpus.bigram_logprob_scores(df).collect()[0]
+        # ref = self: unigrams a:2 b:1 (N=3,V=2); bigrams (a,a):1 (a,b):1
+        # tok1 'a' unigram 3/5; tok2 'a|a' 1/2; tok3 'b|a' 1/2
+        expect = (math.log(3 / 5) + 2 * math.log(1 / 2)) / 3
+        assert abs(r["logprob"] - expect) < 1e-12
+        assert r["n_tokens"] == 3
+        assert r["n_bigram_hits"] == 2
+        assert r["n_oov"] == 0
+
+    def test_bigram_backoff_exact(self, spark):
+        from dashing_spark.operators import corpus
+        import math
+
+        ref = spark.createDataFrame(
+            [(100, "a a b")], "doc_id int, text string"
+        )
+        df = spark.createDataFrame(
+            [(1, "a c")], "doc_id int, text string"
+        )
+        r = corpus.bigram_logprob_scores(df, ref=ref).collect()[0]
+        # tok1 'a' unigram 3/5; tok2 'c|a' missing -> 0.4 * (0+1)/5
+        expect = (math.log(3 / 5) + math.log(0.4 * 1 / 5)) / 2
+        assert abs(r["logprob"] - expect) < 1e-12
+        assert r["n_oov"] == 1
+        assert r["n_bigram_hits"] == 0
+
+    def test_bigram_ranks_fluent_above_shuffled(self, spark):
+        """A doc whose bigrams all appear in the reference must outscore
+        a doc with the same token multiset but unseen bigrams — the
+        signal unigram scoring cannot see."""
+        from dashing_spark.operators import corpus
+
+        ref = spark.createDataFrame(
+            [(100, "the cat sat on the mat " * 5)],
+            "doc_id int, text string",
+        )
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat"),
+             (2, "mat the on sat cat the")],
+            "doc_id int, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               corpus.bigram_logprob_scores(df, ref=ref).collect()}
+        uni = {r["doc_id"]: r for r in
+               corpus.unigram_logprob_scores(df, ref=ref).collect()}
+        assert out[1]["logprob"] > out[2]["logprob"]
+        assert out[1]["n_bigram_hits"] > out[2]["n_bigram_hits"]
+        # same token multiset: unigram scoring is blind to the shuffle
+        assert abs(uni[1]["logprob"] - uni[2]["logprob"]) < 1e-12
+
+    def test_bigram_null_text_keeps_row(self, spark):
+        from dashing_spark.operators import corpus
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, None)], "doc_id int, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               corpus.bigram_logprob_scores(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[2]["n_tokens"] == 0
+        assert out[2]["logprob"] is None
+
     def test_null_text_docs_keep_their_row(self, spark):
         """Never-lose-rows: NULL-text docs produce zero token rows but
         must still come back (n_tokens=0, NULL logprob) so downstream
