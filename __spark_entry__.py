@@ -1359,6 +1359,29 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sum_exact_k_ids"),
         )
     )
+    # third tier (r6): per-host doc cap — host skew is the dominant
+    # real-crawl sampling concern. Synthetic URLs spread each source
+    # over 3 hosts (hosts hold ~dozens of docs, so k=17 binds); the
+    # kept SET is pinned per lang by count + doc_id sum against the
+    # oracle's per-host md5 rank
+    with_urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            F.lit(".ex.com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    hc = (
+        corpus.cap_docs_per_host(with_urls, 17)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_host_capped"),
+            F.sum("doc_id").alias("sum_host_capped_ids"),
+        )
+    )
     return (
         t.join(k, "lang", "left")
         .fillna({"n_kept": 0, "sum_chars_kept": 0})
@@ -1371,6 +1394,7 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(frac - rate) <= slack).alias("rate_ok"),
         )
         .join(ek, "lang")
+        .join(hc, "lang")
     )
 
 
@@ -2984,6 +3008,22 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 ) WHERE rk <= 13 GROUP BY lang
             )
+            , hc AS (
+                SELECT lang,
+                       count(*)::BIGINT AS n_host_capped,
+                       CAST(sum(doc_id) AS BIGINT) AS sum_host_capped_ids
+                FROM (
+                    SELECT lang, doc_id,
+                           row_number() OVER (
+                               PARTITION BY regexp_replace(
+                                   lower(source || (doc_id % 3)
+                                         || '.ex.com'),
+                                   '^www[.]', '')
+                               ORDER BY md5(doc_id::VARCHAR)
+                           ) AS rk
+                    FROM documents
+                ) WHERE rk <= 17 GROUP BY lang
+            )
             SELECT t.lang,
                    t.n_total::BIGINT AS n_total,
                    COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
@@ -2991,8 +3031,10 @@ def oracle_sql() -> dict[str, str]:
                        AS kept_frac,
                    COALESCE(k.sum_chars_kept, 0)::BIGINT AS sum_chars_kept,
                    true AS rate_ok,
-                   ek.n_exact_k, ek.sum_exact_k_ids
+                   ek.n_exact_k, ek.sum_exact_k_ids,
+                   hc.n_host_capped, hc.sum_host_capped_ids
             FROM t LEFT JOIN k USING (lang) JOIN ek USING (lang)
+                   JOIN hc USING (lang)
         """,
         "corpus_curation": """
             WITH k AS (SELECT min(doc_id) AS doc_id FROM documents

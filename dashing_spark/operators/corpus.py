@@ -282,6 +282,34 @@ def exact_k_sample(
     )
 
 
+def cap_docs_per_host(
+    docs: DataFrame,
+    k: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    margin: float = 1.0,
+) -> DataFrame:
+    """Keep at most ``k`` documents per registrable host, chosen
+    deterministically as the k smallest ``md5(id)`` — the per-host cap
+    every crawl-scale sampling pipeline applies first, because host
+    skew dominates real crawls (a handful of hosts contribute millions
+    of near-template pages; an uncapped corpus mix oversamples them
+    before any language/quality weighting runs).
+
+    Composition of two gated building blocks: the host key is
+    :func:`~dashing_spark.operators.text.url_host_col` (lowercased,
+    port/www-stripped; scheme-less rows share the ``""`` host stratum)
+    and the selection is :func:`exact_k_sample` keyed on it — so the
+    hot-host stratum never sorts on one reducer (rate prefilter bounds
+    candidates at ~k(1+margin) per host) and the result is exact and
+    reproducible across engines and partitionings. Hosts with ≤ k docs
+    keep everything."""
+    hosted = docs.withColumn("__host", text.url_host_col(url_col))
+    return exact_k_sample(
+        hosted, k, strat_col="__host", id_col=id_col, margin=margin
+    ).drop("__host")
+
+
 def unigram_logprob_scores(
     docs: DataFrame,
     id_col: str = "doc_id",

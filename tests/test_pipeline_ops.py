@@ -1405,6 +1405,63 @@ class TestExactKSample:
             assert got[lang] == expect, lang
 
 
+class TestCapDocsPerHost:
+    @pytest.fixture()
+    def hosted_docs(self, spark):
+        rows = (
+            [(i, f"https://big.example.com/p/{i}", "t") for i in range(40)]
+            + [(100 + i, f"https://small.example.com/p/{i}", "t")
+               for i in range(3)]
+            + [(200, "no scheme here", "t"), (201, "also plain", "t")]
+        )
+        return spark.createDataFrame(rows, "doc_id int, url string, text string")
+
+    def test_cap_binds_only_on_hot_hosts(self, spark, hosted_docs):
+        from dashing_spark.operators import corpus, text
+
+        kept = corpus.cap_docs_per_host(hosted_docs, 5)
+        by_host = {
+            r["h"]: r["n"]
+            for r in kept.select(
+                text.url_host_col("url").alias("h")
+            ).groupBy("h").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_host["big.example.com"] == 5
+        assert by_host["small.example.com"] == 3  # under cap: untouched
+        assert by_host[""] == 2  # scheme-less rows share one stratum
+        assert set(kept.columns) == set(hosted_docs.columns)
+
+    def test_deterministic_and_matches_full_rank(self, spark, hosted_docs):
+        """The kept set equals the k smallest md5(doc_id) per host and
+        is partitioning-independent."""
+        import hashlib
+
+        from dashing_spark.operators import corpus, text
+
+        kept = {
+            r["doc_id"]
+            for r in corpus.cap_docs_per_host(hosted_docs, 5).collect()
+        }
+        kept2 = {
+            r["doc_id"]
+            for r in corpus.cap_docs_per_host(
+                hosted_docs.repartition(7), 5
+            ).collect()
+        }
+        assert kept == kept2
+        rows = hosted_docs.select(
+            "doc_id", text.url_host_col("url").alias("h")
+        ).collect()
+        expect = set()
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r["h"], []).append(r["doc_id"])
+        for ids in by_host.values():
+            ids.sort(key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+            expect |= set(ids[:5])
+        assert kept == expect
+
+
 class TestUnigramLogprob:
     @pytest.fixture()
     def lm_docs(self, spark):
