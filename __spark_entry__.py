@@ -1232,8 +1232,31 @@ def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "streaming query did not finish within 600s"
         )
-    return dedup_stream.read_pairs(spark, state_dir).select(
+    full = dedup_stream.read_pairs(spark, state_dir).select(
         "a_id", "b_id", F.round("ji", 9).alias("ji")
+    )
+    # second tier (r6): TTL-bounded dedup window, driver-gated against
+    # the batch-over-window oracle. Deterministic epochs (doc_id % 5),
+    # ttl_epochs=2, no compaction → the surviving pair set is EXACTLY
+    # {ji >= 0.9, |epoch_a - epoch_b| <= 2, max(epoch) >= 3}: expiry
+    # after each commit keeps index epochs within the window, and the
+    # final manifest retains only the last ttl epochs' pair files
+    ttl_state = tempfile.mkdtemp(prefix="dash_dd_ttl_state_")
+    n_epochs, ttl = 5, 2
+    for e in range(n_epochs):
+        dedup_stream.apply_dedup_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(n_epochs)) == e),
+            e,
+            id_col="doc_id",
+            state_dir=ttl_state,
+            threshold=0.9,
+            ttl_epochs=ttl,
+        )
+    ttl_pairs = dedup_stream.read_pairs(spark, ttl_state).select(
+        "a_id", "b_id", F.round("ji", 9).alias("ji")
+    )
+    return full.withColumn("tier", F.lit("full")).unionByName(
+        ttl_pairs.withColumn("tier", F.lit("ttl"))
     )
 
 
@@ -2845,11 +2868,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks a JOIN toks b ON a.it = b.it AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
-            SELECT a_id, b_id,
-                   round(CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2), 9) AS ji
-            FROM i JOIN sz sa ON sa.doc_id = i.a_id
-                   JOIN sz sb ON sb.doc_id = i.b_id
-            WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.9
+            , p AS (
+                SELECT a_id, b_id,
+                       round(CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2), 9)
+                           AS ji
+                FROM i JOIN sz sa ON sa.doc_id = i.a_id
+                       JOIN sz sb ON sb.doc_id = i.b_id
+                WHERE CAST(t2 AS DOUBLE) / (sa.s + sb.s - t2) >= 0.9
+            )
+            SELECT a_id, b_id, ji, 'full' AS tier FROM p
+            UNION ALL
+            -- TTL tier: epochs doc_id % 5, window ttl=2, pairs survive
+            -- only if emitted in the last ttl epochs (max epoch >= 3)
+            SELECT a_id, b_id, ji, 'ttl' AS tier FROM p
+            WHERE abs((a_id % 5) - (b_id % 5)) <= 2
+              AND greatest(a_id % 5, b_id % 5) >= 3
         """,
         "repetition_ratio": """
             WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
