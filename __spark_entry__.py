@@ -663,8 +663,9 @@ def q_dedup_exact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup family, both tiers in one slot: text-digest dedup
     (the original query) plus canonical-URL dedup — the docs table has
     no url column, so each doc gets a deterministic synthetic URL whose
-    case/port/www/tracking-param/fragment/slash VARIANTS (doc_id mod 4)
-    collapse under text.canonicalize_url_col; the oracle builds the
+    case/port/www/tracking-param/fragment/slash/param-order VARIANTS
+    (doc_id mod 6) collapse under text.canonicalize_url_col; the oracle
+    builds the
     identical URLs and replicates the canonicalization chain in RE2, so
     the raw-vs-canonical distinct gap is fully hash-gated."""
     docs = _docs(spark, sf_dir)
@@ -1019,7 +1020,12 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fourth tier (r6): bigram LM with stupid backoff — n_bigram_hits
     # is an exact integer (hash-gated vs a DuckDB bigram join); the
-    # transcendental score is bound-checked like the unigram one
+    # transcendental score is bound-checked like the unigram one.
+    # Deliberate: both LM ops rebuild the reference vocab from
+    # _docs() — the gate's job is to exercise each operator's OWN
+    # public path end-to-end, so the duplicate reference groupBy
+    # (~1 s at gate scale) is the price of gating both tiers in one
+    # slot rather than sharing internals the operators don't expose
     bg = corpus.bigram_logprob_scores(
         lm_in, "doc_id", "lm_text",
         ref=_docs(spark, sf_dir), ref_text_col="text",
@@ -2482,15 +2488,15 @@ def oracle_sql() -> dict[str, str]:
                            '[?&]fbclid=[^&]*', '', 'g'),
                            '[?&]gclid=[^&]*', '', 'g'),
                            '^([^?&]*)&([^?&#=]+=)', '\\1?\\2'),
-                           '[?]$', '') AS u
+                           '[?]\\z', '') AS u
                 FROM w
             ), s AS (
                 SELECT lang, text, url,
-                       CASE WHEN regexp_extract(u, '[?](.*)$', 1) = ''
+                       CASE WHEN regexp_extract(u, '[?](.*)\\z', 1) = ''
                             THEN u
-                            ELSE regexp_replace(u, '[?].*$', '') || '?' ||
+                            ELSE regexp_replace(u, '[?].*\\z', '') || '?' ||
                                  array_to_string(list_sort(string_split(
-                                     regexp_extract(u, '[?](.*)$', 1),
+                                     regexp_extract(u, '[?](.*)\\z', 1),
                                      '&')), '&')
                        END AS u
                 FROM s0
@@ -2499,9 +2505,9 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(
                            regexp_replace(regexp_replace(regexp_replace(
                                lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*', 0)),
-                               ':80$', ''), ':443$', ''), '://www[.]', '://')
+                               ':80\\z', ''), ':443\\z', ''), '://www[.]', '://')
                            || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', ''),
-                           '/$', '') AS curl,
+                           '/\\z', '') AS curl,
                        regexp_replace(lower(regexp_extract(
                            url, '^[A-Za-z]+://([^/?#:]*)', 1)),
                            '^www[.]', '') AS hostc

@@ -219,7 +219,10 @@ def section_b2(spark, family: int, cap: int):
         ),
     }
     for tag, clamp in (("unclamped", None), ("old_128_clamp", 128)):
-        g = F.ceil(F.col("n") / cap)
+        # the unclamped layout reuses the EXACT expressions the join
+        # executes (exported from dedup.py, r6 review find) — only the
+        # retired-clamp simulation wraps them in least()
+        g = dedup.grid_blocks_expr("n", cap)
         if clamp is not None:
             g = F.least(g, F.lit(clamp))
         blocks = (
@@ -228,7 +231,7 @@ def section_b2(spark, family: int, cap: int):
             .select(
                 "band",
                 "bhash",
-                F.pmod(F.xxhash64("doc_id"), g.cast("int")).alias("blk"),
+                dedup.grid_block_key("doc_id", g).alias("blk"),
             )
             .groupBy("band", "bhash", "blk")
             .agg(F.count("*").alias("bn"))

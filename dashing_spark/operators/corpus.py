@@ -304,10 +304,15 @@ def cap_docs_per_host(
     candidates at ~k(1+margin) per host) and the result is exact and
     reproducible across engines and partitionings. Hosts with ≤ k docs
     keep everything."""
-    hosted = docs.withColumn("__host", text.url_host_col(url_col))
+    # collision-proof temp name: never clobber (then drop) a caller
+    # column that happens to be called __host (r6 review find)
+    tmp = "__host"
+    while tmp in docs.columns:
+        tmp += "_"
+    hosted = docs.withColumn(tmp, text.url_host_col(url_col))
     return exact_k_sample(
-        hosted, k, strat_col="__host", id_col=id_col, margin=margin
-    ).drop("__host")
+        hosted, k, strat_col=tmp, id_col=id_col, margin=margin
+    ).drop(tmp)
 
 
 def unigram_logprob_scores(
@@ -378,25 +383,29 @@ def unigram_logprob_scores(
     )
 
 
-def _token_prev_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _token_prev_rows(
+    df: DataFrame, id_col: str | None, text_col: str
+) -> DataFrame:
     """(id, __v, __u) rows: every token with its predecessor (__u NULL
     for the first token). One explode over arrays_zip of the token
-    array with its right-shifted self — no per-doc window."""
+    array with its right-shifted self — no per-doc window. With
+    ``id_col=None`` only (__v, __u) is emitted — reference corpora
+    need no id column (r6 review find)."""
     ts = F.split(F.col(text_col), " ", -1)
     prev = F.concat(
         F.array(F.lit(None).cast("string")),
         F.slice(ts, 1, F.size(ts) - 1),
     )
+    ids = [F.col(id_col)] if id_col is not None else []
+    id_out = [id_col] if id_col is not None else []
     return (
-        df.select(
-            F.col(id_col), ts.alias("__ts"), prev.alias("__pv")
-        )
+        df.select(*ids, ts.alias("__ts"), prev.alias("__pv"))
         .select(
-            id_col,
+            *id_out,
             F.explode(F.arrays_zip("__ts", "__pv")).alias("__z"),
         )
         .select(
-            id_col,
+            *id_out,
             F.col("__z.__ts").alias("__v"),
             F.col("__z.__pv").alias("__u"),
         )
@@ -435,7 +444,7 @@ def bigram_logprob_scores(
     array zip). NULL-text docs keep their row (n_tokens=0)."""
     ref = docs if ref is None else ref
     rcol = ref_text_col or text_col
-    rrows = _token_prev_rows(ref, id_col, rcol)
+    rrows = _token_prev_rows(ref, None, rcol)
     vocab = rrows.groupBy(F.col("__v").alias("__tok")).agg(
         F.count("*").alias("__cnt")
     )

@@ -189,6 +189,24 @@ def lsh_band_rows(
     )
 
 
+def grid_blocks_expr(n_col, cap: int):
+    """G = ceil(n/cap): the per-side split factor :func:`capped_band_join`
+    applies to a hot bucket (unclamped — see its docstring for the
+    replication-cost argument). Exported so scale benches measure the
+    SAME block layout the join executes (bench/dedup_scaling.py §B2)
+    instead of a hand-coded replica that could drift."""
+    n = F.col(n_col) if isinstance(n_col, str) else n_col
+    return F.ceil(n / cap).cast("int")
+
+
+def grid_block_key(id_col, g_col):
+    """Home-axis block id of a row inside a hot bucket's grid:
+    ``xxhash64(id) mod G``. Exported for the same reason as
+    :func:`grid_blocks_expr`."""
+    g = F.col(g_col) if isinstance(g_col, str) else g_col
+    return F.pmod(F.xxhash64(id_col), g).cast("int")
+
+
 #: default per-bucket row cap: a cold bucket emits at most cap^2 = 2^20
 #: candidate pairs (~16 MB of 16-byte rows) on whichever reducer owns
 #: its (band, bhash) key
@@ -272,7 +290,7 @@ def capped_band_join(
     cap = int(bucket_cap)
     if cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
-    gexpr = lambda n: F.ceil(F.col(n) / cap).cast("int")  # noqa: E731
+    gexpr = lambda n: grid_blocks_expr(n, cap)  # noqa: E731
     if symmetric:
         sz = (
             a.groupBy("band", "bhash")
@@ -344,7 +362,7 @@ def capped_band_join(
         "a_id",
         "band",
         "bhash",
-        F.pmod(F.xxhash64("a_id"), F.col("__ga")).cast("int").alias("__ka"),
+        grid_block_key("a_id", "__ga").alias("__ka"),
         F.explode(F.sequence(F.lit(0), F.col("__gb") - 1)).alias("__kb"),
     ).repartition(n_part, *keys)
     bh = bt.filter(F.col("__hot")).select(
@@ -352,7 +370,7 @@ def capped_band_join(
         "band",
         "bhash",
         F.explode(F.sequence(F.lit(0), F.col("__ga") - 1)).alias("__ka"),
-        F.pmod(F.xxhash64("b_id"), F.col("__gb")).cast("int").alias("__kb"),
+        grid_block_key("b_id", "__gb").alias("__kb"),
     ).repartition(n_part, *keys)
     hot = ah.join(bh.hint("merge"), keys).select("a_id", "b_id")
     return cold.unionByName(hot)

@@ -122,7 +122,9 @@ def _validate_n_blocks(n_blocks) -> None:
     """Reject anything but int/None once the "auto" sentinel has been
     resolved — a stray string would otherwise hit `n_blocks > 1` and
     raise an opaque str-vs-int TypeError."""
-    if n_blocks is not None and not isinstance(n_blocks, int):
+    if n_blocks is not None and (
+        not isinstance(n_blocks, int) or isinstance(n_blocks, bool)
+    ):
         raise ValueError(
             f"n_blocks must be an int, None, or 'auto'; got {n_blocks!r}"
         )

@@ -302,7 +302,12 @@ def canonicalize_url_col(url_col):
     pipeline-tier addition over the north-rule page table). Scheme-less
     strings pass through with only the generic steps applied. Each
     regex step is in the Java∩RE2 subset; the DuckDB twin uses the
-    same patterns with the ``g`` flag / ``\\1`` replacements."""
+    same patterns with the ``g`` flag / ``\\1`` replacements. End
+    anchors are ``\\z`` (end of input, identical in both engines),
+    never ``$`` — Java's ``$`` matches before a trailing newline,
+    RE2's does not, so dirty crawl URLs with ``\\n`` tails would
+    canonicalize differently per engine (r6 review find, pinned by
+    the newline fragments in the randomized parity sweep)."""
     u = F.col(url_col) if isinstance(url_col, str) else url_col
     u = F.regexp_replace(u, "#.*", "")
     for pat in _URL_TRACKING_RES:
@@ -315,16 +320,16 @@ def canonicalize_url_col(url_col):
     # allowlist missed legal key chars like '+'/'~'/':' and split the
     # canonical forms of equivalent URLs (r5 review find).
     u = F.regexp_replace(u, "^([^?&]*)&([^?&#=]+=)", "$1?$2")
-    u = F.regexp_replace(u, "[?]$", "")
+    u = F.regexp_replace(u, "[?]\\z", "")
     # sort surviving query params: ?a=1&b=2 and ?b=2&a=1 must collapse
     # — param-order variance is the biggest residual URL-dup class
     # after tracking params. Binary string sort on the &-split segments
     # (Spark UTF8String and DuckDB default collation both compare raw
     # UTF-8 bytes, so the twin's list_sort agrees).
-    q = F.regexp_extract(u, "[?](.*)$", 1)
+    q = F.regexp_extract(u, "[?](.*)\\z", 1)
     u = F.when(q == "", u).otherwise(
         F.concat(
-            F.regexp_replace(u, "[?].*$", ""),
+            F.regexp_replace(u, "[?].*\\z", ""),
             F.lit("?"),
             F.array_join(F.array_sort(F.split(q, "&", -1)), "&"),
         )
@@ -332,10 +337,10 @@ def canonicalize_url_col(url_col):
     head = F.regexp_extract(u, _URL_HEAD_RE, 0)
     rest = F.regexp_replace(u, _URL_HEAD_RE, "")
     head = F.lower(head)
-    head = F.regexp_replace(head, ":80$", "")
-    head = F.regexp_replace(head, ":443$", "")
+    head = F.regexp_replace(head, ":80\\z", "")
+    head = F.regexp_replace(head, ":443\\z", "")
     head = F.regexp_replace(head, "://www[.]", "://")
-    return F.regexp_replace(F.concat(head, rest), "/$", "")
+    return F.regexp_replace(F.concat(head, rest), "/\\z", "")
 
 
 def url_host_col(url_col):

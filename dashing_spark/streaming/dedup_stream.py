@@ -137,6 +137,15 @@ def apply_dedup_batch(
     if max_segments is not None and max_segments < 2:
         raise ValueError(f"max_segments must be >= 2, got {max_segments}")
     if batch_df.isEmpty():
+        # an empty epoch still advances the TTL horizon: docs older
+        # than the window must stop matching (and their pair files age
+        # out) even when nothing new arrives — otherwise a quiet
+        # stream's index never shrinks and the next busy batch emits
+        # pairs at epoch distances beyond ttl_epochs (r6 review find).
+        # Safe on replays: a smaller epoch_id only lowers min_epoch,
+        # which expires nothing extra.
+        if ttl_epochs is not None:
+            expire_epochs(state_dir, min_epoch=epoch_id - ttl_epochs + 1)
         return
     tokens = _manifest_tokens(state_dir)
     done = [_token_epoch(t) for t in tokens]

@@ -79,7 +79,9 @@ def _url_corpus(n=400, seed=11):
         "?gclid=z&id=9",
         "?id=9&gclid=z&utm_k=1",
     ]
-    frags = ["", "#sec", "#a?b", "#"]
+    # newline tails pin the \z (NOT $) anchor rule: Java's $ matches
+    # before a final \n, RE2's does not — \z agrees in both engines
+    frags = ["", "#sec", "#a?b", "#", "\n", "x\n"]
     out = []
     for _ in range(n):
         out.append(
@@ -102,17 +104,17 @@ s2 AS (SELECT regexp_replace(u, '[?&]utm_[A-Za-z_]+=[^&]*', '', 'g') AS u FROM s
 s3 AS (SELECT regexp_replace(u, '[?&]fbclid=[^&]*', '', 'g') AS u FROM s2),
 s4 AS (SELECT regexp_replace(u, '[?&]gclid=[^&]*', '', 'g') AS u FROM s3),
 s5 AS (SELECT regexp_replace(u, '^([^?&]*)&([^?&#=]+=)', '\\1?\\2') AS u FROM s4),
-s6a AS (SELECT regexp_replace(u, '[?]$', '') AS u FROM s5),
-s6 AS (SELECT CASE WHEN regexp_extract(u, '[?](.*)$', 1) = '' THEN u
-              ELSE regexp_replace(u, '[?].*$', '') || '?' ||
+s6a AS (SELECT regexp_replace(u, '[?]\\z', '') AS u FROM s5),
+s6 AS (SELECT CASE WHEN regexp_extract(u, '[?](.*)\\z', 1) = '' THEN u
+              ELSE regexp_replace(u, '[?].*\\z', '') || '?' ||
                    array_to_string(list_sort(string_split(
-                       regexp_extract(u, '[?](.*)$', 1), '&')), '&')
+                       regexp_extract(u, '[?](.*)\\z', 1), '&')), '&')
               END AS u FROM s6a),
 s7 AS (SELECT u, regexp_replace(regexp_replace(regexp_replace(
            lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*', 0)),
-           ':80$', ''), ':443$', ''), '://www[.]', '://') AS head,
+           ':80\\z', ''), ':443\\z', ''), '://www[.]', '://') AS head,
        regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS rest FROM s6)
-SELECT regexp_replace(head || rest, '/$', ''),
+SELECT regexp_replace(head || rest, '/\\z', ''),
        regexp_replace(lower(regexp_extract(?,
            '^[A-Za-z]+://([^/?#:]*)', 1)), '^www[.]', '')
 FROM s7

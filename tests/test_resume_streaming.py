@@ -579,6 +579,51 @@ class TestIndexCompaction:
         # and the manifest itself stayed bounded (not one dir per epoch)
         assert len(toks) <= ttl + 3, toks
 
+    def test_empty_epoch_advances_ttl_horizon(self, spark, docs, tmp_path):
+        """r6 review: an empty epoch must still expire index entries
+        older than the window — otherwise a quiet stream's index never
+        shrinks and the next busy batch matches beyond ttl_epochs."""
+        from pyspark.sql import functions as F
+
+        from dashing_spark.streaming import dedup_stream
+
+        state = str(tmp_path / "empty_ttl")
+        small = docs.filter(F.col("doc_id") < 100)
+        ttl = 2
+        for e in (0, 1):
+            dedup_stream.apply_dedup_batch(
+                small.filter(F.pmod(F.col("doc_id"), F.lit(2)) == e),
+                e, id_col="doc_id", state_dir=state,
+                threshold=0.9, ttl_epochs=ttl,
+            )
+        assert dedup_stream._manifest_tokens(state) == ["0", "1"]
+        empty = small.filter(F.lit(False))
+        # epochs 2,3 arrive empty: horizon advances to 3-2+1 = 2 →
+        # both indexed epochs age out
+        dedup_stream.apply_dedup_batch(
+            empty, 2, id_col="doc_id", state_dir=state,
+            threshold=0.9, ttl_epochs=ttl,
+        )
+        assert dedup_stream._manifest_tokens(state) == ["1"]
+        dedup_stream.apply_dedup_batch(
+            empty, 3, id_col="doc_id", state_dir=state,
+            threshold=0.9, ttl_epochs=ttl,
+        )
+        assert dedup_stream._manifest_tokens(state) == []
+        # a busy epoch after the quiet stretch matches nothing old:
+        # replay epoch-0 docs as epoch 4 — in a never-expired index
+        # every doc would self-pair; here only in-batch pairs remain
+        dedup_stream.apply_dedup_batch(
+            small.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000),
+            4, id_col="doc_id", state_dir=state,
+            threshold=0.9, ttl_epochs=ttl,
+        )
+        pairs = dedup_stream.read_pairs(spark, state)
+        assert pairs.filter(
+            (F.col("a_id") < 1000) | (F.col("b_id") < 1000)
+        ).count() == 0
+
     def test_maintenance_params_validated(self, spark, docs, tmp_path):
         from pyspark.sql import functions as F
 
