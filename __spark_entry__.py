@@ -1054,13 +1054,48 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
 
 
+# page template for the extraction tier of q_fingerprint_stats —
+# escaped doc text goes between PRE and POST; the noise blocks must
+# vanish and the div tail must survive as 'tail ok'
+_HTML_WRAP_PRE = (
+    '<html>\n<!-- wrapper: must vanish -->\n<head><title></title>\n'
+    '<style type="text/css">p { color: #000; }</style>\n'
+    '<script type="text/javascript">if (1 < 2) { x("&", "<p>"); }</script>\n'
+    '</head>\n<body>\n<p class="doc">'
+)
+_HTML_WRAP_POST = '</p>\n<div data-x="1">tail&nbsp;<b>ok</b></div>\n</body>\n</html>'
+
+
 def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both document-fingerprint tiers in one query: md5 whole-doc
-    fingerprints (distinct count per lang, hash-gated) and winnowing
+    """Three document-fingerprint tiers in one query: md5 whole-doc
+    fingerprints (distinct count per lang, hash-gated), winnowing
     fingerprints (Schleimer 2003 — at least one fingerprint per
     window-coverable doc, never more than the k-gram position count,
-    and partitioning-independent output — checked as bound booleans)."""
+    and partitioning-independent output — checked as bound booleans),
+    and HTML extraction (r6): each doc's text is entity-escaped,
+    wrapped in a messy page template (comment/style/script noise, a
+    trailing div with an inline tag and '&nbsp;'), pushed through
+    text.extract_text_col, and compared per-row against the expected
+    canonical flat form — roundtrip count and distinct extracted-md5
+    count both hash-gated against a DuckDB twin GENERATED from the
+    same pattern tables (text.extract_text_duckdb), so the engines
+    can't drift."""
     docs = _docs(spark, sf_dir)
+    wrapped = F.concat(
+        F.lit(_HTML_WRAP_PRE),
+        text.html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit(_HTML_WRAP_POST),
+    )
+    extracted = text.extract_text_col(wrapped, layout="flat")
+    expected = text.flat_ws_col(
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("\ntail ok"))
+    )
+    ext_stats = docs.select(
+        "lang", extracted.alias("ex"), expected.alias("want")
+    ).groupBy("lang").agg(
+        F.sum((F.col("ex") == F.col("want")).cast("long")).alias("n_roundtrip_ok"),
+        F.countDistinct(F.md5("ex")).alias("n_extract_fps"),
+    )
     fp = text.md5_fingerprints(docs, "doc_id").join(
         docs.select("doc_id", "lang"), "doc_id"
     )
@@ -1099,6 +1134,7 @@ def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         md5_stats.join(per_lang, "lang")
+        .join(ext_stats, "lang")
         .crossJoin(stable)
         .select(
             "lang",
@@ -1106,6 +1142,8 @@ def q_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fingerprints",
             "fp_bounds_ok",
             (F.col("n_diff") == 0).alias("partition_stable_ok"),
+            "n_roundtrip_ok",
+            "n_extract_fps",
         )
     )
 
@@ -2150,6 +2188,17 @@ def _ji_pairs_oracle(*ok_names: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # extraction-tier twins for fingerprint_stats, generated from the
+    # SAME pattern tables as the Spark chain (operators.text) so the
+    # two engines cannot drift (f-string expressions can't hold the
+    # backslashes these contain, hence the locals)
+    _ex_expr = text.extract_text_duckdb(
+        "(" + text._sql_str(_HTML_WRAP_PRE) + " || "
+        + text.HTML_ESCAPE_DUCKDB.format(expr="coalesce(text, '')")
+        + " || " + text._sql_str(_HTML_WRAP_POST) + ")",
+        layout="flat",
+    )
+    _want_expr = text.flat_ws_duckdb("(coalesce(text, '') || e'\\n' || 'tail ok')")
     return {
         "hll_card_by_lang": f"""
             SELECT lang, count(DISTINCT token) AS exact_distinct, true AS hll_ok
@@ -2837,11 +2886,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, pred_lang, count(*) AS n
             FROM w GROUP BY lang, pred_lang
         """,
-        "fingerprint_stats": """
-            SELECT lang, count(*) AS n_docs,
-                   count(DISTINCT md5(text)) AS n_fingerprints,
-                   true AS fp_bounds_ok, true AS partition_stable_ok
-            FROM documents GROUP BY lang
+        "fingerprint_stats": f"""
+            WITH ex AS (
+                SELECT lang, {_ex_expr} AS e, {_want_expr} AS want
+                FROM documents
+            )
+            SELECT d.lang, count(*) AS n_docs,
+                   count(DISTINCT md5(d.text)) AS n_fingerprints,
+                   true AS fp_bounds_ok, true AS partition_stable_ok,
+                   (SELECT CAST(sum(CASE WHEN e = want THEN 1 ELSE 0 END)
+                                AS BIGINT)
+                    FROM ex WHERE ex.lang = d.lang) AS n_roundtrip_ok,
+                   (SELECT count(DISTINCT md5(e))
+                    FROM ex WHERE ex.lang = d.lang) AS n_extract_fps
+            FROM documents d GROUP BY d.lang
         """,
         "multimodal_stats": """
             -- coalesce mirrors media_with_codecs / media_from_documents:

@@ -23,6 +23,160 @@ LANG_MARKERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (north-rule pages table: html binary -> text)
+# ---------------------------------------------------------------------------
+
+#: block-level tags whose boundaries become layout newlines; ordered
+#: longest-first so prefix tags (p/pre, head/header, t*-family) resolve
+#: identically under Java's backtracking and RE2's NFA simulation
+_HTML_BLOCK_TAGS = (
+    "blockquote|figcaption|section|article|header|footer|figure|aside|"
+    "table|thead|tbody|title|html|head|body|form|nav|pre|div|ul|ol|li|"
+    "tr|td|th|hr|br|h[1-6]|p"
+)
+
+#: tag-stripping chain, applied in order. Every pattern is in the
+#: Java∩RE2 subset (inline (?is) flags, lazy quantifiers, NO \b / $ /
+#: backreferences) and is used VERBATIM by the DuckDB twin
+#: (:func:`extract_text_duckdb`). Script/style bodies are deleted up to
+#: their closing tag (an unterminated block degrades to plain text whose
+#: inner tags still strip); comments vanish; block tags become newlines;
+#: every remaining (inline) tag is deleted so "a<b>b</b>" joins as the
+#: HTML renderer would.
+_HTML_STRIP_RES: list[tuple[str, str]] = [
+    (r"(?is)<script([^a-zA-Z>][^>]*)?>.*?</script[^>]*>", " "),
+    (r"(?is)<style([^a-zA-Z>][^>]*)?>.*?</style[^>]*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)</?(" + _HTML_BLOCK_TAGS + r")([^a-zA-Z>][^>]*)?/?>", "\n"),
+    (r"<[^>]*>", ""),
+]
+
+#: named-entity decodes, applied AFTER tag stripping so '&lt;script&gt;'
+#: in page text can never become a live tag. '&amp;' decodes LAST — the
+#: standard order that turns double-encoded '&amp;lt;' into '&lt;', not
+#: '<'. Numeric entities beyond the quote pair are a documented
+#: non-goal: a regex cannot map arbitrary codepoints (a Pandas-UDF tier
+#: could, at Python cost; crawl text rarely needs it).
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+]
+
+#: whitespace normalization per layout. Anchors are \A/\z (identical in
+#: both engines); Java's $ matching before a trailing newline is the
+#: exact divergence class these chains must avoid.
+_HTML_WS_RES: dict[str, list[tuple[str, str]]] = {
+    # flat: every whitespace run (block newlines included) -> one space
+    "flat": [
+        (r"[ \t\r\f\n]+", " "),
+        (r"\A[ ]+", ""),
+        (r"[ ]+\z", ""),
+    ],
+    # lines: one line per block; intra-line runs -> one space, any run
+    # containing a newline -> exactly one newline
+    "lines": [
+        (r"[ \t\r\f]+", " "),
+        (r"[ \n]*\n[ \n]*", "\n"),
+        (r"\A[ \n]+", ""),
+        (r"[ \n]+\z", ""),
+    ],
+}
+
+
+def extract_text_col(html_col, layout: str = "flat"):
+    """Deterministic HTML→text extraction as a pure JVM expression
+    chain over an html STRING column (decode binary upstream): strip
+    script/style/comments, block tags → newline, inline tags → deleted,
+    decode the common named entities, then normalize whitespace per
+    ``layout`` ('flat' = single-space-joined, the `pages.text`
+    invariant form; 'lines' = one line per block). No Python in the
+    path — byte-identical per url across runs and parallelism levels
+    (BASELINE.json input_hint invariant), and replicated verbatim by
+    the DuckDB twin :func:`extract_text_duckdb` for oracle gating.
+    The reference ingests FASTA/FASTQ, not HTML (dashing
+    src/options.h:14 input modes) — this is the web-pipeline-tier
+    analogue of its sequence parsing."""
+    if layout not in _HTML_WS_RES:
+        raise ValueError(f"layout must be one of {sorted(_HTML_WS_RES)}, got {layout!r}")
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    for pat, rep in _HTML_STRIP_RES:
+        c = F.regexp_replace(c, pat, rep)
+    for src, dst in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    for pat, rep in _HTML_WS_RES[layout]:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def _sql_str(s: str) -> str:
+    """Plain single-quoted SQL literal (backslashes pass through to
+    RE2 uninterpreted, matching Java's view of the same Python str)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_rep(s: str) -> str:
+    """Replacement literal — e'' escape form when a real control char
+    (the block-tag newline) must reach the engine."""
+    if "\n" in s:
+        return "e" + _sql_str(s.replace("\\", "\\\\").replace("\n", "\\n"))
+    return _sql_str(s)
+
+
+def extract_text_duckdb(expr: str, layout: str = "flat") -> str:
+    """DuckDB expression string replicating :func:`extract_text_col`
+    verbatim over SQL expression ``expr`` — generated from the same
+    pattern tables, so the oracle twin can never drift from the Spark
+    chain."""
+    if layout not in _HTML_WS_RES:
+        raise ValueError(f"layout must be one of {sorted(_HTML_WS_RES)}, got {layout!r}")
+    for pat, rep in _HTML_STRIP_RES:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_rep(rep)}, 'g')"
+    for src, dst in _HTML_ENTITIES:
+        expr = f"replace({expr}, {_sql_str(src)}, {_sql_str(dst)})"
+    for pat, rep in _HTML_WS_RES[layout]:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_rep(rep)}, 'g')"
+    return expr
+
+
+def flat_ws_duckdb(expr: str) -> str:
+    """DuckDB twin of just the 'flat' whitespace normalization —
+    the canonical form extraction roundtrip checks compare against."""
+    for pat, rep in _HTML_WS_RES["flat"]:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_rep(rep)}, 'g')"
+    return expr
+
+
+def flat_ws_col(text_col):
+    """Spark side of :func:`flat_ws_duckdb`."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, rep in _HTML_WS_RES["flat"]:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def html_escape_col(text_col):
+    """Minimal HTML entity-encoding of a text column (&, <, > — the
+    three that would otherwise parse as markup), for embedding
+    arbitrary fixture text into synthesized pages. Inverse of the
+    entity-decode step of :func:`extract_text_col` on this subset."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+HTML_ESCAPE_DUCKDB = (
+    "replace(replace(replace({expr}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+)
+
+
 def token_ngrams_col(text_col: str, w: int):
     """Array of w-token shingles (space-joined) as a pure JVM expression
     (split → sequence → slice → array_join inside one Generate — no

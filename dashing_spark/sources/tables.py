@@ -97,35 +97,65 @@ def synth_pages(spark: SparkSession, n: int = 1000, n_sites: int = 50) -> DataFr
     words = F.array(*[F.lit(w) for w in vocab])
     doclen = (F.pmod(F.abs(F.xxhash64("url")), F.lit(80)) + F.lit(10)).cast("int")
     df = df.withColumn(
-        "text",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), doclen - 1),
-                lambda i: F.element_at(
-                    words,
-                    (F.pmod(F.abs(F.xxhash64(F.col("url"), i)), F.lit(len(vocab))) + 1).cast("int"),
-                ),
+        "_toks",
+        F.transform(
+            F.sequence(F.lit(0), doclen - 1),
+            lambda i: F.element_at(
+                words,
+                (F.pmod(F.abs(F.xxhash64(F.col("url"), i)), F.lit(len(vocab))) + 1).cast("int"),
             ),
-            " ",
         ),
     )
+    df = df.withColumn("text", F.array_join("_toks", " "))
+    # messy-but-realistic page markup around the SAME tokens, built so
+    # extract_text(html, layout="flat") == text BYTE-IDENTICALLY: the
+    # title holds token 1, a <p> the first half, a <div> the rest with
+    # an inline <b> around the last token and one '&nbsp;' inter-token
+    # separator; comment/style/script blocks (the script containing
+    # '<', '&' and a fake '<p>' that must NOT survive) are noise the
+    # extractor has to remove. doclen >= 10 keeps every slice non-empty.
+    half = F.floor(doclen / F.lit(2)).cast("int")
+    n_id = F.col("id").cast("string")
     df = df.withColumn(
         "html",
         F.encode(
-            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            F.concat(
+                F.lit("<html>\n<!-- page "), n_id,
+                F.lit(" : comment text must vanish -->\n<head><title>"),
+                F.element_at("_toks", 1),
+                F.lit("</title>\n<style type=\"text/css\">body { color: #fff; }</style>\n"
+                      "<script type=\"text/javascript\">var n = "),
+                n_id,
+                F.lit("; if (n < 2) { alert(\"a&b <p>unclosed\"); }</script>\n"
+                      "</head>\n<body class=\"site\">\n<p id=\"p-"),
+                n_id,
+                F.lit("\">"),
+                F.array_join(F.slice("_toks", 2, half - F.lit(1)), " "),
+                F.lit("</p>\n<div data-x=\"1\">"),
+                F.array_join(
+                    F.slice("_toks", half + F.lit(1), doclen - half - F.lit(1)), " "
+                ),
+                F.lit("&nbsp;<b>"),
+                F.element_at("_toks", doclen),
+                F.lit("</b></div>\n</body>\n</html>"),
+            ),
             "UTF-8",
         ),
     )
     return df.select("url", "warc_ts", "html", "text", "lang")
 
 
-def extract_text(pages: DataFrame) -> DataFrame:
-    """html -> text extraction as a pure deterministic JVM expression —
-    byte-identical per url across runs/parallelism (input_hint invariant).
-    """
+def extract_text(pages: DataFrame, layout: str = "flat") -> DataFrame:
+    """html(binary) -> `text_extracted` via the deterministic JVM
+    extraction chain (strip script/style/comments/tags, decode
+    entities, normalize whitespace — operators.text.extract_text_col).
+    Byte-identical per url across runs/parallelism (input_hint
+    invariant): pinned by tests against the generator's `text`."""
+    from dashing_spark.operators import text as text_ops
+
     return pages.withColumn(
         "text_extracted",
-        F.regexp_replace(F.decode(F.col("html"), "UTF-8"), "<[^>]+>", ""),
+        text_ops.extract_text_col(F.decode(F.col("html"), "UTF-8"), layout=layout),
     )
 
 

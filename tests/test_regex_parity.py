@@ -180,3 +180,116 @@ class TestURLRandomized:
             assert got[i]["c2"] == got[i]["c1"], (
                 f"not idempotent: {u!r} -> {got[i]['c1']!r} -> {got[i]['c2']!r}"
             )
+
+
+def _html_corpus(n=500, seed=13):
+    """Adversarial HTML fragments glued at random: unclosed scripts,
+    bare '<'/'>' in text, case-variant tags, multiline comments,
+    entity sequences incl. double-encoding, every block-tag family."""
+    frags = [
+        '<script>var x = 1 < 2; </script>', '<SCRIPT src="a.js">junk</script >',
+        '<style>p { }</style>', '<!-- c -->', '<!--\nmultiline\n-->',
+        '<p>', '</p>', '<P CLASS="x">', '<br/>', '<br />', '<hr>',
+        '<b>', '</b>', '<a href="u?a=1&b=2">', '</a>', '<span data-x="<">',
+        '&amp;', '&lt;tag&gt;', '&amp;lt;', '&nbsp;', '&quot;q&quot;',
+        '&#39;s&#39;', '&apos;a&apos;', '&#34;d&#34;',
+        'plain words', 'a < b', 'x > y', 'tab\there', 'nl\nthere',
+        '  spaces  ', '<pre>code</pre>', '<title>t</title>', '<td>c</td>',
+        '<header>h</header>', '<script>no close', '</script>',
+        'unicodé ✓', '<div', '>', '<>', '< 2 >', '\r\n',
+        '<h3>H</h3>', '<li>item</li>',
+        '<table><tr><td>1</td></tr></table>',
+    ]
+    rng = random.Random(seed)
+    return [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 10)))
+        for _ in range(n)
+    ]
+
+
+class TestHTMLExtractRandomized:
+    def test_extract_matches_duckdb_both_layouts(self, spark):
+        corpus = _html_corpus()
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(corpus)], "i int, h string"
+        )
+        got = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                text.extract_text_col("h", layout="flat").alias("flat"),
+                text.extract_text_col("h", layout="lines").alias("lines"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        q = (
+            f"SELECT {text.extract_text_duckdb('?', layout='flat')},"
+            f" {text.extract_text_duckdb('?', layout='lines')}"
+        )
+        for i, h in enumerate(corpus):
+            dflat, dlines = con.execute(q, [h, h]).fetchone()
+            assert got[i]["flat"] == dflat, (i, h, got[i]["flat"], dflat)
+            assert got[i]["lines"] == dlines, (i, h)
+
+    def test_extract_fixtures(self, spark):
+        cases = [
+            # (html, expected flat, expected lines)
+            ("<p>a</p><p>b</p>", "a b", "a\nb"),
+            ("<script>ignore<p>this</script>kept", "kept", "kept"),
+            ("<style a=b>x{}</style>t", "t", "t"),
+            ("<!-- no -->yes<!--\n-->", "yes", "yes"),
+            ("a<b>b</b>c", "abc", "abc"),
+            ("one&nbsp;two", "one two", "one two"),
+            ("&amp;lt; &lt;i&gt; &quot;&#39;&apos;&#34;", "&lt; <i> \"''\"", "&lt; <i> \"''\""),
+            ("<TD>c</td><BR/>d", "c d", "c\nd"),
+            ("  lead\t\tmid \n trail  ", "lead mid trail", "lead mid\ntrail"),
+            ("<script>unclosed <b>bold</b> leak", "unclosed bold leak", "unclosed bold leak"),
+            ("", "", ""),
+            ("<p></p>", "", ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, c[0]) for i, c in enumerate(cases)], "i int, h string"
+        )
+        got = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                text.extract_text_col("h", layout="flat").alias("f"),
+                text.extract_text_col("h", layout="lines").alias("l"),
+            ).collect()
+        }
+        for i, (h, f_want, l_want) in enumerate(cases):
+            assert got[i]["f"] == f_want, (h, got[i]["f"], f_want)
+            assert got[i]["l"] == l_want, (h, got[i]["l"], l_want)
+
+    def test_escape_extract_roundtrip_on_documents(self, spark):
+        """The q_fingerprint_stats gate tier invariant: escape ->
+        wrap -> extract == whitespace-canonical original, on raw
+        fixture text (newlines, punctuation, unicode)."""
+        import __spark_entry__ as entry
+
+        docs = spark.createDataFrame(
+            [
+                ("a", "plain text"),
+                ("b", "has <tags> & &amp; entities"),
+                ("c", "multi\nline\n\ttext"),
+                ("d", ""),
+                ("e", None),
+                ("f", "a < b > c & d"),
+                ("g", "unicodé ✓ 中文"),
+            ],
+            "doc_id string, text string",
+        )
+        wrapped = F.concat(
+            F.lit(entry._HTML_WRAP_PRE),
+            text.html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(entry._HTML_WRAP_POST),
+        )
+        out = docs.select(
+            text.extract_text_col(wrapped, layout="flat").alias("ex"),
+            text.flat_ws_col(
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("\ntail ok"))
+            ).alias("want"),
+        ).collect()
+        for r in out:
+            assert r["ex"] == r["want"], (r["ex"], r["want"])
