@@ -1818,9 +1818,15 @@ def q_cardinality_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch cache write + resume (`-W` analogue): a second build from
     the same checkpoint must resume (not recompute) and return
-    bit-identical sketch blobs; lineage/metrics must cover the input."""
+    bit-identical sketch blobs; lineage/metrics must cover the input.
+    r6 snapshot-log tier (plans/snapshots.py): a torn next-version
+    write must not break resume (crash safety), and a forced rebuild
+    must leave the prior snapshot time-travelable with bit-identical
+    blobs (Iceberg commit semantics without the jars)."""
+    import os as _os
     import tempfile
 
+    from dashing_spark.plans import snapshots as snaps
     from dashing_spark.plans.pipeline import build_or_resume_sketch_table
 
     docs = _docs(spark, sf_dir)
@@ -1828,12 +1834,34 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk1, m1 = build_or_resume_sketch_table(
         docs, ["lang"], lambda: HLL.empty(P_HLL), ckpt
     )
+    # torn write: data for a next version lands but its metadata never
+    # commits — resume must still serve v0
+    orphan = _os.path.join(m1.checkpoint, "data", "000001-overwrite-torn")
+    _os.makedirs(orphan, exist_ok=True)
+    with open(_os.path.join(orphan, "part-junk"), "w") as fh:
+        fh.write("torn")
     sk2, m2 = build_or_resume_sketch_table(
         docs, ["lang"], lambda: HLL.empty(P_HLL), ckpt
     )
     b1 = {r["lang"]: bytes(r["sketch"]) for r in sk1.collect()}
     b2 = {r["lang"]: bytes(r["sketch"]) for r in sk2.collect()}
     resume_identical = (not m1.resumed) and m2.resumed and b1 == b2
+    crash_safe = m2.resumed and snaps.current_version(m1.checkpoint) == 0
+    # forced rebuild = new snapshot version; v0 stays time-travelable
+    _, m3 = build_or_resume_sketch_table(
+        docs, ["lang"], lambda: HLL.empty(P_HLL), ckpt, force=True
+    )
+    b0 = {
+        r["lang"]: bytes(r["sketch"])
+        for r in snaps.read_table(spark, m1.checkpoint, version=0).collect()
+    }
+    time_travel_ok = (
+        (not m3.resumed)
+        and snaps.current_version(m1.checkpoint) == 1
+        and b0 == b1
+        and [h["op"] for h in snaps.history(m1.checkpoint)]
+        == ["overwrite", "overwrite"]
+    )
     metrics_ok = m1.rows_in == docs.count() and m1.partial_sketches >= m1.keys_out
     est = sk2.select("lang", agg.estimate_expr("ertl_mle")("sketch").alias("est"))
     exact = (
@@ -1847,6 +1875,8 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hll_ok(F.col("est"), F.col("exact_distinct")),
         F.lit(resume_identical).alias("resume_identical"),
         F.lit(metrics_ok).alias("metrics_ok"),
+        F.lit(crash_safe).alias("snapshot_crash_safe_ok"),
+        F.lit(time_travel_ok).alias("snapshot_time_travel_ok"),
     )
 
 
@@ -2399,7 +2429,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "checkpoint_resume": f"""
             SELECT lang, count(DISTINCT token) AS exact_distinct,
-                   true AS hll_ok, true AS resume_identical, true AS metrics_ok
+                   true AS hll_ok, true AS resume_identical, true AS metrics_ok,
+                   true AS snapshot_crash_safe_ok, true AS snapshot_time_travel_ok
             FROM ({_TOKS}) GROUP BY lang
         """,
         "distmat_sinks_roundtrip": f"""

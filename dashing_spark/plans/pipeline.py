@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from dashing_spark.operators import agg
 from dashing_spark.params import SketchParams
+from dashing_spark.plans import snapshots
 
 
 @dataclass
@@ -169,9 +170,16 @@ def build_or_resume_sketch_table(
     metrics_path = os.path.join(checkpoint_dir, f"metrics_{fp}.json")
     t0 = time.time()
 
-    success = os.path.join(snap, "_SUCCESS")
-    if not force and _fs_exists(spark, success):
-        sketches = spark.read.parquet(snap)
+    # snapshot-log table (plans/snapshots.py): resume = a committed
+    # version exists; legacy pre-r6 checkpoints (bare parquet dir with
+    # _SUCCESS) stay readable
+    legacy = _fs_exists(spark, os.path.join(snap, "_SUCCESS"))
+    if not force and (snapshots.current_version(snap) is not None or legacy):
+        sketches = (
+            spark.read.parquet(snap)
+            if legacy
+            else snapshots.read_table(spark, snap)
+        )
         m = RunMetrics(
             rows_in=0,
             keys_out=sketches.count(),
@@ -203,12 +211,15 @@ def build_or_resume_sketch_table(
         counters={"rows": acc_rows, "partials": acc_partials, "merges": acc_merges},
     )
 
-    sketches.write.mode("overwrite").parquet(snap)
+    # atomic snapshot commit: a crash mid-write leaves the PRIOR
+    # committed snapshot intact and readable (the pre-r6 code
+    # overwrote the live dir — a crash destroyed the only copy)
+    snapshots.commit(snap, sketches, op="overwrite", properties={"fingerprint": fp})
     if lineage:
         partition_lineage(src, [text_col]).write.mode("overwrite").parquet(
             lineage_path
         )
-    out = spark.read.parquet(snap)
+    out = snapshots.read_table(spark, snap)
     m = RunMetrics(
         rows_in=acc_rows.value,
         keys_out=out.count(),
