@@ -799,25 +799,35 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine pairs ≥ 0.4 (the verify baseline the
-    LSH-bucketed variant is measured against in tests)."""
-    from dashing_spark.operators.similarity import _dot_expr, _vec_with_norm
-
+    """Embedding near-dup + semantic-dedup assignment, per vector (r6
+    upgrade of the bare pair list — the pairs, the transitive closure,
+    AND the keeper rule are all hash-gated now): exact cosine pairs
+    ≥ 0.4 (similarity.exact_cosine_pairs, also the verify baseline for
+    the LSH variant in tests) feed semantic_dedup (SemDeDup: connected
+    components → keeper = min id). Output one row per vector:
+    component label, keeper flag, degree, strongest-edge cosine,
+    component size. Oracle replays the graph with a recursive CTE."""
     emb = _embeddings(spark, sf_dir)
-    e = _vec_with_norm(emb, "vec_id", "embedding")
-    a = e.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nv").alias("anv")
+    pairs = similarity.exact_cosine_pairs(emb, 0.4).localCheckpoint(eager=True)
+    assign = similarity.semantic_dedup(emb, pairs=pairs)
+    sym = pairs.select(
+        F.col("a_id").alias("vec_id"), F.col("cos")
+    ).unionByName(pairs.select(F.col("b_id").alias("vec_id"), F.col("cos")))
+    deg = sym.groupBy("vec_id").agg(
+        F.count("*").alias("n_nbrs"), F.round(F.max("cos"), 5).alias("max_cos")
     )
-    b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nv").alias("bnv")
-    )
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a_id") < F.col("b_id"))
-    pairs = pairs.withColumn(
-        "cos", _dot_expr(F.col("av"), F.col("bv")) / (F.col("anv") * F.col("bnv"))
-    )
+    comp_sizes = assign.groupBy("comp").agg(F.count("*").alias("n_members"))
     return (
-        pairs.filter(F.col("cos") >= 0.4)
-        .select("a_id", "b_id", F.round("cos", 5).alias("cos"))
+        assign.join(deg, "vec_id", "left")
+        .join(comp_sizes, "comp")
+        .select(
+            "vec_id",
+            "comp",
+            "keep",
+            F.coalesce("n_nbrs", F.lit(0)).alias("n_nbrs"),
+            F.coalesce("max_cos", F.lit(0.0)).alias("max_cos"),
+            "n_members",
+        )
     )
 
 
@@ -2710,12 +2720,46 @@ def oracle_sql() -> dict[str, str]:
             FROM t WHERE rank <= 3
         """,
         "embedding_near_dup_pairs": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   round(list_cosine_similarity(a.v, b.v), 5) AS cos
-            FROM e a CROSS JOIN e b
-            WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(a.v, b.v) >= 0.4
+            WITH RECURSIVE e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            p AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       list_cosine_similarity(a.v, b.v) AS cos
+                FROM e a CROSS JOIN e b
+                WHERE a.vec_id < b.vec_id
+                  AND list_cosine_similarity(a.v, b.v) >= 0.4
+            ),
+            edges AS (
+                SELECT a_id AS u, b_id AS w, cos FROM p
+                UNION ALL
+                SELECT b_id AS u, a_id AS w, cos FROM p
+            ),
+            reach(u, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT ed.u, r.lbl FROM edges ed JOIN reach r ON r.u = ed.w
+            ),
+            lab AS (SELECT u, min(lbl) AS comp FROM reach GROUP BY u),
+            deg AS (
+                SELECT u, count(*) AS n_nbrs, max(cos) AS mc
+                FROM edges GROUP BY u
+            ),
+            asg AS (
+                SELECT emb.vec_id,
+                       coalesce(lab.comp, emb.vec_id) AS comp,
+                       coalesce(deg.n_nbrs, 0) AS n_nbrs,
+                       coalesce(deg.mc, 0) AS mc
+                FROM embeddings emb
+                LEFT JOIN lab ON lab.u = emb.vec_id
+                LEFT JOIN deg ON deg.u = emb.vec_id
+            ),
+            cs AS (SELECT comp, count(*) AS n_members FROM asg GROUP BY comp)
+            SELECT asg.vec_id, asg.comp, (asg.comp = asg.vec_id) AS keep,
+                   CAST(asg.n_nbrs AS BIGINT) AS n_nbrs,
+                   round(asg.mc, 5) AS max_cos,
+                   CAST(cs.n_members AS BIGINT) AS n_members
+            FROM asg JOIN cs ON cs.comp = asg.comp
         """,
         "bpe_token_stats": """
             SELECT lang, count(*) AS n_docs,

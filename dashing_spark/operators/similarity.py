@@ -437,3 +437,82 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
     )
     return pairs.select("a_id", "b_id", "cos")
+
+
+def exact_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine pairs ≥ threshold: broadcast cross join +
+    JVM dot product. The exact baseline — O(n²) FLOPs, so the verify
+    tier at gate scale and the oracle for the LSH scale path, not the
+    production path."""
+    e = _vec_with_norm(embeddings, id_col, vec_col)
+    a = e.select(
+        F.col(id_col).alias("a_id"), F.col("v").alias("av"), F.col("nv").alias("anv")
+    )
+    b = e.select(
+        F.col(id_col).alias("b_id"), F.col("v").alias("bv"), F.col("nv").alias("bnv")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos", _dot_expr(F.col("av"), F.col("bv")) / (F.col("anv") * F.col("bnv"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup assignment (Abbas et al. 2023,
+    arXiv:2303.09540 — keep one representative per cluster of
+    semantically near-identical documents): near-dup pairs
+    (cos ≥ threshold) → connected components → keeper = min id per
+    component. Returns one row PER INPUT vector (never-lose-rows):
+    ``(id_col, comp, keep)`` — vectors in no cluster are their own
+    keeper.
+
+    ``pairs`` injects a precomputed pair frame (a_id, b_id, ...);
+    otherwise ``exact=True`` brute-forces them (gate/verify scale) and
+    the default runs the LSH-bucketed scale path
+    (:func:`embedding_near_dups` — multi-table hyperplane LSH with the
+    capped band join, so hot semantic clusters can't melt a reducer).
+    The CC step is min-label propagation with pointer jumping
+    (dedup.connected_components), O(log diameter) rounds; semantic
+    clusters are near-cliques, so 2-3 rounds in practice."""
+    from dashing_spark.operators.dedup import connected_components
+
+    if pairs is None:
+        pairs = (
+            exact_cosine_pairs(embeddings, threshold, id_col, vec_col)
+            if exact
+            else embedding_near_dups(
+                embeddings, threshold, n_planes, n_tables, seed, id_col, vec_col
+            )
+        )
+    comp = connected_components(pairs.select("a_id", "b_id")).withColumnRenamed(
+        "id", id_col
+    )
+    return (
+        embeddings.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("comp"),
+            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )

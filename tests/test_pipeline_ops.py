@@ -140,6 +140,44 @@ class TestSimilarity:
             assert r["cos"] >= 0.3
             assert r["a_id"] < r["b_id"]
 
+    def test_semantic_dedup_lsh_matches_exact_on_clusters(self, spark):
+        """SemDeDup assignment: LSH scale path == brute-force exact path
+        on a corpus with true near-dup clusters (cos ~ 1 within a
+        cluster, near-orthogonal across), plus never-lose-rows and
+        keeper semantics."""
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(12, 16))
+        rows = []
+        vid = 0
+        for c in range(12):
+            members = 1 + (c % 4)  # cluster sizes 1..4
+            for _ in range(members):
+                v = base[c] + rng.normal(scale=0.01, size=16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {
+            r["vec_id"]: (r["comp"], r["keep"])
+            for r in similarity.semantic_dedup(emb, threshold=0.95, exact=True).collect()
+        }
+        lsh = {
+            r["vec_id"]: (r["comp"], r["keep"])
+            for r in similarity.semantic_dedup(
+                emb, threshold=0.95, n_planes=6, n_tables=12
+            ).collect()
+        }
+        assert len(exact) == vid  # one row per input vector
+        assert lsh == exact
+        # keeper rule: exactly one keeper per component, = min id
+        comps = {}
+        for v, (c, k) in exact.items():
+            comps.setdefault(c, []).append((v, k))
+        for c, members in comps.items():
+            assert min(v for v, _ in members) == c
+            assert [v for v, k in members if k] == [c]
+
 
 class TestText:
     def test_lang_id_deterministic_and_total(self, spark, docs):
