@@ -1538,13 +1538,20 @@ def q_streaming_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained via the epoch-committed incremental state. The final
     state must be bit-identical to the one-shot batch build (monoid ⇒
     micro-batching and late arrivals are invisible), and estimates must
-    match exact distinct-user counts."""
+    match exact distinct-user counts. r6 watermark tier: the BUILT-IN
+    late-data mechanism (withWatermark + window + append mode) runs the
+    deterministic two-phase scenario — window finalized once, late
+    replay dropped by the checkpoint-recovered watermark, open window
+    held back — as three bound booleans."""
     import tempfile
 
     from dashing_spark.streaming.incremental import (
         incremental_sketch_query,
         read_state,
     )
+    from dashing_spark.streaming.windowed import late_data_scenario
+
+    wm = late_data_scenario(spark, tempfile.mkdtemp(prefix="dash_wmk_"))
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -1590,6 +1597,9 @@ def q_streaming_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         _hll_ok(F.col("est"), F.col("exact_users")),
         F.lit(stream_matches_batch).alias("stream_matches_batch"),
+        F.lit(wm["window_emitted_once"]).alias("wm_window_emitted_once"),
+        F.lit(wm["late_rows_dropped"]).alias("wm_late_rows_dropped"),
+        F.lit(wm["open_window_held"]).alias("wm_open_window_held"),
     )
 
 
@@ -2406,7 +2416,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_users_by_day": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id) AS exact_users, true AS hll_ok,
-                   true AS stream_matches_batch
+                   true AS stream_matches_batch,
+                   true AS wm_window_emitted_once,
+                   true AS wm_late_rows_dropped,
+                   true AS wm_open_window_held
             FROM events GROUP BY 1
         """,
         "stateful_users_by_day": """

@@ -671,3 +671,34 @@ class TestIndexCompaction:
         }
         # no pair may touch an expired (even-id) doc
         assert all(a % 2 == 1 and b % 2 == 1 for a, b in pairs)
+
+
+class TestWatermarkWindowed:
+    def test_late_data_scenario_booleans(self, spark, tmp_path):
+        from dashing_spark.streaming.windowed import late_data_scenario
+
+        res = late_data_scenario(spark, str(tmp_path / "wm"))
+        assert res == {
+            "window_emitted_once": True,
+            "late_rows_dropped": True,
+            "open_window_held": True,
+        }
+
+    def test_windowed_counts_batch_semantics(self, spark):
+        """The aggregation expression itself (sans engine state):
+        per-window counts over a batch frame."""
+        from pyspark.sql import functions as F
+
+        from dashing_spark.streaming.windowed import windowed_event_counts
+
+        df = spark.createDataFrame(
+            [("2026-01-01 05:00:00", "a"), ("2026-01-01 06:00:00", "a"),
+             ("2026-01-02 05:00:00", "b")],
+            "ts string, user_id string",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        # withWatermark is a no-op on batch frames, so the same helper runs
+        out = {
+            r["w_start"].day: r["n_events"]
+            for r in windowed_event_counts(df).collect()
+        }
+        assert out == {1: 2, 2: 1}
