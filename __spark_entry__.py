@@ -962,7 +962,17 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("norm")).alias("sum_norm_chars"),
     )
-    return base.join(norm_stats, "lang")
+    # r6 packing tier: concat-and-chunk sequence packing per lang
+    # (corpus.pack_sequences — distributed prefix sum, NOT a global
+    # Window) at a 512-token budget; the oracle replays the spans with
+    # a plain window cumsum, so n_sequences / boundary-doc counts /
+    # tail waste are all hash-gated
+    from dashing_spark.operators import corpus
+
+    pack = corpus.packing_stats(docs, "doc_id", 512).select(
+        "lang", "n_sequences", "n_boundary_docs", "tail_waste"
+    )
+    return base.join(norm_stats, "lang").join(pack, "lang")
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2821,8 +2831,30 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(nlen) AS BIGINT) AS sum_norm_chars
                 FROM n GROUP BY lang
             )
-            SELECT base.*, norm.n_nfc_changed, norm.sum_norm_chars
-            FROM base JOIN norm USING (lang)
+            , pk AS (
+                SELECT lang, doc_id,
+                       len(string_split(coalesce(text, ''), ' ')) AS nt,
+                       sum(len(string_split(coalesce(text, ''), ' ')))
+                           OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+                           - len(string_split(coalesce(text, ''), ' '))
+                           AS so
+                FROM documents
+            ), pks AS (
+                SELECT lang,
+                       CAST(max((so + nt - 1) // 512) + 1 AS BIGINT)
+                           AS n_sequences,
+                       CAST(sum(CASE WHEN so // 512 <> (so + nt - 1) // 512
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_boundary_docs,
+                       CAST((max((so + nt - 1) // 512) + 1) * 512
+                            - sum(nt) AS BIGINT) AS tail_waste
+                FROM pk GROUP BY lang
+            )
+            SELECT base.*, norm.n_nfc_changed, norm.sum_norm_chars,
+                   pks.n_sequences, pks.n_boundary_docs, pks.tail_waste
+            FROM base JOIN norm USING (lang) JOIN pks USING (lang)
         """,
         "quality_scores": """
             WITH aug AS (

@@ -38,7 +38,8 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
 spark.sparkContext.setLogLevel("ERROR")
 # compute-bound input: JVM-generated pages table, cached in memory so we
 # measure sketch-build compute scaling, not disk or generation
-pages = synth_pages(spark, n_docs).repartition(64).cache()
+# select away the (r6: heavyweight) html column -- the jobs sketch text
+pages = synth_pages(spark, n_docs).select("url", "text", "lang").repartition(64).cache()
 n = pages.count()
 def run_once():
     if job == "shuffle":

@@ -503,3 +503,105 @@ def bigram_logprob_scores(
         .join(agg, id_col, "left")
         .fillna({"n_tokens": 0, "n_oov": 0, "n_bigram_hits": 0})
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    budget: int,
+    text_col: str = "text",
+    strata_cols: tuple[str, ...] = ("lang",),
+    n_range_parts: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    data layout (documents concatenated in a deterministic order within
+    each stratum, then sliced into fixed ``budget``-token training
+    sequences). Returns one row per input doc with its token span in
+    the stratum's packed stream: ``(strata, id, n_tokens, start_off,
+    first_bin, last_bin)`` — ``first_bin != last_bin`` means the doc
+    crosses a sequence boundary (truncation/attention-reset site).
+
+    Scale design: the offsets are an exclusive prefix sum over a total
+    order ((strata, id)), and the naive formulation — a Window over
+    ``ORDER BY`` with no partition — collapses to ONE task at any
+    scale. This uses the distributed prefix-sum pattern instead:
+    ``repartitionByRange`` on the order key (ranges are globally
+    ordered, so partition-local sums compose), a per-partition local
+    cumsum (Window partitioned by spark_partition_id — embarrassingly
+    parallel), a driver-side exclusive scan over the tiny
+    (partition × stratum) totals table, and a broadcast map join to add
+    each row's base offset. One range shuffle, O(P·S) driver state,
+    everything else stays columnar JVM.
+
+    Token accounting matches the repo-wide rule (whitespace split;
+    NULL text counts like empty ⇒ 1 token) so DuckDB window-function
+    oracles replicate the spans exactly.
+    """
+    strata = list(strata_cols)
+    spark = df.sparkSession
+    n_tok = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1))
+    d = df.select(*strata, F.col(id_col), n_tok.alias("n_tokens"))
+    parts = n_range_parts or max(
+        2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    order_keys = [F.col(c) for c in strata] + [F.col(id_col)]
+    d = d.repartitionByRange(parts, *order_keys).sortWithinPartitions(*order_keys)
+    d = d.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid", *strata).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("__local_end", F.sum("n_tokens").over(w))
+    # tiny: one row per (physical partition, stratum)
+    totals = (
+        d.groupBy("__pid", *strata)
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    offsets = {}  # (pid, *strata) -> exclusive base offset
+    running: dict[tuple, int] = {}
+    for r in sorted(totals, key=lambda r: tuple([r[c] for c in strata] + [r["__pid"]])):
+        key = tuple(r[c] for c in strata)
+        offsets[(r["__pid"],) + key] = running.get(key, 0)
+        running[key] = running.get(key, 0) + r["t"]
+    if offsets:
+        off_rows = [k + (v,) for k, v in offsets.items()]
+        off_schema = d.select("__pid", *strata).schema.add("__base", "long")
+        off_df = spark.createDataFrame(off_rows, off_schema)
+    else:
+        off_df = spark.createDataFrame([], d.select("__pid", *strata).schema.add("__base", "long"))
+    out = d.join(F.broadcast(off_df), ["__pid"] + strata)
+    start = F.col("__base") + F.col("__local_end") - F.col("n_tokens")
+    return out.select(
+        *strata,
+        F.col(id_col),
+        "n_tokens",
+        start.alias("start_off"),
+        F.floor(start / F.lit(budget)).cast("long").alias("first_bin"),
+        F.floor((start + F.col("n_tokens") - 1) / F.lit(budget))
+        .cast("long")
+        .alias("last_bin"),
+    )
+
+
+def packing_stats(
+    df: DataFrame,
+    id_col: str,
+    budget: int,
+    text_col: str = "text",
+    strata_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Per-stratum packing summary over :func:`pack_sequences`:
+    sequences produced, docs crossing a sequence boundary, and tail
+    waste (pad tokens in the final partial sequence) — the
+    how-much-compute-does-this-corpus-buy accounting."""
+    packed = pack_sequences(df, id_col, budget, text_col, strata_cols)
+    strata = list(strata_cols)
+    return packed.groupBy(*strata).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("last_bin") + 1).alias("n_sequences"),
+        F.sum((F.col("first_bin") != F.col("last_bin")).cast("long")).alias(
+            "n_boundary_docs"
+        ),
+        ((F.max("last_bin") + 1) * budget - F.sum("n_tokens")).alias("tail_waste"),
+    )

@@ -1809,3 +1809,61 @@ class TestAnsiEdgeCases:
         )
         with _pytest.raises(ValueError, match="not in the supplied key list"):
             pairs_to_squareform(pairs, "ji", keys=["a"])
+
+
+class TestSequencePacking:
+    def _docs(self, spark):
+        rows = [
+            # lang en: token counts 3, 5, 4  (budget 4: bins 0..2)
+            ("en", 0, "a b c"),
+            ("en", 1, "d e f g h"),
+            ("en", 2, "i j k l"),
+            # lang de: one doc exactly filling a bin, then one token
+            ("de", 3, "w x y z"),
+            ("de", 4, "q"),
+            # NULL text counts like empty (1 token)
+            ("en", 5, None),
+        ]
+        return spark.createDataFrame(rows, "lang string, doc_id long, text string")
+
+    def test_spans_match_hand_computed(self, spark):
+        from dashing_spark.operators import corpus
+
+        out = {
+            r["doc_id"]: (r["start_off"], r["first_bin"], r["last_bin"])
+            for r in corpus.pack_sequences(self._docs(spark), "doc_id", 4).collect()
+        }
+        assert out == {
+            0: (0, 0, 0),   # [0,3) in bin 0
+            1: (3, 0, 1),   # [3,8) crosses into bin 1
+            2: (8, 2, 2),   # [8,12) exactly bin 2
+            3: (0, 0, 0),   # de stream restarts at 0; [0,4) fills bin 0
+            4: (4, 1, 1),   # next doc starts bin 1
+            5: (12, 3, 3),  # NULL -> 1 token at offset 12
+        }
+
+    def test_partition_count_invariance(self, spark):
+        from dashing_spark.operators import corpus
+
+        docs = self._docs(spark)
+        ref = sorted(
+            corpus.pack_sequences(docs, "doc_id", 4, n_range_parts=2).collect()
+        )
+        for parts in (3, 8):
+            got = sorted(
+                corpus.pack_sequences(
+                    docs.repartition(5), "doc_id", 4, n_range_parts=parts
+                ).collect()
+            )
+            assert got == ref
+
+    def test_packing_stats(self, spark):
+        from dashing_spark.operators import corpus
+
+        st = {
+            r["lang"]: (r["n_sequences"], r["n_boundary_docs"], r["tail_waste"])
+            for r in corpus.packing_stats(self._docs(spark), "doc_id", 4).collect()
+        }
+        # en: 13 tokens -> 4 bins of 4 = 16 slots, 3 wasted; doc 1 crosses
+        # de: 5 tokens -> 2 bins, 3 wasted; nothing crosses
+        assert st == {"en": (4, 1, 3), "de": (2, 0, 3)}
