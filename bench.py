@@ -456,6 +456,21 @@ def main() -> None:
     pq.unpersist(blocking=True)
     pr.unpersist(blocking=True)
 
+    # q22: sequence packing (concat-and-chunk) over 1M synthetic pages —
+    # the distributed-prefix-sum formulation (range exchange + windowed
+    # local cumsum + broadcast offsets), slim projection only
+    from dashing_spark.operators import corpus as _corpus
+
+    pack_pages = synth_pages(spark, n_synth).select("text", "lang").withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    ).cache()
+    n_pack = pack_pages.count()
+    run(
+        "q22_pack_sequences_1m",
+        lambda: _corpus.pack_sequences(pack_pages, "doc_id", 2048).count(),
+    )
+    pack_pages.unpersist(blocking=True)
+
     total = round(sum(timings.values()), 3)
     sketch_docs_per_sec = round(n_synth / timings["q0_synth_sketch_build_1m"], 1)
     # Rich diagnostics (drift bands, run counts, streaming epochs) go to an
@@ -472,6 +487,7 @@ def main() -> None:
         "streaming_pairs": n_stream_pairs,
         "panel_pairs": n_panel_pairs,
         "panel_pairs_per_sec": round(n_panel_pairs / timings["q21_panel_1kx1k"], 1),
+        "pack_docs_per_sec": round(n_pack / timings["q22_pack_sequences_1m"], 1),
         "n_docs": n_docs,
         "pairs_per_sec_kmv_stage": round(
             32640 / timings["q15_kmv_pair_stage_32k"], 1

@@ -1867,3 +1867,37 @@ class TestSequencePacking:
         # en: 13 tokens -> 4 bins of 4 = 16 slots, 3 wasted; doc 1 crosses
         # de: 5 tokens -> 2 bins, 3 wasted; nothing crosses
         assert st == {"en": (4, 1, 3), "de": (2, 0, 3)}
+
+    def test_plan_shape_pinned(self, spark):
+        """Scale guard: one range exchange + one window-clustering hash
+        exchange (slim projection only) + one broadcast join; the text
+        column must never reach an exchange. And the HTML-extraction
+        chain must stay a single whole-stage-codegen projection."""
+        import re
+
+        from dashing_spark.operators import corpus, text
+
+        docs = spark.createDataFrame(
+            [("en", i, "a b c") for i in range(50)],
+            "lang string, doc_id long, text string",
+        )
+        plan = (
+            corpus.pack_sequences(docs, "doc_id", 4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.lower().count("rangepartitioning") == 1
+        assert plan.count("Exchange") == 3  # range + window hash + broadcast
+        assert plan.count("BroadcastHashJoin") == 1
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text" not in line, line  # slim rows only
+        eplan = (
+            docs.select(text.extract_text_col("text").alias("e"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert set(re.findall(r"\*\(\d+\)", eplan)) == {"*(1)"}
+        assert "Exchange" not in eplan
