@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 import tempfile
 from typing import Callable, Sequence
@@ -69,13 +70,17 @@ def _session(nthreads: int | None) -> SparkSession:
 
 
 def _infer_fmt(path: str) -> str:
+    # extension first: a Spark-written dataset DIRECTORY named
+    # `docs.jsonl/` is json part-files, not parquet
     low = path.rstrip("/").lower()
-    if low.endswith(".parquet") or os.path.isdir(path):
+    if low.endswith(".parquet"):
         return "parquet"
     if low.endswith((".jsonl", ".json")):
         return "jsonl"
     if low.endswith(".csv"):
         return "csv"
+    if os.path.isdir(path):
+        return "parquet"
     raise SystemExit(
         f"cannot infer document format of {path!r}; pass --fmt parquet|jsonl|csv"
     )
@@ -173,6 +178,48 @@ def _item_rows(sets_df: DataFrame, args) -> DataFrame:
     return rows.select("key", F.col("__ih").alias("__h"))
 
 
+def _exact_items(sets_df: DataFrame, args) -> DataFrame:
+    """(key, __h) rows for the ground-truth mode, honoring the same
+    pre-sketch transforms the sketched path applies: --min-count drops
+    below-floor items (reference filters BEFORE inserting into the full
+    hash set, src/sketch_and_cmp.h:347) and --wj expands multiplicity
+    into (item, occurrence) pairs so exact JI over the expanded set IS
+    exact weighted Jaccard."""
+    items = _item_rows(sets_df, args)
+    if args.min_count > 1:
+        keep = (
+            items.groupBy("key", "__h")
+            .count()
+            .filter(F.col("count") >= args.min_count)
+            .select("key", "__h")
+        )
+        items = items.join(keep, ["key", "__h"], "left_semi")
+    if args.wj:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key", "__h").orderBy(
+            F.monotonically_increasing_id()
+        )
+        items = items.withColumn("__occ", F.row_number().over(w) - 1)
+        items = items.select("key", F.xxhash64("__h", "__occ").alias("__h"))
+    return items
+
+
+def _exact_sizes(sets_df: DataFrame, items: DataFrame) -> DataFrame:
+    """Exact per-key cardinalities, keeping keys whose every item was
+    filtered out (cardinality 0) — same never-lose-keys rule as the
+    sketched path's empty-sketch pad."""
+    est = items.groupBy("key").agg(
+        F.countDistinct("__h").cast("double").alias("cardinality")
+    )
+    return (
+        sets_df.select("key")
+        .distinct()
+        .join(est, "key", "left")
+        .select("key", F.coalesce("cardinality", F.lit(0.0)).alias("cardinality"))
+    )
+
+
 def _pad_missing_keys(
     spark: SparkSession,
     sk: DataFrame,
@@ -186,6 +233,10 @@ def _pad_missing_keys(
     sk = sk.select("key", agg.SKETCH_COL)
     if not expected:
         return sk
+    # the key probe is an action: checkpoint so the sketch build runs
+    # ONCE and every downstream action reuses the materialized table
+    # (eager=False + GC-unpersist, the lazy-operator pattern)
+    sk = sk.localCheckpoint(eager=False)
     have = {r["key"] for r in sk.select("key").distinct().collect()}
     missing = [k for k in expected if k not in have]
     if not missing:
@@ -277,6 +328,8 @@ def _build_sketches(
 
 
 def _load_sketch_tables(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
+    if not paths:
+        raise SystemExit("no input paths (positional or -F/--paths); see --help")
     parts = [spark.read.parquet(p) for p in paths]
     out = parts[0]
     for d in parts[1:]:
@@ -310,29 +363,46 @@ def _emit_file(write_fn: Callable[[str], None], out: str | None, binary: bool = 
         os.unlink(tmppath)
 
 
-def _emit_pairs(pairs: DataFrame, measure: str, args) -> None:
+def _emit_pairs(
+    pairs: DataFrame, measure: str, args, keys: Sequence[str] | None = None
+) -> None:
+    """``keys`` pins the matrix axes to the CLI's input-label order (and
+    keeps sets that appear in no pair — e.g. a single input — on the
+    axes); None (presketched inputs) derives sorted keys from the pairs."""
+    keys = list(keys) if keys else None
     if args.out_parquet:
         pairs.write.mode("overwrite").parquet(args.out_parquet)
         return
     if args.emit_binary:
-        _emit_file(
-            lambda p: sinks.write_packed_binary(pairs, measure, p),
-            args.out_dists,
-            binary=True,
-        )
+
+        def _bin(p):
+            order = sinks.write_packed_binary(pairs, measure, p, keys=keys)
+            # the reference ships row labels as a .labels sidecar —
+            # without it a packed matrix is uninterpretable
+            with open(p + ".labels", "w") as f:
+                f.write("\n".join(order) + "\n")
+
+        _emit_file(_bin, args.out_dists, binary=True)
     elif args.phylip:
-        _emit_file(lambda p: sinks.write_phylip(pairs, measure, p), args.out_dists)
+        _emit_file(
+            lambda p: sinks.write_phylip(pairs, measure, p, keys=keys),
+            args.out_dists,
+        )
     elif args.full_tsv:
 
         def _full(p):
             mat = sinks.pairs_to_squareform(
-                pairs, measure, diag=0.0 if measure in dist.DISTANCE_MEASURES else 1.0
+                pairs, measure, keys=keys,
+                diag=0.0 if measure in dist.DISTANCE_MEASURES else 1.0,
             )
             mat.to_csv(p, sep="\t", index_label="##Names", float_format="%.6f")
 
         _emit_file(_full, args.out_dists)
     else:
-        _emit_file(lambda p: sinks.write_ut_tsv(pairs, measure, p), args.out_dists)
+        _emit_file(
+            lambda p: sinks.write_ut_tsv(pairs, measure, p, keys=keys),
+            args.out_dists,
+        )
 
 
 def _emit_tsv_df(df: DataFrame, out: str | None) -> None:
@@ -431,8 +501,22 @@ def _add_dist_opts(sp: argparse.ArgumentParser) -> None:
                     help="pair-join strategy: auto | int grid | none")
 
 
+class _Parser(argparse.ArgumentParser):
+    """Registering the reference's `-8` flag flips argparse's
+    negative-number heuristic, which would reject `-R -3` (any negative
+    option VALUE). Only the literal `-8` is an option; every other
+    negative-number-shaped token is a value."""
+
+    _NEG = re.compile(r"^-\d+$|^-\d*\.\d+$")
+
+    def _parse_optional(self, arg_string):
+        if arg_string != "-8" and self._NEG.match(arg_string):
+            return None
+        return super()._parse_optional(arg_string)
+
+
 def build_parser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser(
+    ap = _Parser(
         prog="dashing-spark",
         description=__doc__.splitlines()[0],
     )
@@ -491,7 +575,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("mkdist", help="multi-k distance sweep")
     _add_common(sp)
     sp.add_argument("--ks", required=True,
-                    help="comma-separated shingle widths, e.g. 2,3,4")
+                    help="comma-separated k values for the per-k distance "
+                         "transform over the fixed -k item set, e.g. 2,3,4")
     sp.add_argument("-M", "--mash-dist", dest="measure", action="store_const",
                     const="mash_dist", default="mash_dist")
     sp.add_argument("--ji", dest="measure", action="store_const", const="ji")
@@ -542,25 +627,21 @@ def _cmd_dist(spark, args, by_seq: bool = False) -> int:
 
     if args.exact_sets and not args.presketched:
         # ground-truth mode: exact set triples from raw item rows
-        # (--use-full-khash-sets, /root/reference/src/khset64.h:129-156)
-        sets_df = (
-            _byseq_frame(spark, paths, args) if by_seq
-            else _sets_frame(spark, paths, args)
-        )
+        # (--use-full-khash-sets, /root/reference/src/khset64.h:129-156),
+        # honoring --min-count / --wj like the sketched path
+        sets_df, labels = _input_sets(spark, args, by_seq)
         if args.query_paths:
             raise SystemExit("--use-full-khash-sets does not support -Q yet")
-        items = _item_rows(sets_df, args)
+        items = _exact_items(sets_df, args)
         pairs = dist.exact_pair_measures(
             items, "key", "__h", (measure,), k=float(max(args.kmer_length, 1))
         )
         if args.out_sizes:
-            sizes = items.groupBy("key").agg(
-                F.countDistinct("__h").cast("double").alias("cardinality")
-            )
-            _emit_tsv_df(sizes, args.out_sizes)
-        _emit_pairs(pairs, measure, args)
+            _emit_tsv_df(_exact_sizes(sets_df, items), args.out_sizes)
+        _emit_pairs(pairs, measure, args, keys=labels)
         return 0
 
+    labels = None
     if args.presketched:
         sk = _load_sketch_tables(spark, paths)
     else:
@@ -575,11 +656,19 @@ def _cmd_dist(spark, args, by_seq: bool = False) -> int:
     if args.query_paths:
         with open(args.query_paths) as f:
             qpaths = [ln.strip() for ln in f if ln.strip()]
-        qargs_paths = qpaths
-        qsets = _sets_frame(spark, qargs_paths, args)
-        qsk = _build_sketches(
-            spark, qsets, args, expected_keys=[_label_for(p) for p in qargs_paths]
-        )
+        if args.presketched:
+            # -H applies to the query side too: both halves of the
+            # panel come from persisted (key, sketch) tables
+            qsk = _load_sketch_tables(spark, qpaths)
+        elif by_seq:
+            qsk = _build_sketches(spark, _byseq_frame(spark, qpaths, args), args)
+        else:
+            qsk = _build_sketches(
+                spark,
+                _sets_frame(spark, qpaths, args),
+                args,
+                expected_keys=[_label_for(p) for p in qpaths],
+            )
         pairs = dist.query_reference(
             qsk, sk, ["key"], (measure,), ksinv=ksinv, estimator=estimator,
             n_blocks=nb,
@@ -610,7 +699,7 @@ def _cmd_dist(spark, args, by_seq: bool = False) -> int:
     pairs = dist.all_pairs(
         sk, ["key"], (measure,), ksinv=ksinv, estimator=estimator, n_blocks=nb
     )
-    _emit_pairs(pairs, measure, args)
+    _emit_pairs(pairs, measure, args, keys=labels)
     return 0
 
 
@@ -618,11 +707,8 @@ def _cmd_card(spark, args) -> int:
     paths = _gather_paths(args)
     if args.exact_sets:
         sets_df = _sets_frame(spark, paths, args)
-        items = _item_rows(sets_df, args)
-        out = items.groupBy("key").agg(
-            F.countDistinct("__h").cast("double").alias("cardinality")
-        )
-        _emit_tsv_df(out.orderBy("key"), args.out)
+        items = _exact_items(sets_df, args)
+        _emit_tsv_df(_exact_sizes(sets_df, items).orderBy("key"), args.out)
         return 0
     if args.presketched:
         sk = _load_sketch_tables(spark, paths)
@@ -671,8 +757,11 @@ def _cmd_view(spark, args) -> int:
 
 def _cmd_printmat(args) -> int:
     keys = None
-    if args.labels:
-        with open(args.labels) as f:
+    labels_path = args.labels
+    if labels_path is None and os.path.exists(args.inputs[0] + ".labels"):
+        labels_path = args.inputs[0] + ".labels"  # the -b sidecar
+    if labels_path:
+        with open(labels_path) as f:
             keys = [ln.strip() for ln in f if ln.strip()]
     mat = sinks.read_packed_binary(args.inputs[0], keys=keys)
     sys.stdout.write(mat.to_csv(sep="\t", index_label="##Names", float_format="%.6f"))
@@ -682,10 +771,13 @@ def _cmd_printmat(args) -> int:
 def _cmd_mkdist(spark, args, flatten: bool = False) -> int:
     sets_df = _sets_frame(spark, _gather_paths(args), args)
     ks = [int(k) for k in args.ks.split(",") if k]
-    items = sets_df.select(
-        "key", F.explode(F.split("text", " ", -1)).alias("__tok")
-    )
-    mk = dist.multi_k_measures(items, "key", "__tok", ks, measure=args.measure)
+    # item set comes from -k (shingle width), computed ONCE; --ks are
+    # the per-k distance-transform values over that fixed set — the
+    # engine's one-scan mkdist core (dist.multi_k_measures; the
+    # reference shells out one re-sketch per k instead,
+    # /root/reference/src/mkdistmain.cpp:12-142)
+    items = _item_rows(sets_df, args)
+    mk = dist.multi_k_measures(items, "key", "__h", ks, measure=args.measure)
     if flatten:
         out = dist.flatten_multi_k(mk, args.measure, ks).orderBy("a_key", "b_key")
         _emit_tsv_df(out, args.out)

@@ -55,10 +55,17 @@ def pairs_to_squareform(
     return pd.DataFrame(m, index=keys, columns=keys)
 
 
-def write_ut_tsv(pairs: DataFrame, measure: str, path: str, diag_token: str = "-") -> None:
+def write_ut_tsv(
+    pairs: DataFrame,
+    measure: str,
+    path: str,
+    diag_token: str = "-",
+    keys: list[str] | None = None,
+) -> None:
     """Upper-triangular TSV, dashing's default emission: header row of
-    labels, each row = label + '-' padding + UT values."""
-    mat = pairs_to_squareform(pairs, measure)
+    labels, each row = label + '-' padding + UT values. ``keys`` pins
+    the axes (required to represent sets that appear in no pair)."""
+    mat = pairs_to_squareform(pairs, measure, keys=keys)
     keys = list(mat.index)
     with open(path, "w") as f:
         f.write("##Names\t" + "\t".join(keys) + "\n")
@@ -69,9 +76,11 @@ def write_ut_tsv(pairs: DataFrame, measure: str, path: str, diag_token: str = "-
             f.write(k + "\t" + "\t".join(cells) + "\n")
 
 
-def write_phylip(pairs: DataFrame, measure: str, path: str) -> None:
+def write_phylip(
+    pairs: DataFrame, measure: str, path: str, keys: list[str] | None = None
+) -> None:
     """PHYLIP upper-triangular distance matrix (`-U` in the reference)."""
-    mat = pairs_to_squareform(pairs, measure, diag=0.0)
+    mat = pairs_to_squareform(pairs, measure, keys=keys, diag=0.0)
     keys = list(mat.index)
     with open(path, "w") as f:
         f.write(f"{len(keys)}\n")
@@ -80,12 +89,14 @@ def write_phylip(pairs: DataFrame, measure: str, path: str) -> None:
             f.write("\t".join([k] + vals) + "\n")
 
 
-def write_packed_binary(pairs: DataFrame, measure: str, path: str) -> list[str]:
+def write_packed_binary(
+    pairs: DataFrame, measure: str, path: str, keys: list[str] | None = None
+) -> list[str]:
     """Packed UT float32 matrix — the reference's `-b` format: type byte
     (0 = float32) + u64 number of sets n + n(n-1)/2 float32 (row-major
     upper triangle). Returns the key order (labels ship separately,
     like .labels.gz)."""
-    mat = pairs_to_squareform(pairs, measure)
+    mat = pairs_to_squareform(pairs, measure, keys=keys)
     keys = list(mat.index)
     n = len(keys)
     tri = np.concatenate(

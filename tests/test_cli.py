@@ -344,3 +344,134 @@ class TestTravisMirror:
             assert main(argv, spark=spark) == 0, argv
             outp = argv[argv.index("-O") + 1] if "-O" in argv else argv[argv.index("-o") + 1]
             assert os.path.getsize(outp) > 0, argv
+
+
+class TestReviewRegressions:
+    """Each test pins a reviewed-and-fixed CLI defect."""
+
+    def test_negative_seed_short_spelling(self, spark, doc_dir, tmp_path):
+        # '-8' being a flag must not make argparse reject negative VALUES
+        out = str(tmp_path / "d.tsv")
+        rc = main(["dist", "-R", "-3", "-S", "12", "-O", out, *_paths(doc_dir)],
+                  spark=spark)
+        assert rc == 0
+        assert abs(_parse_ut_tsv(out)[("setA", "setB")] - 25 / 75) < 0.12
+
+    def test_single_input_keeps_its_axis(self, spark, doc_dir, tmp_path):
+        out = str(tmp_path / "one.tsv")
+        rc = main(["dist", "-S", "12", "-O", out,
+                   str(doc_dir / "setA.jsonl")], spark=spark)
+        assert rc == 0
+        with open(out) as f:
+            assert f.readline().strip() == "##Names\tsetA"
+            assert f.readline().strip() == "setA\t-"
+
+    def test_binary_labels_sidecar_input_order(self, spark, doc_dir, tmp_path, capsys):
+        binp = str(tmp_path / "mat.bin")
+        # NON-sorted input order must be preserved on the axes
+        rc = main(["dist", "-S", "12", "-b", "-O", binp,
+                   str(doc_dir / "setC.jsonl"), str(doc_dir / "setA.jsonl")],
+                  spark=spark)
+        assert rc == 0
+        assert open(binp + ".labels").read() == "setC\nsetA\n"
+        rc = main(["printmat", binp])  # sidecar auto-loaded
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines[1].split("\t")[0] == "setC"
+        assert float(lines[1].split("\t")[2]) < 0.1  # JI(C, A) = 0
+
+    def test_presketched_query_paths(self, spark, doc_dir, tmp_path):
+        ska = str(tmp_path / "ska.parquet")
+        skbc = str(tmp_path / "skbc.parquet")
+        main(["sketch", "-S", "14", "-o", ska, str(doc_dir / "setA.jsonl")],
+             spark=spark)
+        main(["sketch", "-S", "14", "-o", skbc, str(doc_dir / "setB.jsonl"),
+              str(doc_dir / "setC.jsonl")], spark=spark)
+        qfile = tmp_path / "q.txt"
+        qfile.write_text(ska + "\n")
+        out = str(tmp_path / "panel.tsv")
+        rc = main(["dist", "-H", "--containment-index", "-Q", str(qfile),
+                   "-O", out, skbc], spark=spark)
+        assert rc == 0
+        with open(out) as f:
+            f.readline()
+            rows = {(r[0], r[1]): float(r[2])
+                    for r in (ln.strip().split("\t") for ln in f)}
+        assert set(rows) == {("setA", "setB"), ("setA", "setC")}
+        assert abs(rows[("setA", "setB")] - 0.5) < 0.08
+
+    def test_exact_mode_honors_min_count(self, spark, doc_dir, tmp_path):
+        d = tmp_path / "dup.jsonl"
+        with open(d, "w") as f:
+            for _ in range(2):
+                for i in range(0, 50, 10):
+                    text = " ".join(f"t{t}" for t in range(i, i + 10))
+                    f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+        card = str(tmp_path / "card.tsv")
+        rc = main(["card", "--use-full-khash-sets", "-c", "2", "-o", card,
+                   str(d), str(doc_dir / "setB.jsonl")], spark=spark)
+        assert rc == 0
+        with open(card) as f:
+            f.readline()
+            got = {r[0]: float(r[1]) for r in (ln.strip().split("\t") for ln in f)}
+        assert got == {"dup": 50.0, "setB": 0.0}  # filtered-out key kept, at 0
+
+    def test_exact_mode_weighted_jaccard(self, spark, tmp_path):
+        da, db = tmp_path / "wa.jsonl", tmp_path / "wb.jsonl"
+        da.write_text(json.dumps({"doc_id": 0, "text": "x x y"}) + "\n")
+        db.write_text(json.dumps({"doc_id": 0, "text": "x y y"}) + "\n")
+        out = str(tmp_path / "wji.tsv")
+        rc = main(["dist", "--use-full-khash-sets", "--wj", "-O", out,
+                   str(da), str(db)], spark=spark)
+        assert rc == 0
+        # WJI({x:2,y:1},{x:1,y:2}) = (1+1)/(2+2) = 0.5
+        assert _parse_ut_tsv(out)[("wa", "wb")] == pytest.approx(0.5)
+
+    def test_mkdist_honors_shingle_width(self, spark, doc_dir, tmp_path):
+        out1 = str(tmp_path / "w1.tsv")
+        out2 = str(tmp_path / "w2.tsv")
+        for w, out in ((1, out1), (2, out2)):
+            rc = main(["mkdist", "-k", str(w), "--ks", "2", "--ji", "-o", out,
+                       *_paths(doc_dir)], spark=spark)
+            assert rc == 0
+        # unigram item sets of A and B overlap; 2-shingle sets are the
+        # docs' distinct windows — the measure must CHANGE with -k
+        def ji_ab(p):
+            with open(p) as f:
+                f.readline()
+                for ln in f:
+                    r = ln.strip().split("\t")
+                    if r[0] == "setA" and r[1] == "setB":
+                        return float(r[2])  # (a_key, b_key, measure, k)
+        assert ji_ab(out1) != ji_ab(out2)
+
+    def test_by_seq_query_paths(self, spark, doc_dir, tmp_path):
+        qfile = tmp_path / "q.txt"
+        qfile.write_text(str(doc_dir / "setA.jsonl"))
+        out = str(tmp_path / "panel.tsv")
+        rc = main(["cmp_by_seq", "--key-col", "doc_id", "-S", "12",
+                   "-Q", str(qfile), "-O", out, str(doc_dir / "setA.jsonl")],
+                  spark=spark)
+        assert rc == 0
+        with open(out) as f:
+            f.readline()
+            rows = [ln.strip().split("\t") for ln in f]
+        assert len(rows) == 25  # 5 query docs x 5 reference docs
+
+    def test_presketched_requires_paths(self, spark):
+        with pytest.raises(SystemExit):
+            main(["dist", "-H", "-O", "/tmp/never.tsv"], spark=spark)
+
+    def test_jsonl_directory_input(self, spark, doc_dir, tmp_path):
+        # a Spark-written json DATASET DIRECTORY named *.jsonl must not
+        # be misread as parquet
+        src = spark.read.json(str(doc_dir / "setA.jsonl"))
+        dirp = str(tmp_path / "dirA.jsonl")
+        src.write.mode("overwrite").json(dirp)
+        card = str(tmp_path / "card.tsv")
+        rc = main(["card", "-S", "14", "-o", card, dirp], spark=spark)
+        assert rc == 0
+        with open(card) as f:
+            f.readline()
+            est = float(f.readline().strip().split("\t")[1])
+        assert abs(est - 50) / 50 < 0.1
