@@ -1341,9 +1341,9 @@ def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 16) a substring deduper would actually cut. One span-keyed
     shuffle each, no pair table; the run tier adds one per-doc window."""
     docs = _docs(spark, sf_dir)
-    # one corpus-wide span explosion feeds both tiers (the dominant
-    # linear cost); lazy localCheckpoint so the two consumers hit
-    # storage, not a second Generate+scan
+    # one corpus-wide span explosion feeds all three tiers (the
+    # dominant linear cost); lazy localCheckpoint so the consumers hit
+    # storage, not repeated Generate+scans
     sp = dedup.span_rows(docs, "doc_id", ["lang"], w=8).localCheckpoint(
         eager=False
     )
@@ -1356,7 +1356,26 @@ def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_docs_with_run", "total_runs", "total_run_tokens",
         "max_run_len", "corpus_run_token_frac",
     )
-    return spans.join(runs, "lang")
+    # third tier (round 6): ExactSubstr REWRITING — qualifying islands
+    # cut from every document; rebuilt text hash-compared (md5 matches
+    # DuckDB) and the no-op rebuild pinned byte-lossless in-plan
+    rw = dedup.remove_duplicate_runs(
+        docs, "doc_id", w=8, min_len=16, spans=sp
+    )
+    rw_agg = rw.groupBy("lang").agg(
+        F.sum(
+            F.when(F.col("n_tokens_removed") > 0, 1).otherwise(0)
+        ).alias("n_docs_rewritten"),
+        F.sum("n_tokens_removed").alias("total_tokens_removed"),
+        F.countDistinct(F.md5("text_dedup")).alias("n_distinct_rebuilt"),
+        F.min(
+            F.when(
+                F.col("n_tokens_removed") == 0,
+                F.col("text_dedup") == F.col("text"),
+            )
+        ).alias("rebuild_lossless_ok"),
+    )
+    return spans.join(runs, "lang").join(rw_agg, "lang")
 
 
 def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3150,7 +3169,40 @@ def oracle_sql() -> dict[str, str]:
                        round(coalesce(sum(qr.rt), 0)::DOUBLE
                              / sum(tk.nt), 9) AS corpus_run_token_frac
                 FROM tk LEFT JOIN qr USING (doc_id) GROUP BY tk.lang
-            )
+            ),
+            civ AS (SELECT doc_id, grp, min(i) AS mn, max(i) + 7 AS mx
+                    FROM ii GROUP BY doc_id, grp
+                    HAVING max(i) - min(i) + 8 >= 16),
+            cov AS (SELECT DISTINCT doc_id, unnest(range(mn, mx + 1)) AS p
+                    FROM civ),
+            tok AS (SELECT doc_id, lang, unnest(range(1, len(ts) + 1)) AS p,
+                           ts
+                    FROM d WHERE ts IS NOT NULL),
+            kept AS (SELECT t.doc_id, t.lang, t.p, t.ts[t.p] AS tk
+                     FROM tok t LEFT JOIN cov c
+                       ON t.doc_id = c.doc_id AND t.p = c.p
+                     WHERE c.p IS NULL),
+            reb AS (SELECT doc_id, any_value(lang) AS lang,
+                           string_agg(tk, ' ' ORDER BY p) AS ntext,
+                           count(*) AS nkept
+                    FROM kept GROUP BY doc_id),
+            rwd AS (SELECT d.doc_id, d.lang,
+                           CASE WHEN d.ts IS NULL THEN NULL
+                                ELSE coalesce(reb.ntext, '') END AS ntext,
+                           CASE WHEN d.ts IS NULL THEN 0
+                                ELSE len(d.ts) - coalesce(reb.nkept, 0)
+                           END AS nrem,
+                           array_to_string(d.ts, ' ') AS otext
+                    FROM d LEFT JOIN reb USING (doc_id)),
+            rwagg AS (SELECT lang,
+                             sum(CASE WHEN nrem > 0 THEN 1 ELSE 0
+                                 END)::BIGINT AS n_docs_rewritten,
+                             sum(nrem)::BIGINT AS total_tokens_removed,
+                             count(DISTINCT md5(ntext))::BIGINT
+                                 AS n_distinct_rebuilt,
+                             min(CASE WHEN nrem = 0 THEN ntext = otext
+                                 END) AS rebuild_lossless_ok
+                      FROM rwd GROUP BY lang)
             SELECT per.lang,
                    count(*)::BIGINT AS n_docs_with_spans,
                    sum(n_spans)::BIGINT AS total_spans,
@@ -3166,8 +3218,16 @@ def oracle_sql() -> dict[str, str]:
                    any_value(runagg.total_run_tokens) AS total_run_tokens,
                    any_value(runagg.max_run_len) AS max_run_len,
                    any_value(runagg.corpus_run_token_frac)
-                       AS corpus_run_token_frac
+                       AS corpus_run_token_frac,
+                   any_value(rwagg.n_docs_rewritten) AS n_docs_rewritten,
+                   any_value(rwagg.total_tokens_removed)
+                       AS total_tokens_removed,
+                   any_value(rwagg.n_distinct_rebuilt)
+                       AS n_distinct_rebuilt,
+                   any_value(rwagg.rebuild_lossless_ok)
+                       AS rebuild_lossless_ok
             FROM per JOIN runagg ON per.lang = runagg.lang
+                     JOIN rwagg ON per.lang = rwagg.lang
             GROUP BY per.lang
         """,
         "benchmark_decontamination": """

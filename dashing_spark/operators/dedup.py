@@ -1066,6 +1066,133 @@ def span_rows(
     return spans
 
 
+def dup_islands(
+    spans: DataFrame, w: int, key_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Maximal covered intervals ("islands") of cross-document
+    duplicated w-token spans: (__id, *key_cols, __isl, __start, __len)
+    where [__start, __start + __len - 1] are the covered token
+    positions. Shared core of :func:`duplicate_run_stats` (statistics)
+    and :func:`remove_duplicate_runs` (rewriting).
+
+    Plan: one distinct + one count shuffle keyed by the span (linear in
+    corpus tokens, no pair table), one join back to position rows, ONE
+    window partitioned by document — per-doc data, no global sort."""
+    key_cols = list(key_cols)
+    # span -> distinct-doc count (distinct (doc, span) first, as in
+    # duplicate_span_stats); dup spans join back to POSITION rows
+    span_docs = (
+        spans.select("__id", "__span")
+        .distinct()
+        .groupBy("__span")
+        .agg(F.count("*").alias("__ndocs"))
+        .filter(F.col("__ndocs") >= 2)
+        .select("__span")
+    )
+    dup_pos = spans.join(span_docs, "__span").select("__id", *key_cols, "__pos")
+    # islands: positions sorted per doc; fixed width w makes interval
+    # ends monotone, so a gap > w between consecutive covered starts
+    # begins a new island (pos' <= pos + w overlaps-or-abuts the
+    # previous [pos, pos+w-1] cover)
+    win = Window.partitionBy("__id").orderBy("__pos")
+    brk = (
+        F.when(F.col("__pos") - F.lag("__pos").over(win) > w, 1)
+        .otherwise(0)
+    )
+    isl = dup_pos.withColumn(
+        "__isl",
+        F.sum(brk).over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("__id", *key_cols, "__isl").agg(
+        F.min("__pos").alias("__start"),
+        (F.max("__pos") - F.min("__pos") + w).alias("__len"),
+    )
+
+
+def remove_duplicate_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    w: int = 8,
+    min_len: int = 16,
+    span_key: str = "text",
+    spans: DataFrame | None = None,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """ExactSubstr DEDUPLICATION — the rewriting form of the Lee et al.
+    2022 substring signal :func:`duplicate_run_stats` only measures:
+    every token position inside a qualifying duplicated island (maximal
+    covered run of length >= ``min_len``) is cut from EVERY document,
+    and the surviving tokens are rejoined in order. Removing all
+    occurrences (no canonical keeper) matches the released
+    deduplicate-text-datasets tool; Lee et al. §3.1 note the choice is
+    deliberate — a substring frequent enough to repeat across documents
+    is boilerplate, not content.
+
+    Never loses rows: docs with nothing removed come back with
+    ``out_col`` == ``text_col`` byte-identical (split-on-space then
+    rejoin-with-space is lossless, including empty tokens from repeated
+    / leading / trailing spaces), fully-covered docs come back with
+    ``out_col`` == '' and NULL-text docs with NULL. Adds
+    ``n_tokens_removed``.
+
+    Scale: the :func:`dup_islands` span shuffle + per-doc window, one
+    interval->position explode (bounded by covered-token count), one
+    composite-key (id, pos) anti join (skew-free — positions spread any
+    hot document), one per-doc rebuild aggregation. All linear in
+    corpus tokens; no pair table, no driver collect.
+    ``span_key="hash"`` ships 8-byte span keys at the 100 TB tier (see
+    :func:`duplicate_span_stats`)."""
+    if min_len < w:
+        raise ValueError(f"min_len ({min_len}) must be >= w ({w})")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    if spans is None:
+        spans = span_rows(df, id_col, [], text_col, w, span_key)
+    islands = dup_islands(spans, w).filter(F.col("__len") >= min_len)
+    cov = islands.select(
+        "__id",
+        F.explode(
+            F.sequence(
+                F.col("__start"), F.col("__start") + F.col("__len") - 1
+            )
+        ).alias("__pos"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), " ", -1)).alias(
+            "__pos", "__tok"
+        ),
+    )
+    kept = toks.join(cov, ["__id", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+            " ",
+        ).alias("__newtext"),
+        F.count("*").alias("__kept"),
+    )
+    n_toks = F.size(F.split(F.col(text_col), " ", -1))
+    out = df.join(
+        rebuilt, df[id_col] == rebuilt["__id"], "left"
+    ).drop("__id")
+    return out.select(
+        *df.columns,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce("__newtext", F.lit("")))
+        .alias(out_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(n_toks - F.coalesce("__kept", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
+
+
 def duplicate_run_stats(
     df: DataFrame,
     id_col: str,
@@ -1107,35 +1234,7 @@ def duplicate_run_stats(
         raise ValueError(f"min_len ({min_len}) must be >= w ({w})")
     if spans is None:
         spans = span_rows(df, id_col, key_cols, text_col, w, span_key)
-    # span -> distinct-doc count (distinct (doc, span) first, as in
-    # duplicate_span_stats); dup spans join back to POSITION rows
-    span_docs = (
-        spans.select("__id", "__span")
-        .distinct()
-        .groupBy("__span")
-        .agg(F.count("*").alias("__ndocs"))
-        .filter(F.col("__ndocs") >= 2)
-        .select("__span")
-    )
-    dup_pos = spans.join(span_docs, "__span").select("__id", *key_cols, "__pos")
-    # islands: positions sorted per doc; fixed width w makes interval
-    # ends monotone, so a gap > w between consecutive covered starts
-    # begins a new island (pos' <= pos + w overlaps-or-abuts the
-    # previous [pos, pos+w-1] cover)
-    win = Window.partitionBy("__id").orderBy("__pos")
-    brk = (
-        F.when(F.col("__pos") - F.lag("__pos").over(win) > w, 1)
-        .otherwise(0)
-    )
-    isl = dup_pos.withColumn(
-        "__isl",
-        F.sum(brk).over(
-            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    runs = isl.groupBy("__id", *key_cols, "__isl").agg(
-        (F.max("__pos") - F.min("__pos") + w).alias("__len")
-    )
+    runs = dup_islands(spans, w, key_cols)
     q = runs.filter(F.col("__len") >= min_len)
     per_run_doc = q.groupBy("__id", *key_cols).agg(
         F.count("*").alias("__n_runs"),

@@ -1081,6 +1081,78 @@ class TestDuplicateRuns:
             )
 
 
+class TestRemoveDuplicateRuns:
+    """ExactSubstr rewriting (remove_duplicate_runs): every qualifying
+    duplicated island is cut from every occurrence; everything else is
+    byte-preserved."""
+
+    BLOCK = " ".join(f"b{i}" for i in range(20))
+
+    @pytest.fixture()
+    def rw_docs(self, spark):
+        rows = [
+            (1, "u1 u2 u3 " + self.BLOCK + " t1 t2"),
+            (2, self.BLOCK + " z1 z2 z3 z4"),
+            (3, "p1 p2 s1 s2 s3 s4 p3 p4 p5 p6"),   # shares only a
+            (4, "q1 s1 s2 s3 s4 q2 q3 q4 q5 q6"),   # 4-token span
+            (5, self.BLOCK),                          # fully covered
+            (6, "x1  x2 "),                           # ws roundtrip
+            (7, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def _out(self, rw_docs, **kw):
+        out = dedup.remove_duplicate_runs(rw_docs, "doc_id", w=8,
+                                          min_len=16, **kw)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_block_cut_from_every_occurrence(self, rw_docs):
+        got = self._out(rw_docs)
+        assert got[1]["text_dedup"] == "u1 u2 u3 t1 t2"
+        assert got[2]["text_dedup"] == "z1 z2 z3 z4"
+        assert got[1]["n_tokens_removed"] == 20
+        assert got[2]["n_tokens_removed"] == 20
+
+    def test_below_threshold_and_clean_docs_byte_preserved(self, rw_docs):
+        got = self._out(rw_docs)
+        for i in (3, 4, 6):  # short shared span / irregular whitespace
+            assert got[i]["text_dedup"] == got[i]["text"]
+            assert got[i]["n_tokens_removed"] == 0
+
+    def test_fully_covered_doc_becomes_empty_not_lost(self, rw_docs):
+        got = self._out(rw_docs)
+        assert got[5]["text_dedup"] == ""
+        assert got[5]["n_tokens_removed"] == 20
+        assert len(got) == 7  # never-lose-rows
+
+    def test_null_text_passes_through(self, rw_docs):
+        got = self._out(rw_docs)
+        assert got[7]["text_dedup"] is None
+        assert got[7]["n_tokens_removed"] == 0
+
+    def test_removed_tokens_match_run_stats(self, rw_docs):
+        got = self._out(rw_docs)
+        stats = dedup.duplicate_run_stats(
+            rw_docs.fillna({"text": ""}), "doc_id", [], w=8, min_len=16
+        ).first()
+        assert sum(r["n_tokens_removed"] for r in got.values()) == \
+            stats["total_run_tokens"]
+
+    def test_hash_span_key_same_rewrite(self, rw_docs):
+        a = self._out(rw_docs)
+        b = self._out(rw_docs, span_key="hash")
+        assert {k: v["text_dedup"] for k, v in a.items()} == \
+            {k: v["text_dedup"] for k, v in b.items()}
+
+    def test_out_col_collision_raises(self, rw_docs):
+        with pytest.raises(ValueError):
+            dedup.remove_duplicate_runs(rw_docs, "doc_id", out_col="text")
+
+    def test_min_len_below_w_raises(self, rw_docs):
+        with pytest.raises(ValueError):
+            dedup.remove_duplicate_runs(rw_docs, "doc_id", w=8, min_len=4)
+
+
 class TestSpanSharing:
     def test_shared_span_frame_scans_input_once_per_consumer(self, spark, docs):
         """The merged gate query builds span_rows once (lazy
