@@ -49,6 +49,8 @@ def curate(
     sample_rates: dict[str, float] | None = None,
     strat_col: str = "lang",
     line_dedup_sep: str | None = None,
+    substring_dedup_min_len: int | None = None,
+    substring_dedup_w: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline. Returns (kept_docs, stats) where
     stats is a lazy one-row-per-stage frame: (stage, n_out).
@@ -71,7 +73,11 @@ def curate(
     ``line_dedup_sep`` (e.g. ``"\\n"``) enables the C4 corpus-wide
     line-dedup rewrite between exact and near-dup dedup — document
     counts don't change, text does, so it runs before every
-    text-derived stage."""
+    text-derived stage; ``substring_dedup_min_len`` (e.g. 50, the Lee
+    et al. threshold) additionally cuts cross-document duplicated token
+    runs of at least that length (ExactSubstr rewrite,
+    :func:`dedup.remove_duplicate_runs`) in the same slot, after the
+    line rewrite."""
     # stage 1: exact dedup (min-id keeper per byte-identical text)
     keepers = (
         docs.select(F.md5(F.col(text_col)).alias("__dg"), F.col(id_col))
@@ -92,6 +98,20 @@ def curate(
         ld = dedup.line_dedup(s1, id_col, text_col, line_sep=line_dedup_sep)
         s1 = s1.drop(text_col).join(
             ld.select(id_col, F.col("text_out").alias(text_col)), id_col
+        )
+    # stage 1c: optional ExactSubstr rewrite — cuts cross-document
+    # duplicated runs >= min_len tokens from every occurrence (Lee et
+    # al. 2022); like line dedup it rewrites text, so it precedes every
+    # text-derived stage
+    if substring_dedup_min_len is not None:
+        if not s1.isStreaming:
+            s1 = s1.localCheckpoint(eager=False)
+        rw = dedup.remove_duplicate_runs(
+            s1, id_col, text_col,
+            w=substring_dedup_w, min_len=substring_dedup_min_len,
+        )
+        s1 = rw.drop(text_col, "n_tokens_removed").withColumnRenamed(
+            "text_dedup", text_col
         )
     # stage 2: near-dup dedup
     pairs = dedup.minhash_lsh_dedup(s1, id_col, text_col, threshold=near_threshold)

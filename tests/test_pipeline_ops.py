@@ -621,6 +621,36 @@ class TestCorpusCuration:
         ).filter(F.col("text") != F.col("etext"))
         assert changed.count() > 0
 
+    def test_substring_dedup_stage_matches_standalone(self, spark):
+        """curate(substring_dedup_min_len=...) must rewrite text exactly
+        as remove_duplicate_runs applied after exact dedup."""
+        from dashing_spark.operators import corpus, dedup
+
+        block = " ".join(f"b{i}" for i in range(20))
+        filler = [" ".join(f"c{d}_{i}" for i in range(30)) for d in range(4)]
+        rows = [
+            (1, f"u1 u2 {block} u3 u4 " + filler[0], "en"),
+            (2, f"{block} z1 z2 z3 z4 " + filler[1], "en"),
+            (3, filler[2], "en"),
+            (4, filler[3], "en"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        kept, _ = corpus.curate(
+            docs, min_quality=0.0, substring_dedup_min_len=16
+        )
+        expect = dedup.remove_duplicate_runs(
+            docs, "doc_id", w=8, min_len=16
+        ).select("doc_id", F.col("text_dedup").alias("etext"))
+        joined = kept.select("doc_id", "text").join(expect, "doc_id", "left")
+        assert joined.filter(
+            F.col("etext").isNull() | (F.col("text") != F.col("etext"))
+        ).count() == 0
+        # the rewrite did real work on both block carriers
+        changed = {r["doc_id"] for r in expect.join(
+            docs.select("doc_id", F.col("text").alias("otext")), "doc_id"
+        ).filter(F.col("etext") != F.col("otext")).collect()}
+        assert changed == {1, 2}
+
     def test_full_chain_matches_standalone_stages(self, spark, docs):
         from dashing_spark.operators import contamination, corpus
 
