@@ -839,6 +839,7 @@ def _ann_recall_stats(
     min_recall: float,
     median_bound: float,
     p10_bound: float,
+    extra_tiers: list | None = None,
 ) -> DataFrame:
     """Stats form for approximate ANN. VERDICT r4 #8: gate the recall
     DISTRIBUTION, not just a global floor — per-query-point recall is
@@ -847,37 +848,44 @@ def _ann_recall_stats(
     query points entirely). Exact columns (vector count, k) stay
     hash-gated; the planes/centroid sample are seeded deterministic so
     the bounds are stable across runs and scale factors (measured
-    identical deciles at sf0.001/0.01/0.1)."""
+    identical deciles at sf0.001/0.01/0.1).
+
+    ``extra_tiers``: [(approx_df, ok_name, mean, p50, p10)] — further
+    indexes gated against the SAME exact top-3 in the same slot (the
+    50-query cap makes merging the only way to add gated tiers)."""
     emb = _embeddings(spark, sf_dir)
-    exact = similarity.cosine_topk_exact(emb, emb, k=3).select("q_id", "n_id")
-    per_q = (
-        exact.join(
-            approx.select("q_id", "n_id").withColumn("__hit", F.lit(1)),
-            ["q_id", "n_id"],
-            "left",
+    exact = similarity.cosine_topk_exact(emb, emb, k=3).select(
+        "q_id", "n_id"
+    ).localCheckpoint(eager=False)
+    tiers = [(approx, ok_name, min_recall, median_bound, p10_bound)]
+    tiers += list(extra_tiers or [])
+
+    def _bounds(adf, name, mn, p50, p10):
+        per_q = (
+            exact.join(
+                adf.select("q_id", "n_id").withColumn("__hit", F.lit(1)),
+                ["q_id", "n_id"],
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    / F.count("*")
+                ).alias("recall")
+            )
         )
-        .groupBy("q_id")
-        .agg(
-            (
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-                / F.count("*")
-            ).alias("recall")
+        return per_q.agg(
+            (F.avg("recall") >= mn).alias(name),
+            (F.expr("percentile(recall, 0.5)") >= p50).alias(f"{name}_median"),
+            (F.expr("percentile(recall, 0.1)") >= p10).alias(f"{name}_p10"),
         )
-    )
-    stats = per_q.agg(
-        F.avg("recall").alias("__mean"),
-        F.expr("percentile(recall, 0.5)").alias("__p50"),
-        F.expr("percentile(recall, 0.1)").alias("__p10"),
-    )
-    n_vec = emb.agg(F.count("*").alias("n_vectors"))
-    row = n_vec.crossJoin(stats)
-    return row.select(
-        "n_vectors",
-        F.lit(3).alias("k"),
-        (F.col("__mean") >= min_recall).alias(ok_name),
-        (F.col("__p50") >= median_bound).alias(f"{ok_name}_median"),
-        (F.col("__p10") >= p10_bound).alias(f"{ok_name}_p10"),
-    )
+
+    row = _embeddings(spark, sf_dir).agg(F.count("*").alias("n_vectors"))
+    row = row.withColumn("k", F.lit(3))
+    for t in tiers:
+        row = row.crossJoin(_bounds(*t))
+    return row
 
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,9 +894,17 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors); vector count hash-gated against the oracle."""
     emb = _embeddings(spark, sf_dir)
     approx = similarity.ivf_topk(emb, k=3, n_centroids=16, nprobe=4)
+    # second tier (r6): IVF + product quantization with exact re-rank
+    # (IVFADC+R) — neighbor side carries 16 one-byte-ish codes instead
+    # of 64 floats; measured 0.58-0.63 / 0.667 / 0.333 at
+    # sf0.001/0.01/0.1, same bounds as the uncompressed IVF tier
+    pq = similarity.ivfpq_topk(
+        emb, k=3, n_centroids=16, nprobe=4, m=16, k_codes=64, rerank=8
+    )
     return _ann_recall_stats(
         spark, sf_dir, approx, "ivf_recall_ok", 0.4,
         median_bound=0.5, p10_bound=0.2,
+        extra_tiers=[(pq, "ivfpq_recall_ok", 0.4, 0.5, 0.2)],
     )
 
 
@@ -2731,7 +2747,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cosine_topk": """
             SELECT count(*)::BIGINT AS n_vectors, 3 AS k,
                    true AS ivf_recall_ok,
-                   true AS ivf_recall_ok_median, true AS ivf_recall_ok_p10
+                   true AS ivf_recall_ok_median, true AS ivf_recall_ok_p10,
+                   true AS ivfpq_recall_ok,
+                   true AS ivfpq_recall_ok_median,
+                   true AS ivfpq_recall_ok_p10
             FROM embeddings
         """,
         "lsh_cosine_topk": """

@@ -273,6 +273,30 @@ def lsh_cosine_topk(
     )
 
 
+def _sample_matrix(
+    embeddings: DataFrame, vec_col: str, sample_cap: int, min_rows: int
+) -> np.ndarray:
+    """Deterministic driver-side training sample as a NORMALIZED float64
+    matrix, WITHOUT a total sort: a hash-filter on the id keeps
+    ~sample_cap rows with a narrow scan-side predicate (a plain limit()
+    depends on partition order; orderBy().limit() is a full sort of the
+    table at scale). Falls back to widening the filter if the modulus
+    over-prunes on small inputs. Shared by the IVF coarse quantizer and
+    the PQ codebook trainer."""
+    id_cols = [c for c in embeddings.columns if c != vec_col][:1]
+    base = embeddings.select(*id_cols, vec_col)
+    total = base.count()
+    mod = max(1, total // sample_cap)
+    keep = F.pmod(F.xxhash64(*id_cols), F.lit(mod)) == 0
+    sample = base.filter(keep).collect()  # ≈ sample_cap rows, deterministic
+    if len(sample) < min(total, max(min_rows, sample_cap // 4)):
+        sample = base.orderBy(*id_cols).limit(sample_cap).collect()
+    sample.sort(key=lambda r: r[0])  # collect order is partition-dependent
+    x = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -284,22 +308,7 @@ def train_ivf_centroids(
     """Train an IVF coarse quantizer: spherical k-means on a driver-side
     sample (numpy, deterministic seed). The centroid matrix is tiny
     (n_centroids × dim) and broadcasts into the assignment kernel."""
-    # deterministic sample WITHOUT a total sort: a hash-filter on the id
-    # keeps ~sample_cap rows with a narrow scan-side predicate (a plain
-    # limit() depends on partition order; orderBy().limit() is a full
-    # sort of the table at scale). Falls back to widening the filter if
-    # the modulus over-prunes on small inputs.
-    id_cols = [c for c in embeddings.columns if c != vec_col][:1]
-    base = embeddings.select(*id_cols, vec_col)
-    total = base.count()
-    mod = max(1, total // sample_cap)
-    keep = F.pmod(F.xxhash64(*id_cols), F.lit(mod)) == 0
-    sample = base.filter(keep).collect()  # ≈ sample_cap rows, deterministic
-    if len(sample) < min(total, max(n_centroids * 4, sample_cap // 4)):
-        sample = base.orderBy(*id_cols).limit(sample_cap).collect()
-    sample.sort(key=lambda r: r[0])  # collect order is partition-dependent
-    x = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = _sample_matrix(embeddings, vec_col, sample_cap, n_centroids * 4)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -394,6 +403,205 @@ def ivf_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k_codes: int = 32,
+    sample_cap: int = 10_000,
+    iters: int = 15,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the NORMALIZED vector is
+    split into ``m`` contiguous subspaces, each quantized by its own
+    ``k_codes``-centroid L2 k-means. Returns an (m, k_codes, d/m)
+    array — tiny, broadcasts into the encode/score kernels.
+
+    Training is driver-side numpy over the same deterministic hash
+    sample the IVF quantizer uses (:func:`_sample_matrix`): a bounded,
+    seed-stable collect, never the full table."""
+    x = _sample_matrix(embeddings, vec_col, sample_cap, k_codes * 2)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    kc = min(k_codes, len(x))
+    books = np.empty((m, kc, dsub), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        rng = np.random.default_rng(seed + s)
+        cent = xs[rng.choice(len(xs), size=kc, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||x - c||^2 = argmax (x.c - ||c||^2 / 2)
+            score = xs @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            assign = np.argmax(score, axis=1)
+            for c in range(kc):
+                members = xs[assign == c]
+                if len(members):  # empty cluster keeps its centroid
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each normalized vector reduced to m
+    subspace code indices. At 64-dim float32 embeddings and m=8 this is
+    a 32x residency compression: the scan side of a PQ search holds m
+    small ints per vector plus one broadcast codebook, which is what
+    lets 10^9-vector references fit executor memory."""
+    ensure_shipped(embeddings.sparkSession)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, dsub = books.shape
+    half_sq = 0.5 * (books * books).sum(axis=2)  # (m, kc)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(np.int64)
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                xs = mat[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = np.argmax(xs @ books[s].T - half_sq[s], axis=1)
+            yield pd.DataFrame({id_col: ids, "codes": list(codes)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
+def _adc_score_expr(codebooks: np.ndarray):
+    """pandas UDF (q_vec, codes) -> approximate cosine via asymmetric
+    distance computation: score = sum_s LUT_q[s, code_s] with
+    LUT_q[s] = q_s . C_s^T. Queries repeat across candidate rows, so
+    the kernel dedups distinct queries per batch and builds each LUT
+    once (the same distinct-blob trick the sketch pair kernels use)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, dsub = books.shape
+    flat = books.reshape(m * kc, dsub)
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(q_vecs: pd.Series, codes: pd.Series) -> pd.Series:
+        qm = np.asarray(list(q_vecs), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        uniq, inv = np.unique(qm, axis=0, return_inverse=True)
+        # (n_uniq, m, kc): one LUT per distinct query in the batch
+        luts = np.einsum(
+            "qsd,skd->qsk",
+            uniq.reshape(len(uniq), m, dsub),
+            books,
+        )
+        cm = np.asarray(list(codes), dtype=np.int64)  # (n, m)
+        rows = luts[inv]  # (n, m, kc)
+        s_idx = np.arange(m)[None, :]
+        return pd.Series(rows[np.arange(len(cm))[:, None], s_idx, cm].sum(axis=1))
+
+    return _adc
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 32,
+    seed: int = 7,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ approximate self-top-k — the memory-bounded form of
+    :func:`ivf_topk`: candidates come from the coarse-quantizer lists
+    exactly as there, but the NEIGHBOR side carries only its m-byte PQ
+    codes (never the full vector) and candidates are ranked by the ADC
+    approximate cosine. At reference scale this is the difference
+    between shipping 10^9 x d floats through the candidate join and
+    shipping 10^9 x m small ints + one broadcast codebook.
+
+    ``rerank`` > 0 adds the IVFADC+R refinement (Jégou et al. 2011 §V):
+    the top k*rerank ADC candidates per query are re-scored with the
+    exact cosine — full vectors touched for only k*rerank rows per
+    query, so the quantization error affects candidate SELECTION, not
+    the final ranking. ``rerank=0`` ranks by raw ADC. Returns
+    (q_id, n_id, score, rank); recall is measured against brute force
+    in tests/gate, not guaranteed."""
+    cent = train_ivf_centroids(
+        embeddings, n_centroids, seed=seed, vec_col=vec_col
+    )
+    books = train_pq_codebooks(
+        embeddings, m=m, k_codes=k_codes, seed=seed, vec_col=vec_col
+    )
+    codes = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    ref = ivf_assignments(embeddings, cent, nprobe=1, id_col=id_col, vec_col=vec_col)
+    qry = ivf_assignments(embeddings, cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+    cand = (
+        qry.select(F.col(id_col).alias("q_id"), "list_id")
+        .join(ref.select(F.col(id_col).alias("n_id"), "list_id"), "list_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            embeddings.select(
+                F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            ),
+            "q_id",
+        )
+        .join(
+            codes.select(F.col(id_col).alias("n_id"), "codes"), "n_id"
+        )
+        .withColumn("adc", _adc_score_expr(books)(F.col("q_vec"), F.col("codes")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id").asc())
+    if not rerank:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", F.col("adc").alias("score"), "rank")
+        )
+    short = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank)
+        .select("q_id", "q_vec", "n_id")
+    )
+    e = _vec_with_norm(embeddings, id_col, vec_col)
+    refined = (
+        short.join(
+            e.select(
+                F.col(id_col).alias("n_id"), F.col("v").alias("n_vec"),
+                F.col("nv").alias("n_nv"),
+            ),
+            "n_id",
+        )
+        .withColumn("qv", F.col("q_vec").cast("array<double>"))
+        .withColumn(
+            "score",
+            _dot_expr(F.col("qv"), F.col("n_vec"))
+            / (_norm_expr(F.col("qv")) * F.col("n_nv")),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("n_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", "rank")
     )
 
 

@@ -549,6 +549,87 @@ class TestIVF:
         assert asg.select("vec_id").distinct().count() == emb.count()
 
 
+class TestPQ:
+    def test_codebook_shape_and_code_range(self, spark, emb):
+        books = similarity.train_pq_codebooks(emb, m=16, k_codes=64)
+        assert books.shape == (16, 64, 4)  # 64-dim / 16 subspaces
+        codes = similarity.pq_encode(emb, books)
+        assert codes.count() == emb.count()
+        import numpy as np
+
+        all_codes = np.asarray(
+            [r["codes"] for r in codes.collect()], dtype=np.int64
+        )
+        assert all_codes.shape[1] == 16
+        assert all_codes.min() >= 0 and all_codes.max() < 64
+
+    def test_encode_deterministic_under_repartition(self, spark, emb):
+        books = similarity.train_pq_codebooks(emb, m=8, k_codes=32)
+        a = {r["vec_id"]: tuple(r["codes"])
+             for r in similarity.pq_encode(emb, books).collect()}
+        b = {r["vec_id"]: tuple(r["codes"])
+             for r in similarity.pq_encode(emb.repartition(7), books).collect()}
+        assert a == b
+
+    def test_adc_approximates_cosine(self, spark, emb):
+        """ADC score must track the true cosine: rank correlation over
+        sampled pairs clearly positive, mean abs error bounded by the
+        quantization budget."""
+        import numpy as np
+
+        books = similarity.train_pq_codebooks(emb, m=16, k_codes=64)
+        rows = emb.orderBy("vec_id").limit(40).collect()
+        vecs = {r["vec_id"]: np.asarray(r["embedding"], float) for r in rows}
+        codes = {
+            r["vec_id"]: np.asarray(r["codes"])
+            for r in similarity.pq_encode(emb, books).collect()
+            if r["vec_id"] in vecs
+        }
+        m, kc, dsub = books.shape
+        ids = sorted(vecs)
+        true, approx = [], []
+        for qi in ids[:10]:
+            q = vecs[qi] / np.linalg.norm(vecs[qi])
+            lut = np.einsum("sd,skd->sk", q.reshape(m, dsub), books)
+            for ni in ids[10:]:
+                n = vecs[ni] / np.linalg.norm(vecs[ni])
+                true.append(float(q @ n))
+                approx.append(float(lut[np.arange(m), codes[ni]].sum()))
+        true, approx = np.asarray(true), np.asarray(approx)
+        assert np.abs(true - approx).mean() < 0.1
+        assert np.corrcoef(true, approx)[0, 1] > 0.5
+
+    def test_ivfpq_recall_and_rerank_gain(self, spark, emb):
+        exact = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.cosine_topk_exact(emb, emb, k=3).collect()
+        }
+        kw = dict(k=3, n_centroids=16, nprobe=4, m=16, k_codes=64)
+        rer = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.ivfpq_topk(emb, rerank=8, **kw).collect()
+        }
+        raw = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.ivfpq_topk(emb, rerank=0, **kw).collect()
+        }
+        assert len(exact & rer) / len(exact) >= 0.4
+        # exact re-rank must not LOSE recall vs raw ADC ranking
+        assert len(exact & rer) >= len(exact & raw)
+
+    def test_ivfpq_deterministic(self, spark, emb):
+        a = sorted(map(tuple, similarity.ivfpq_topk(
+            emb, k=2, n_centroids=8, nprobe=2, m=8, k_codes=16).collect()))
+        b = sorted(map(tuple, similarity.ivfpq_topk(
+            emb.repartition(5), k=2, n_centroids=8, nprobe=2,
+            m=8, k_codes=16).collect()))
+        assert a == b
+
+    def test_indivisible_dim_raises(self, spark, emb):
+        with pytest.raises(ValueError):
+            similarity.train_pq_codebooks(emb, m=7)
+
+
 class TestCorpusCuration:
     def test_stages_monotone_and_deterministic(self, spark, docs):
         from dashing_spark.operators import corpus
