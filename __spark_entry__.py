@@ -893,13 +893,19 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound-checked in-plan (≥0.4 on these near-orthogonal 64-dim
     vectors); vector count hash-gated against the oracle."""
     emb = _embeddings(spark, sf_dir)
-    approx = similarity.ivf_topk(emb, k=3, n_centroids=16, nprobe=4)
+    # one coarse quantizer shared by both tiers (identical args would
+    # otherwise retrain it: one extra sample collect + k-means)
+    cent = similarity.train_ivf_centroids(emb, n_centroids=16)
+    approx = similarity.ivf_topk(
+        emb, k=3, n_centroids=16, nprobe=4, centroids=cent
+    )
     # second tier (r6): IVF + product quantization with exact re-rank
-    # (IVFADC+R) — neighbor side carries 16 one-byte-ish codes instead
-    # of 64 floats; measured 0.58-0.63 / 0.667 / 0.333 at
+    # (IVFADC+R) — neighbor side carries 16 one-byte codes instead of
+    # 64 floats; measured 0.58-0.63 / 0.667 / 0.333 at
     # sf0.001/0.01/0.1, same bounds as the uncompressed IVF tier
     pq = similarity.ivfpq_topk(
-        emb, k=3, n_centroids=16, nprobe=4, m=16, k_codes=64, rerank=8
+        emb, k=3, n_centroids=16, nprobe=4, m=16, k_codes=64, rerank=8,
+        centroids=cent,
     )
     return _ann_recall_stats(
         spark, sf_dir, approx, "ivf_recall_ok", 0.4,

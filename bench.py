@@ -109,6 +109,12 @@ def main() -> None:
         t for t in os.environ.get("SPARK_GRAFT_BENCH_FILTER", "").split(",") if t
     ]
 
+    def want(*names):
+        """True when any of these query names survives the filter —
+        gates the heavy UNTIMED setup (caches, collects, synthesis)
+        each block pays for its run() calls."""
+        return not only or any(t in n for n in names for t in only)
+
     def run(name, fn, repeats=None, warmup=False):
         if only and not any(t in name for t in only):
             return
@@ -142,9 +148,10 @@ def main() -> None:
     # html is irrelevant to the sketch build and (r6) is now full messy
     # markup -- select it away so the cached columnar layout (and the
     # untimed cache-build cost) stay what every prior round measured
-    pages = synth_pages(spark, n_synth).select("url", "text", "lang").repartition(128).cache()
-    pages.count()
-    agg.sketch_tokens_by_key(pages, ["lang"], lambda: HLL.empty(14), salt=8).count()
+    if want("q0_synth_sketch_build_1m", "q0b_synth_sketch_build_jvmhash"):
+        pages = synth_pages(spark, n_synth).select("url", "text", "lang").repartition(128).cache()
+        pages.count()
+        agg.sketch_tokens_by_key(pages, ["lang"], lambda: HLL.empty(14), salt=8).count()
     run(
         "q0_synth_sketch_build_1m",
         lambda: agg.sketch_tokens_by_key(
@@ -157,7 +164,8 @@ def main() -> None:
             pages, ["lang"], lambda: HLL.empty(14), salt=8, hasher="jvm"
         ).count(),
     )
-    pages.unpersist(blocking=True)  # async unpersist skews later queries
+    if want("q0_synth_sketch_build_1m", "q0b_synth_sketch_build_jvmhash"):
+        pages.unpersist(blocking=True)  # async unpersist skews later queries
 
     # q1: flagship sketch build — per-lang HLL p=14 over documents
     run(
@@ -174,8 +182,9 @@ def main() -> None:
         ).count(),
     )
     # q3: union of per-lang sketches + estimate
-    sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(14)).cache()
-    sk.count()
+    if want("q3_union_estimate"):
+        sk = agg.sketch_tokens_by_key(docs, ["lang"], lambda: HLL.empty(14)).cache()
+        sk.count()
     run(
         "q3_union_estimate",
         lambda: agg.union_all_sketches(sk)
@@ -183,16 +192,19 @@ def main() -> None:
         .collect(),
     )
     # q4: all-pairs distance matrix over per-source sketches (190 pairs)
-    sks = agg.sketch_tokens_by_key(docs, ["source"], lambda: HLL.empty(14)).cache()
-    sks.count()
+    if want("q4_all_pairs_dist"):
+        sks = agg.sketch_tokens_by_key(docs, ["source"], lambda: HLL.empty(14)).cache()
+        sks.count()
     run(
         "q4_all_pairs_dist",
         lambda: dist.all_pairs(
             sks, ["source"], measures=("ji", "mash_dist", "containment"), ksinv=1 / 3
         ).count(),
     )
-    sk.unpersist(blocking=True)
-    sks.unpersist(blocking=True)
+    if want("q3_union_estimate"):
+        sk.unpersist(blocking=True)
+    if want("q4_all_pairs_dist"):
+        sks.unpersist(blocking=True)
     # q5: CMS heavy hitters per lang
     run(
         "q5_cms_heavy_hitters",
@@ -215,10 +227,11 @@ def main() -> None:
         lambda: dedup.minhash_lsh_dedup(docs, "doc_id", threshold=0.9).count(),
     )
     # q8: ANN cosine top-k, blocked numpy path, 100 queries
-    qrows = [
-        (r["vec_id"], r["embedding"])
-        for r in emb.filter(F.col("vec_id") < 100).collect()
-    ]
+    if want("q8_ann_cosine_topk"):
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 100).collect()
+        ]
     run(
         "q8_ann_cosine_topk",
         lambda: similarity.cosine_topk_blocked(emb, qrows, k=10).count(),
@@ -255,27 +268,29 @@ def main() -> None:
         lambda: dedup.simhash_near_dups(docs, "doc_id", max_hamming=3).count(),
     )
     # q13: query×reference panel with the Ertl joint-MLE triple estimator
-    qsk = agg.sketch_hash_col_by_key(
-        lineitem.select(
-            F.col("l_returnflag").alias("key"), F.xxhash64("l_orderkey").alias("__h")
-        ),
-        ["key"], lambda: HLL.empty(14), "__h",
-    ).cache()
-    rsk = agg.sketch_hash_col_by_key(
-        lineitem.select(
-            F.col("l_linestatus").alias("key"), F.xxhash64("l_orderkey").alias("__h")
-        ),
-        ["key"], lambda: HLL.empty(14), "__h",
-    ).cache()
-    qsk.count(); rsk.count()
+    if want("q13_panel_joint_mle"):
+        qsk = agg.sketch_hash_col_by_key(
+            lineitem.select(
+                F.col("l_returnflag").alias("key"), F.xxhash64("l_orderkey").alias("__h")
+            ),
+            ["key"], lambda: HLL.empty(14), "__h",
+        ).cache()
+        rsk = agg.sketch_hash_col_by_key(
+            lineitem.select(
+                F.col("l_linestatus").alias("key"), F.xxhash64("l_orderkey").alias("__h")
+            ),
+            ["key"], lambda: HLL.empty(14), "__h",
+        ).cache()
+        qsk.count(); rsk.count()
     run(
         "q13_panel_joint_mle",
         lambda: dist.query_reference(
             qsk, rsk, ["key"], measures=("containment",), estimator="ertl_joint_mle"
         ).count(),
     )
-    qsk.unpersist(blocking=True)
-    rsk.unpersist(blocking=True)
+    if want("q13_panel_joint_mle"):
+        qsk.unpersist(blocking=True)
+        rsk.unpersist(blocking=True)
     # q14: char-n-gram exact-Jaccard near-dup pairs (capped to 2000 docs so
     # the suite stays bounded; the full-table cost is tracked in BENCH.md)
     from dashing_spark.operators import dedup as _dedup
@@ -292,12 +307,13 @@ def main() -> None:
     # evidence for the vectorized non-HLL pair path at dist -8 scale
     from dashing_spark.functions import KMV
 
-    bsk = agg.sketch_tokens_by_key(
-        docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(256))),
-        ["bucket"],
-        lambda: KMV(1024),
-    ).cache()
-    bsk.count()
+    if want("q15_kmv_pair_stage_32k", "q15b_kmv_pair_stage_grid"):
+        bsk = agg.sketch_tokens_by_key(
+            docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(256))),
+            ["bucket"],
+            lambda: KMV(1024),
+        ).cache()
+        bsk.count()
     run(
         "q15_kmv_pair_stage_32k",
         lambda: dist.all_pairs(bsk, ["bucket"], measures=("ji",)).count(),
@@ -311,19 +327,21 @@ def main() -> None:
             bsk, ["bucket"], measures=("ji",), n_blocks=8
         ).count(),
     )
-    bsk.unpersist(blocking=True)
+    if want("q15_kmv_pair_stage_32k", "q15b_kmv_pair_stage_grid"):
+        bsk.unpersist(blocking=True)
     # q16: readfilt-style per-DOC containment against a broadcast reference
     # sketch with the joint-MLE estimator (the reference binary's readfilt
     # default) — carries evidence the per-batch tiny-HLL path scales
     from dashing_spark.operators import filter as _filter
 
-    ref_blob = (
-        agg.sketch_tokens_by_key(
-            docs.filter(F.col("lang") == "en"), ["lang"], lambda: HLL.empty(10)
+    if want("q16_readfilt_containment_jointmle"):
+        ref_blob = (
+            agg.sketch_tokens_by_key(
+                docs.filter(F.col("lang") == "en"), ["lang"], lambda: HLL.empty(10)
+            )
+            .select("sketch")
+            .first()[0]
         )
-        .select("sketch")
-        .first()[0]
-    )
     run(
         "q16_readfilt_containment_jointmle",
         lambda: _filter.containment_scores(
@@ -448,21 +466,23 @@ def main() -> None:
     # reference sketches through query_reference's broadcast rectangular
     # join (partdist_loop analogue): 1M pairs through the batched
     # inclusion-exclusion kernel, broadcast side ~1k × 1 KiB blobs.
-    psrc = synth_pages(spark, 200_000).select(
-        F.pmod(F.xxhash64("url"), F.lit(1000)).alias("qkey"),
-        F.pmod(F.xxhash64("url", F.lit(7)), F.lit(1000)).alias("rkey"),
-        F.xxhash64("text").alias("__h"),
-    ).cache()
-    psrc.count()
-    pq = agg.sketch_hash_col_by_key(
-        psrc.select(F.col("qkey").alias("key"), "__h"),
-        ["key"], lambda: HLL.empty(10), "__h",
-    ).cache()
-    pr = agg.sketch_hash_col_by_key(
-        psrc.select(F.col("rkey").alias("key"), "__h"),
-        ["key"], lambda: HLL.empty(10), "__h",
-    ).cache()
-    n_panel_pairs = pq.count() * pr.count()
+    n_panel_pairs = 0
+    if want("q21_panel_1kx1k", "q21b_panel_1kx1k_grid"):
+        psrc = synth_pages(spark, 200_000).select(
+            F.pmod(F.xxhash64("url"), F.lit(1000)).alias("qkey"),
+            F.pmod(F.xxhash64("url", F.lit(7)), F.lit(1000)).alias("rkey"),
+            F.xxhash64("text").alias("__h"),
+        ).cache()
+        psrc.count()
+        pq = agg.sketch_hash_col_by_key(
+            psrc.select(F.col("qkey").alias("key"), "__h"),
+            ["key"], lambda: HLL.empty(10), "__h",
+        ).cache()
+        pr = agg.sketch_hash_col_by_key(
+            psrc.select(F.col("rkey").alias("key"), "__h"),
+            ["key"], lambda: HLL.empty(10), "__h",
+        ).cache()
+        n_panel_pairs = pq.count() * pr.count()
     run(
         "q21_panel_1kx1k",
         lambda: dist.query_reference(
@@ -477,24 +497,28 @@ def main() -> None:
             pq, pr, ["key"], measures=("containment",), n_blocks=8
         ).count(),
     )
-    psrc.unpersist(blocking=True)
-    pq.unpersist(blocking=True)
-    pr.unpersist(blocking=True)
+    if want("q21_panel_1kx1k", "q21b_panel_1kx1k_grid"):
+        psrc.unpersist(blocking=True)
+        pq.unpersist(blocking=True)
+        pr.unpersist(blocking=True)
 
     # q22: sequence packing (concat-and-chunk) over 1M synthetic pages —
     # the distributed-prefix-sum formulation (range exchange + windowed
     # local cumsum + broadcast offsets), slim projection only
     from dashing_spark.operators import corpus as _corpus
 
-    pack_pages = synth_pages(spark, n_synth).select("text", "lang").withColumn(
-        "doc_id", F.monotonically_increasing_id()
-    ).cache()
-    n_pack = pack_pages.count()
+    n_pack = 0
+    if want("q22_pack_sequences_1m"):
+        pack_pages = synth_pages(spark, n_synth).select("text", "lang").withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        ).cache()
+        n_pack = pack_pages.count()
     run(
         "q22_pack_sequences_1m",
         lambda: _corpus.pack_sequences(pack_pages, "doc_id", 2048).count(),
     )
-    pack_pages.unpersist(blocking=True)
+    if want("q22_pack_sequences_1m"):
+        pack_pages.unpersist(blocking=True)
 
     total = round(sum(timings.values()), 3)
     def _rate(n, key):
@@ -519,16 +543,15 @@ def main() -> None:
         "pairs_per_sec_kmv_stage": _rate(32640, "q15_kmv_pair_stage_32k"),
     }
     print(json.dumps({"detail": detail}))
-    try:
-        if only:
-            raise OSError  # filtered run: never overwrite the full record
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError:
-        pass
+    if not only:  # filtered runs never overwrite the full record
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+                "w",
+            ) as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass
     # Compact driver-parseable record: ALWAYS the last stdout line.
     print(
         json.dumps(

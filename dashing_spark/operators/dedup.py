@@ -1143,14 +1143,32 @@ def remove_duplicate_runs(
     composite-key (id, pos) anti join (skew-free — positions spread any
     hot document), one per-doc rebuild aggregation. All linear in
     corpus tokens; no pair table, no driver collect.
-    ``span_key="hash"`` ships 8-byte span keys at the 100 TB tier (see
-    :func:`duplicate_span_stats`)."""
+
+    ``span_key="hash"`` ships compact span keys at the 100 TB tier —
+    but UNLIKE the stats functions (where a 64-bit collision merely
+    perturbs a statistic, duplicate_span_stats docstring), a collision
+    here marks a unique span duplicated and IRREVERSIBLY CUTS real
+    content, so the rewrite uses a 128-bit composite key (two
+    independently-salted xxhash64) — expected collisions at 10^12
+    spans ~3e-14, content-safe. Full-text keys remain the bit-exact
+    mode."""
     if min_len < w:
         raise ValueError(f"min_len ({min_len}) must be >= w ({w})")
-    if out_col in df.columns:
-        raise ValueError(f"out_col {out_col!r} already exists")
+    for c in (out_col, "n_tokens_removed"):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists on the input")
     if spans is None:
-        spans = span_rows(df, id_col, [], text_col, w, span_key)
+        spans = span_rows(df, id_col, [], text_col, w, span_key="text")
+        if span_key == "hash":
+            spans = spans.withColumn(
+                "__span",
+                F.struct(
+                    F.xxhash64("__span"),
+                    F.xxhash64("__span", F.lit(1)),
+                ),
+            )
+        elif span_key != "text":
+            raise ValueError(f"span_key must be 'text' or 'hash', got {span_key!r}")
     islands = dup_islands(spans, w).filter(F.col("__len") >= min_len)
     cov = islands.select(
         "__id",

@@ -368,13 +368,18 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate self-top-k: queries probe their `nprobe` nearest
     inverted lists; candidates share a list; exact cosine + Window
     top-k on candidates only. Shuffle is a hash partition on list_id —
     the standard coarse-quantizer ANN shape (vs. the data-independent
     LSH variant). Recall measured against brute force in tests."""
-    cent = train_ivf_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, seed=seed, vec_col=vec_col
+        )
+    cent = centroids
     # reference vectors live in exactly their nearest list; queries probe nprobe
     ref = ivf_assignments(embeddings, cent, nprobe=1, id_col=id_col, vec_col=vec_col)
     qry = ivf_assignments(embeddings, cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
@@ -453,19 +458,25 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes array<int>) — each normalized vector reduced to m
-    subspace code indices. At 64-dim float32 embeddings and m=8 this is
-    a 32x residency compression: the scan side of a PQ search holds m
-    small ints per vector plus one broadcast codebook, which is what
-    lets 10^9-vector references fit executor memory."""
+    """(id, codes array<tinyint>) — each normalized vector reduced to m
+    ONE-BYTE subspace code indices (k_codes <= 128 enforced so the code
+    fits Spark's signed ByteType). At 64-dim float32 embeddings this is
+    a true 32x (m=8) / 16x (m=16) residency compression: the scan side
+    of a PQ search holds m bytes per vector plus one broadcast
+    codebook, which is what lets 10^9-vector references fit executor
+    memory."""
     ensure_shipped(embeddings.sparkSession)
     books = np.asarray(codebooks, dtype=np.float64)
     m, kc, dsub = books.shape
+    if kc > 128:
+        raise ValueError(
+            f"k_codes={kc} exceeds the one-byte code space (max 128)"
+        )
     half_sq = 0.5 * (books * books).sum(axis=2)  # (m, kc)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
-            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+            T.StructField("codes", T.ArrayType(T.ByteType()), False),
         ]
     )
 
@@ -474,7 +485,7 @@ def pq_encode(
             ids = pdf[id_col].to_numpy(np.int64)
             mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            codes = np.empty((len(mat), m), dtype=np.int32)
+            codes = np.empty((len(mat), m), dtype=np.int8)
             for s in range(m):
                 xs = mat[:, s * dsub : (s + 1) * dsub]
                 codes[:, s] = np.argmax(xs @ books[s].T - half_sq[s], axis=1)
@@ -505,9 +516,10 @@ def _adc_score_expr(codebooks: np.ndarray):
             books,
         )
         cm = np.asarray(list(codes), dtype=np.int64)  # (n, m)
-        rows = luts[inv]  # (n, m, kc)
+        # direct fancy-index gather: (n, m) result, never the (n, m, kc)
+        # per-batch LUT copy (80 MB at 10k rows x m=16 x kc=64)
         s_idx = np.arange(m)[None, :]
-        return pd.Series(rows[np.arange(len(cm))[:, None], s_idx, cm].sum(axis=1))
+        return pd.Series(luts[inv[:, None], s_idx, cm].sum(axis=1))
 
     return _adc
 
@@ -523,6 +535,7 @@ def ivfpq_topk(
     rerank: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF + PQ approximate self-top-k — the memory-bounded form of
     :func:`ivf_topk`: candidates come from the coarse-quantizer lists
@@ -539,9 +552,11 @@ def ivfpq_topk(
     the final ranking. ``rerank=0`` ranks by raw ADC. Returns
     (q_id, n_id, score, rank); recall is measured against brute force
     in tests/gate, not guaranteed."""
-    cent = train_ivf_centroids(
-        embeddings, n_centroids, seed=seed, vec_col=vec_col
-    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, seed=seed, vec_col=vec_col
+        )
+    cent = centroids
     books = train_pq_codebooks(
         embeddings, m=m, k_codes=k_codes, seed=seed, vec_col=vec_col
     )
