@@ -1081,13 +1081,30 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg_lp_ok"),
     )
     lm = lm.join(bg, "doc_id")
+    # fifth tier (r6): the published Gopher rule set — the synthetic
+    # docs trip none of the FORMATTING rules, so deterministic variants
+    # are injected (bullet-heavy lines, ellipsis lines, symbol soup;
+    # oracle mirrors) and every rule boolean is hash-gated
+    g_tail = (
+        F.when(F.col("doc_id") % 4 == 1, F.repeat(F.lit("\n• item x"), 12))
+        .when(F.col("doc_id") % 4 == 2, F.repeat(F.lit("\nmore soon..."), 4))
+        .when(F.col("doc_id") % 4 == 3, F.repeat(F.lit(" ###"), 30))
+        .otherwise(F.lit(""))
+    )
+    gop = text.gopher_quality_rules(
+        docs.withColumn("g_text", F.concat(F.col("text"), g_tail)), "g_text"
+    ).select(
+        "doc_id", "gopher_n_words", "g_word_count_ok", "g_mean_word_len_ok",
+        "g_symbol_ok", "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok",
+        "g_stopword_ok", "gopher_keep",
+    )
     return scored.select(
         "doc_id", "n_tokens", "digit_ratio", "stopword_ratio", "quality",
         # every kind in text.PII_PATTERNS gets its count hash-gated —
         # a kind added there must also gain an oracle twin column
         *[f"pii_{k}_count" for k in text.PII_PATTERNS],
         "pii_gone",
-    ).join(lm, "doc_id")
+    ).join(lm, "doc_id").join(gop, "doc_id")
 
 
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2973,7 +2990,11 @@ def oracle_sql() -> dict[str, str]:
                    -- (finite, negative, above the smoothing floor)
                    true AS lp_ok,
                    lm.n_bigram_hits,
-                   true AS bg_lp_ok
+                   true AS bg_lp_ok,
+                   gop.gopher_n_words, gop.g_word_count_ok,
+                   gop.g_mean_word_len_ok, gop.g_symbol_ok,
+                   gop.g_bullet_ok, gop.g_ellipsis_ok, gop.g_alpha_ok,
+                   gop.g_stopword_ok, gop.gopher_keep
             FROM f JOIN (
                 WITH a2 AS (
                     SELECT doc_id,
@@ -3015,6 +3036,74 @@ def oracle_sql() -> dict[str, str]:
                            LEFT JOIN bh ON bh.doc_id = lmtok.doc_id
                 GROUP BY lmtok.doc_id
             ) lm ON f.doc_id = lm.doc_id
+            JOIN (
+                -- Gopher rule set over injected formatting variants
+                WITH gt AS (
+                    SELECT doc_id,
+                           text || CASE
+                               WHEN doc_id % 4 = 1
+                                   THEN repeat(e'\n• item x', 12)
+                               WHEN doc_id % 4 = 2
+                                   THEN repeat(e'\nmore soon...', 4)
+                               WHEN doc_id % 4 = 3
+                                   THEN repeat(' ###', 30)
+                               ELSE '' END AS g
+                    FROM documents WHERE doc_id < 20
+                ), gw AS (
+                    SELECT doc_id, g,
+                           list_filter(string_split(g, ' '),
+                                       t -> t <> '') AS ws,
+                           string_split(g, chr(10)) AS ls
+                    FROM gt
+                ), gr AS (
+                    SELECT doc_id,
+                           len(ws) AS nw,
+                           CASE WHEN len(ws) > 0 THEN
+                               list_sum(list_transform(ws,
+                                   t -> length(t)))::DOUBLE / len(ws)
+                           ELSE 0.0 END AS mwl,
+                           CASE WHEN len(ws) > 0 THEN
+                               ((length(g) - length(replace(g, '#', '')))
+                                + (length(g)
+                                   - length(replace(g, '...', ''))) / 3)
+                               / len(ws)
+                           ELSE 0.0 END AS symr,
+                           len(list_filter(ls, l ->
+                               starts_with(l, '•') OR starts_with(l, '- ')
+                           )) / len(ls) AS bf,
+                           len(list_filter(ls, l -> ends_with(l, '...')))
+                               / len(ls) AS ef,
+                           CASE WHEN len(ws) > 0 THEN
+                               len(list_filter(ws, w ->
+                                   regexp_matches(w, '[A-Za-z]')))
+                               / len(ws)
+                           ELSE 0.0 END AS af,
+                           (list_contains(ws, 'the')::INT
+                            + list_contains(ws, 'be')::INT
+                            + list_contains(ws, 'to')::INT
+                            + list_contains(ws, 'of')::INT
+                            + list_contains(ws, 'and')::INT
+                            + list_contains(ws, 'that')::INT
+                            + list_contains(ws, 'have')::INT
+                            + list_contains(ws, 'with')::INT) AS sh
+                    FROM gw
+                )
+                SELECT doc_id,
+                       nw::BIGINT AS gopher_n_words,
+                       (nw >= 50 AND nw <= 100000) AS g_word_count_ok,
+                       (mwl >= 3.0 AND mwl <= 10.0) AS g_mean_word_len_ok,
+                       (symr <= 0.1) AS g_symbol_ok,
+                       (bf <= 0.9) AS g_bullet_ok,
+                       (ef <= 0.3) AS g_ellipsis_ok,
+                       (af >= 0.8) AS g_alpha_ok,
+                       (sh >= 2) AS g_stopword_ok,
+                       ((nw >= 50 AND nw <= 100000)
+                        AND (mwl >= 3.0 AND mwl <= 10.0)
+                        AND (symr <= 0.1) AND (bf <= 0.9)
+                        AND (ef <= 0.3) AND (af >= 0.8)
+                        AND (sh >= 2)) AS gopher_keep
+                FROM gr
+            ) gop ON f.doc_id = gop.doc_id
         """,
         "lang_id_confusion": """
             WITH t AS (SELECT doc_id, lang,

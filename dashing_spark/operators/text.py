@@ -5,6 +5,8 @@ Training-data-pipeline additions (no dashing counterpart)."""
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -311,6 +313,87 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
             "stopword_ratio": F.round(stop / n_tok, 6),
         }
+    )
+
+
+#: the Gopher stop-word list (Rae et al. 2021, Appendix A.1.1): a doc
+#: must contain at least two of these to pass the stop-word rule
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The complete published Gopher quality-rule set (Rae et al. 2021,
+    Appendix A.1.1) with the paper's thresholds as defaults — one
+    boolean per rule plus the conjunction ``gopher_keep``:
+
+    1. 50 <= word count <= 100,000
+    2. 3 <= mean word length <= 10
+    3. symbol-to-word ratio (``#`` and ``...``) <= 0.1
+    4. <= 90% of lines start with a bullet (``•`` / ``- ``)
+    5. <= 30% of lines end with an ellipsis
+    6. >= 80% of words contain at least one alphabetic character
+    7. at least two of the eight Gopher stop words present
+
+    Pure JVM expressions (splits, lambda filters, literal replaces) —
+    whole-stage-codegen friendly and replicable in ANSI SQL, so every
+    rule boolean is hash-gateable against a DuckDB twin. A "word" is a
+    non-empty space-split token (multi-space runs contribute no words);
+    NULL text fails rule 1 with n_words 0 and keeps its row."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(txt, " ", -1), lambda t: t != "")
+    n_words = F.size(words)
+    lines = F.split(txt, "\n", -1)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_wl = F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.startswith("•") | l.startswith("- "))
+    ) / n_lines
+    ellipsis_frac = F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = reduce(
+        lambda a, b: a + b,
+        [F.array_contains(words, s).cast("int") for s in GOPHER_STOPWORDS],
+    )
+    rules = {
+        "g_word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "g_mean_word_len_ok": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "g_symbol_ok": symbol_ratio <= max_symbol_word_ratio,
+        "g_bullet_ok": bullet_frac <= max_bullet_line_frac,
+        "g_ellipsis_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "g_alpha_ok": alpha_frac >= min_alpha_word_frac,
+        "g_stopword_ok": stop_hits >= min_stopword_hits,
+    }
+    out = df.withColumns(
+        {"gopher_n_words": n_words.cast("long"), **rules}
+    )
+    return out.withColumn(
+        "gopher_keep", reduce(lambda a, b: a & b, rules.values())
     )
 
 

@@ -549,6 +549,69 @@ class TestIVF:
         assert asg.select("vec_id").distinct().count() == emb.count()
 
 
+class TestGopherRules:
+    """Published Gopher rule set (Rae et al. 2021 App. A.1.1) — each
+    fixture doc trips exactly one rule at its boundary."""
+
+    def _rules(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = text.gopher_quality_rules(df, **kw)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    GOOD = ("the data and rows that have with of be to " * 6).strip()  # 60 words
+
+    def test_clean_doc_passes_all(self, spark):
+        got = self._rules(spark, [(1, self.GOOD)])[1]
+        assert got["gopher_keep"] is True
+        assert got["gopher_n_words"] == 60
+
+    def test_word_count_bounds(self, spark):
+        short = "the of " * 10  # 20 words < 50
+        got = self._rules(spark, [(1, short.strip())])[1]
+        assert got["g_word_count_ok"] is False and got["gopher_keep"] is False
+        # threshold is inclusive at exactly 50 words
+        fifty = ("the of and that have " * 10).strip()
+        assert self._rules(spark, [(2, fifty)])[2]["g_word_count_ok"] is True
+
+    def test_mean_word_length(self, spark):
+        longw = ("supercalifragilistic " * 60).strip() + " the of"
+        got = self._rules(spark, [(1, longw)])[1]
+        assert got["g_mean_word_len_ok"] is False
+
+    def test_symbol_ratio(self, spark):
+        doc = self.GOOD + " " + "# " * 10  # 10 hashes / 70 words > 0.1
+        got = self._rules(spark, [(1, doc.strip())])[1]
+        assert got["g_symbol_ok"] is False
+        # ellipses count toward the same ratio
+        doc2 = self.GOOD + " x..." * 10
+        assert self._rules(spark, [(2, doc2)])[2]["g_symbol_ok"] is False
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        bullets = self.GOOD + "\n" + "\n".join("• item" for _ in range(20))
+        got = self._rules(spark, [(1, bullets)])[1]
+        assert got["g_bullet_ok"] is False  # 20/21 > 0.9
+        ell = self.GOOD + "\n" + "\n".join("more soon..." for _ in range(2))
+        got = self._rules(spark, [(2, ell)])[2]
+        assert got["g_ellipsis_ok"] is False  # 2/3 > 0.3
+
+    def test_alpha_fraction_and_stopwords(self, spark):
+        nums = self.GOOD + " " + "123 456 " * 10  # 20/80 non-alpha -> 0.75
+        got = self._rules(spark, [(1, nums.strip())])[1]
+        assert got["g_alpha_ok"] is False
+        nostop = ("walrus kumquat zephyr quince " * 15).strip()
+        got = self._rules(spark, [(2, nostop)])[2]
+        assert got["g_stopword_ok"] is False  # zero of the eight present
+
+    def test_null_text_kept_as_row(self, spark):
+        got = self._rules(spark, [(1, None)])[1]
+        assert got["gopher_keep"] is False and got["gopher_n_words"] == 0
+
+    def test_thresholds_parametrizable(self, spark):
+        short = ("the of " * 10).strip()
+        got = self._rules(spark, [(1, short)], min_words=10)[1]
+        assert got["g_word_count_ok"] is True
+
+
 class TestPQ:
     def test_codebook_shape_and_code_range(self, spark, emb):
         books = similarity.train_pq_codebooks(emb, m=16, k_codes=64)
