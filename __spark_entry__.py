@@ -1368,9 +1368,43 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams that repeat an earlier gram in the same doc. Integer gram
     sums + the corpus-level fraction (one IEEE-exact division) are
     hash-gated; the per-doc average follows the avg_ttr round-5
-    convention. Pure codegen — Generate + partial-aggregated groupBy."""
+    convention. Pure codegen — Generate + partial-aggregated groupBy.
+
+    Second tier (r6): the FULL published Gopher repetition-rule set
+    (A.1.2, text.gopher_repetition_rules) over injected variants
+    (duplicate lines for one third of docs, a twice-repeated 10-token
+    block for another third; oracle mirrors). Gated as per-lang rule
+    PASS COUNTS (exact ints) plus min/max of three representative
+    fractions — min/max of IEEE doubles are order-independent, unlike
+    sums, so they hash-gate cleanly cross-engine."""
     docs = _docs(spark, sf_dir)
-    return text.repetition_stats(docs, ["lang"], w=2, threshold=0.2)
+    base = text.repetition_stats(docs, ["lang"], w=2, threshold=0.2)
+    sub = docs.filter(F.col("doc_id") < 40)
+    r_tail = (
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.repeat(F.lit("\ndup line here"), 3),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.repeat(F.lit(" r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"), 2),
+        )
+        .otherwise(F.lit(""))
+    )
+    rep = text.gopher_repetition_rules(
+        sub.withColumn("r_text", F.concat("text", r_tail)), "doc_id", "r_text"
+    )
+    ok_cols = [f"{n}_ok" for n in text.GOPHER_REPETITION_THRESHOLDS]
+    rep_agg = rep.groupBy("lang").agg(
+        F.count("*").alias("n_docs_rep"),
+        *[F.sum(F.col(c).cast("int")).alias(f"n_{c}") for c in ok_cols],
+        F.sum(F.col("gopher_rep_keep").cast("int")).alias("n_rep_keep"),
+        F.round(F.min("dup_line_char_frac"), 9).alias("min_dup_line_char_frac"),
+        F.round(F.max("dup_line_char_frac"), 9).alias("max_dup_line_char_frac"),
+        F.round(F.max("top_2gram_char_frac"), 9).alias("max_top2_frac"),
+        F.round(F.max("dup_6gram_char_frac"), 9).alias("max_dup6_frac"),
+    )
+    return base.join(rep_agg, "lang")
 
 
 def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3218,6 +3252,7 @@ def oracle_sql() -> dict[str, str]:
                        COALESCE(p.n_uniq, 0) AS n_uniq
                 FROM d LEFT JOIN per0 p USING (doc_id, lang)
             )
+            , baseq AS (
             SELECT lang,
                    count(*)::BIGINT AS n_docs,
                    sum(n_grams)::BIGINT AS total_grams,
@@ -3232,6 +3267,205 @@ def oracle_sql() -> dict[str, str]:
                             AND 1.0 - n_uniq::DOUBLE / n_grams > 0.2
                        THEN 1 ELSE 0 END)::BIGINT AS n_docs_over_threshold
             FROM per GROUP BY lang
+        ) SELECT baseq.*, repq.n_docs_rep,
+                 repq.n_dup_line_frac_ok, repq.n_dup_para_frac_ok,
+                 repq.n_dup_line_char_frac_ok, repq.n_dup_para_char_frac_ok,
+                 repq.n_top_2gram_char_frac_ok, repq.n_top_3gram_char_frac_ok,
+                 repq.n_top_4gram_char_frac_ok,
+                 repq.n_dup_5gram_char_frac_ok, repq.n_dup_6gram_char_frac_ok,
+                 repq.n_dup_7gram_char_frac_ok, repq.n_dup_8gram_char_frac_ok,
+                 repq.n_dup_9gram_char_frac_ok, repq.n_dup_10gram_char_frac_ok,
+                 repq.n_rep_keep,
+                 repq.min_dup_line_char_frac, repq.max_dup_line_char_frac,
+                 repq.max_top2_frac, repq.max_dup6_frac
+          FROM baseq JOIN (
+            WITH rt AS (
+                SELECT doc_id, lang,
+                       text || CASE
+                           WHEN doc_id % 3 = 1
+                               THEN repeat(e'\ndup line here', 3)
+                           WHEN doc_id % 3 = 2
+                               THEN repeat(' r1 r2 r3 r4 r5 r6 r7 r8 r9 r10', 2)
+                           ELSE '' END AS g
+                FROM documents WHERE doc_id < 40
+            ),
+            nch AS (SELECT doc_id, lang, g, length(g) AS nc,
+                           string_split(g, ' ') AS ts
+                    FROM rt),
+            lu AS (SELECT doc_id, unnest(string_split(g, chr(10))) AS u
+                   FROM rt),
+            lc AS (SELECT doc_id, u, count(*) AS c FROM lu
+                   GROUP BY doc_id, u),
+            lf AS (SELECT doc_id,
+                          sum(c - 1) / sum(c) AS dlf,
+                          CASE WHEN sum(c * length(u)) > 0 THEN
+                              sum((c - 1) * length(u)) / sum(c * length(u))
+                          ELSE 0.0 END AS dlcf
+                   FROM lc GROUP BY doc_id),
+            pu AS (SELECT doc_id,
+                          unnest(string_split(g, chr(10) || chr(10))) AS u
+                   FROM rt),
+            pc AS (SELECT doc_id, u, count(*) AS c FROM pu
+                   GROUP BY doc_id, u),
+            pf AS (SELECT doc_id,
+                          sum(c - 1) / sum(c) AS dpf,
+                          CASE WHEN sum(c * length(u)) > 0 THEN
+                              sum((c - 1) * length(u)) / sum(c * length(u))
+                          ELSE 0.0 END AS dpcf
+                   FROM pc GROUP BY doc_id),
+            tg0 AS (SELECT doc_id, n,
+                           unnest(range(1, len(ts) - n + 2)) AS i, ts
+                    FROM nch CROSS JOIN (VALUES (2), (3), (4)) nn(n)
+                    WHERE len(ts) >= n),
+            tg AS (SELECT doc_id, n,
+                          array_to_string(ts[i : i + n - 1], ' ') AS gr
+                   FROM tg0),
+            tgc AS (SELECT doc_id, n, gr, count(*) AS c FROM tg
+                    GROUP BY doc_id, n, gr),
+            tgt AS (SELECT doc_id, n,
+                           (max(struct_pack(c := c,
+                                cl := c * length(gr)))).cl AS topchars
+                    FROM tgc WHERE c >= 2 GROUP BY doc_id, n),
+            pg0 AS (SELECT doc_id, n,
+                           unnest(range(1, len(ts) - n + 2)) AS i, ts
+                    FROM nch CROSS JOIN (VALUES (5), (6), (7), (8),
+                                          (9), (10)) nn(n)
+                    WHERE len(ts) >= n),
+            pg AS (SELECT doc_id, n, i,
+                          array_to_string(ts[i : i + n - 1], ' ') AS gr
+                   FROM pg0),
+            dgc AS (SELECT doc_id, n, gr FROM (
+                        SELECT doc_id, n, gr, count(*) AS c FROM pg
+                        GROUP BY doc_id, n, gr) WHERE c >= 2),
+            dp AS (SELECT pg.doc_id, pg.n, pg.i
+                   FROM pg JOIN dgc USING (doc_id, n, gr)),
+            ib AS (SELECT doc_id, n, i,
+                          CASE WHEN i - lag(i) OVER (
+                              PARTITION BY doc_id, n ORDER BY i) > n
+                          THEN 1 ELSE 0 END AS b
+                   FROM dp),
+            ii2 AS (SELECT doc_id, n, i,
+                           sum(b) OVER (PARTITION BY doc_id, n ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS isl
+                    FROM ib),
+            rn2 AS (SELECT doc_id, n, isl, min(i) AS s,
+                           max(i) + n AS e1
+                    FROM ii2 GROUP BY doc_id, n, isl),
+            cp AS (SELECT doc_id, n, isl, unnest(range(s, e1)) AS p
+                   FROM rn2),
+            tkl AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS p, ts
+                    FROM nch),
+            tk2 AS (SELECT doc_id, p, length(ts[p]) AS tl FROM tkl),
+            cc AS (SELECT cp.doc_id, cp.n,
+                          sum(tk2.tl) + count(*) - count(DISTINCT cp.isl)
+                              AS covchars
+                   FROM cp JOIN tk2 ON tk2.doc_id = cp.doc_id
+                                   AND tk2.p = cp.p
+                   GROUP BY cp.doc_id, cp.n),
+            perdoc AS (
+                SELECT nch.doc_id, nch.lang,
+                       coalesce(lf.dlf, 0.0) AS dup_line_frac,
+                       coalesce(lf.dlcf, 0.0) AS dup_line_char_frac,
+                       coalesce(pf.dpf, 0.0) AS dup_para_frac,
+                       coalesce(pf.dpcf, 0.0) AS dup_para_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(t2.topchars, 0) / nch.nc
+                       ELSE 0.0 END AS top_2gram_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(t3.topchars, 0) / nch.nc
+                       ELSE 0.0 END AS top_3gram_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(t4.topchars, 0) / nch.nc
+                       ELSE 0.0 END AS top_4gram_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(c5.covchars, 0) / nch.nc
+                       ELSE 0.0 END AS dup_5gram_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(c6.covchars, 0) / nch.nc
+                       ELSE 0.0 END AS dup_6gram_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(c7.covchars, 0) / nch.nc
+                       ELSE 0.0 END AS dup_7gram_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(c8.covchars, 0) / nch.nc
+                       ELSE 0.0 END AS dup_8gram_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(c9.covchars, 0) / nch.nc
+                       ELSE 0.0 END AS dup_9gram_char_frac,
+                       CASE WHEN nch.nc > 0 THEN
+                           coalesce(c10.covchars, 0) / nch.nc
+                       ELSE 0.0 END AS dup_10gram_char_frac
+                FROM nch
+                LEFT JOIN lf ON lf.doc_id = nch.doc_id
+                LEFT JOIN pf ON pf.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM tgt WHERE n = 2) t2
+                       ON t2.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM tgt WHERE n = 3) t3
+                       ON t3.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM tgt WHERE n = 4) t4
+                       ON t4.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM cc WHERE n = 5) c5
+                       ON c5.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM cc WHERE n = 6) c6
+                       ON c6.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM cc WHERE n = 7) c7
+                       ON c7.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM cc WHERE n = 8) c8
+                       ON c8.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM cc WHERE n = 9) c9
+                       ON c9.doc_id = nch.doc_id
+                LEFT JOIN (SELECT * FROM cc WHERE n = 10) c10
+                       ON c10.doc_id = nch.doc_id
+            )
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs_rep,
+                   sum((dup_line_frac <= 0.30)::INT)::BIGINT
+                       AS n_dup_line_frac_ok,
+                   sum((dup_para_frac <= 0.30)::INT)::BIGINT
+                       AS n_dup_para_frac_ok,
+                   sum((dup_line_char_frac <= 0.20)::INT)::BIGINT
+                       AS n_dup_line_char_frac_ok,
+                   sum((dup_para_char_frac <= 0.20)::INT)::BIGINT
+                       AS n_dup_para_char_frac_ok,
+                   sum((top_2gram_char_frac <= 0.20)::INT)::BIGINT
+                       AS n_top_2gram_char_frac_ok,
+                   sum((top_3gram_char_frac <= 0.18)::INT)::BIGINT
+                       AS n_top_3gram_char_frac_ok,
+                   sum((top_4gram_char_frac <= 0.16)::INT)::BIGINT
+                       AS n_top_4gram_char_frac_ok,
+                   sum((dup_5gram_char_frac <= 0.15)::INT)::BIGINT
+                       AS n_dup_5gram_char_frac_ok,
+                   sum((dup_6gram_char_frac <= 0.14)::INT)::BIGINT
+                       AS n_dup_6gram_char_frac_ok,
+                   sum((dup_7gram_char_frac <= 0.13)::INT)::BIGINT
+                       AS n_dup_7gram_char_frac_ok,
+                   sum((dup_8gram_char_frac <= 0.12)::INT)::BIGINT
+                       AS n_dup_8gram_char_frac_ok,
+                   sum((dup_9gram_char_frac <= 0.11)::INT)::BIGINT
+                       AS n_dup_9gram_char_frac_ok,
+                   sum((dup_10gram_char_frac <= 0.10)::INT)::BIGINT
+                       AS n_dup_10gram_char_frac_ok,
+                   sum((dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+                        AND dup_line_char_frac <= 0.20
+                        AND dup_para_char_frac <= 0.20
+                        AND top_2gram_char_frac <= 0.20
+                        AND top_3gram_char_frac <= 0.18
+                        AND top_4gram_char_frac <= 0.16
+                        AND dup_5gram_char_frac <= 0.15
+                        AND dup_6gram_char_frac <= 0.14
+                        AND dup_7gram_char_frac <= 0.13
+                        AND dup_8gram_char_frac <= 0.12
+                        AND dup_9gram_char_frac <= 0.11
+                        AND dup_10gram_char_frac <= 0.10)::INT)::BIGINT
+                       AS n_rep_keep,
+                   round(min(dup_line_char_frac), 9)
+                       AS min_dup_line_char_frac,
+                   round(max(dup_line_char_frac), 9)
+                       AS max_dup_line_char_frac,
+                   round(max(top_2gram_char_frac), 9) AS max_top2_frac,
+                   round(max(dup_6gram_char_frac), 9) AS max_dup6_frac
+            FROM perdoc GROUP BY lang
+          ) repq ON baseq.lang = repq.lang
         """,
         "duplicate_span_stats": """
             WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts

@@ -316,9 +316,191 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-#: the Gopher stop-word list (Rae et al. 2021, Appendix A.1.1): a doc
-#: must contain at least two of these to pass the stop-word rule
-GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+#: Gopher A.1.2 repetition thresholds: rule name -> (param, max frac)
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _dup_unit_fracs(df: DataFrame, id_col: str, text_col: str, sep: str, tag: str):
+    """Per-doc duplicate-(line|paragraph) fractions: occurrences beyond
+    the first, as a count fraction and a character fraction (Gopher
+    A.1.2 rows 1-4). One (doc, unit) groupBy — linear, skew-free (the
+    key includes the doc id)."""
+    units = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), sep, -1)).alias("__u"),
+    )
+    per_unit = units.groupBy("__id", "__u").agg(F.count("*").alias("__c"))
+    ln = F.length("__u")
+    tot_chars = F.sum(F.col("__c") * ln)
+    return per_unit.groupBy("__id").agg(
+        (F.sum(F.col("__c") - 1) / F.sum("__c")).alias(f"dup_{tag}_frac"),
+        # all-empty units (e.g. text "") have zero total chars — ANSI
+        # division would raise; an empty doc duplicates nothing
+        F.when(
+            tot_chars > 0, F.sum((F.col("__c") - 1) * ln) / tot_chars
+        ).otherwise(F.lit(0.0)).alias(f"dup_{tag}_char_frac"),
+    )
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    thresholds: dict | None = None,
+    para_sep: str = "\n\n",
+) -> DataFrame:
+    """The published Gopher repetition-rule set (Rae et al. 2021,
+    Appendix A.1.2) with the paper's thresholds: duplicate line /
+    paragraph fractions (count and character), the character fraction
+    of the single most frequent {2,3,4}-gram, and the character
+    fraction COVERED by duplicated {5..10}-grams (overlaps not double
+    counted — covered token positions are merged into islands exactly
+    like :func:`dedup.dup_islands`, but within one document). One
+    boolean per rule (fraction <= threshold) plus ``gopher_rep_keep``.
+
+    Plans: every stage is a (doc, unit)- or (doc, n, gram)-keyed
+    groupBy (linear, skew-free — keys contain the doc id) plus one
+    doc-partitioned window for the island merge; no pair joins, no
+    Python. Fractions are exact int/int divisions — hash-gateable
+    against a DuckDB twin. Docs keep their rows always: a doc with no
+    grams at some n has fraction 0 for that rule."""
+    from pyspark.sql import Window
+
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    th.update(thresholds or {})
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    ).withColumn("__nchars", F.length("__t"))
+
+    lines = _dup_unit_fracs(base, "__id", "__t", "\n", "line")
+    paras = _dup_unit_fracs(base, "__id", "__t", para_sep, "para")
+
+    # --- top-{2,3,4}-gram character fraction: chars of the single most
+    # frequent n-gram (count * len, only when count >= 2) / doc chars.
+    # Tie-break: max (count, char contribution) struct — deterministic
+    # and replicable as max(struct_pack(...)) in DuckDB.
+    top_grams = None
+    for n in (2, 3, 4):
+        g = base.select(
+            "__id", F.lit(n).alias("__n"),
+            F.explode(token_ngrams_col("__t", n)).alias("__g"),
+        )
+        top_grams = g if top_grams is None else top_grams.unionByName(g)
+    gcnt = top_grams.groupBy("__id", "__n", "__g").agg(F.count("*").alias("__c"))
+    top = (
+        gcnt.filter(F.col("__c") >= 2)
+        .groupBy("__id", "__n")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__c").alias("c"),
+                    (F.col("__c") * F.length("__g")).alias("cl"),
+                )
+            )["cl"].alias("__topchars")
+        )
+    )
+
+    # --- duplicated-{5..10}-gram COVERED character fraction: positions
+    # of within-doc duplicated n-grams merged into islands; covered
+    # chars = token chars at covered positions + one separator per
+    # adjacent covered pair (islands of p positions have p-1 internal
+    # spaces)
+    toks = base.select(
+        "__id",
+        F.posexplode(F.split("__t", " ", -1)).alias("__pos", "__tok"),
+    ).withColumn("__tlen", F.length("__tok"))
+    pos_grams = None
+    for n in range(5, 11):
+        g = base.select(
+            "__id", F.lit(n).alias("__n"),
+            F.posexplode(token_ngrams_col("__t", n)).alias("__pos", "__g"),
+        )
+        pos_grams = g if pos_grams is None else pos_grams.unionByName(g)
+    dup_g = (
+        pos_grams.groupBy("__id", "__n", "__g")
+        .agg(F.count("*").alias("__c"), F.collect_list("__pos").alias("__ps"))
+        .filter(F.col("__c") >= 2)
+        .select("__id", "__n", F.explode("__ps").alias("__pos"))
+    )
+    win = Window.partitionBy("__id", "__n").orderBy("__pos")
+    brk = F.when(
+        F.col("__pos") - F.lag("__pos").over(win) > F.col("__n"), 1
+    ).otherwise(0)
+    isl = dup_g.withColumn(
+        "__isl",
+        F.sum(brk).over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).groupBy("__id", "__n", "__isl").agg(
+        F.min("__pos").alias("__s"),
+        (F.max("__pos") + F.col("__n").cast("long")).alias("__e1"),
+    )
+    isl = isl.select(
+        "__id", "__n", "__isl",
+        F.explode(F.sequence(F.col("__s"), F.col("__e1") - 1)).alias("__pos"),
+    )
+    cov = isl.join(toks.select("__id", "__pos", "__tlen"), ["__id", "__pos"])
+    cov_per = cov.groupBy("__id", "__n").agg(
+        (
+            F.sum("__tlen")
+            + F.count("*")
+            - F.countDistinct("__isl")
+        ).alias("__covchars")
+    )
+
+    out = base.select("__id", "__nchars")
+    for frame, cols in (
+        (lines, ["dup_line_frac", "dup_line_char_frac"]),
+        (paras, ["dup_para_frac", "dup_para_char_frac"]),
+    ):
+        out = out.join(frame, "__id", "left")
+    for n in (2, 3, 4):
+        t = top.filter(F.col("__n") == n).select(
+            "__id", F.col("__topchars").alias(f"__tc{n}")
+        )
+        out = out.join(t, "__id", "left").withColumn(
+            f"top_{n}gram_char_frac",
+            F.when(
+                F.col("__nchars") > 0,
+                F.coalesce(F.col(f"__tc{n}"), F.lit(0)) / F.col("__nchars"),
+            ).otherwise(F.lit(0.0)),
+        ).drop(f"__tc{n}")
+    for n in range(5, 11):
+        c = cov_per.filter(F.col("__n") == n).select(
+            "__id", F.col("__covchars").alias(f"__cc{n}")
+        )
+        out = out.join(c, "__id", "left").withColumn(
+            f"dup_{n}gram_char_frac",
+            F.when(
+                F.col("__nchars") > 0,
+                F.coalesce(F.col(f"__cc{n}"), F.lit(0)) / F.col("__nchars"),
+            ).otherwise(F.lit(0.0)),
+        ).drop(f"__cc{n}")
+    rules = {}
+    for name, bound in th.items():
+        rules[f"{name}_ok"] = F.coalesce(F.col(name), F.lit(0.0)) <= bound
+    out = out.withColumns(rules)
+    out = out.withColumn(
+        "gopher_rep_keep", reduce(lambda a, b: a & b, rules.values())
+    )
+    return df.join(
+        out.withColumnRenamed("__id", id_col).drop("__nchars"), id_col, "left"
+    )
 
 
 def gopher_quality_rules(

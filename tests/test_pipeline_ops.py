@@ -612,6 +612,62 @@ class TestGopherRules:
         assert got["g_word_count_ok"] is True
 
 
+class TestGopherRepetitionRules:
+    """Published Gopher repetition set (A.1.2): one fixture per rule
+    family with hand-computable fractions."""
+
+    def _rules(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = text.gopher_repetition_rules(df, "doc_id", **kw)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_duplicate_lines_and_char_fraction(self, spark):
+        got = self._rules(spark, [(1, "x y\nx y\nx y\nz w")])[1]
+        assert got["dup_line_frac"] == pytest.approx(0.5)  # 2 extra of 4
+        assert got["dup_line_char_frac"] == pytest.approx(0.5)  # 6/12 chars
+        assert got["dup_line_frac_ok"] is False
+        assert got["gopher_rep_keep"] is False
+
+    def test_duplicate_paragraphs(self, spark):
+        doc = "para one here\n\npara one here\n\nother text"
+        got = self._rules(spark, [(1, doc)])[1]
+        assert got["dup_para_frac"] == pytest.approx(1 / 3)
+        assert got["dup_para_frac_ok"] is False
+
+    def test_top_ngram_char_fraction(self, spark):
+        # "hello world" x4 = 4*11 = 44 chars of 50 total
+        doc = "hello world hello world hello world hello world hi"
+        got = self._rules(spark, [(1, doc)])[1]
+        assert got["top_2gram_char_frac"] == pytest.approx(44 / 50)
+        assert got["top_2gram_char_frac_ok"] is False
+
+    def test_dup_ngram_coverage_no_double_count(self, spark):
+        # a 10-token block repeated twice: every position is covered by
+        # SOME duplicated 6-gram; coverage must be the union (whole
+        # text), not the sum over overlapping grams (> text length)
+        block = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+        doc = block + " " + block
+        got = self._rules(spark, [(1, doc)])[1]
+        assert got["dup_6gram_char_frac"] == pytest.approx(1.0)
+        assert got["dup_6gram_char_frac_ok"] is False
+
+    def test_clean_and_degenerate_docs_pass(self, spark):
+        got = self._rules(
+            spark, [(1, "a b c d e f g h i j k l"), (2, ""), (3, None)]
+        )
+        for i in (1, 2, 3):
+            assert got[i]["gopher_rep_keep"] is True
+        assert len(got) == 3  # never-lose-rows
+
+    def test_thresholds_parametrizable(self, spark):
+        got = self._rules(
+            spark,
+            [(1, "x y\nx y\nz w")],
+            thresholds={"dup_line_frac": 0.5},
+        )[1]
+        assert got["dup_line_frac_ok"] is True  # 1/3 <= 0.5
+
+
 class TestPQ:
     def test_codebook_shape_and_code_range(self, spark, emb):
         books = similarity.train_pq_codebooks(emb, m=16, k_codes=64)
