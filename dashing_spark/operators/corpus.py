@@ -51,6 +51,7 @@ def curate(
     line_dedup_sep: str | None = None,
     substring_dedup_min_len: int | None = None,
     substring_dedup_w: int = 8,
+    gopher: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline. Returns (kept_docs, stats) where
     stats is a lazy one-row-per-stage frame: (stage, n_out).
@@ -77,7 +78,11 @@ def curate(
     et al. threshold) additionally cuts cross-document duplicated token
     runs of at least that length (ExactSubstr rewrite,
     :func:`dedup.remove_duplicate_runs`) in the same slot, after the
-    line rewrite."""
+    line rewrite; ``gopher=True`` drops docs failing ANY of the
+    published Gopher quality (A.1.1) or repetition (A.1.2) rules
+    (:func:`text.gopher_quality_rules` /
+    :func:`text.gopher_repetition_rules`), after the stage-3 scalar
+    quality gate."""
     # stage 1: exact dedup (min-id keeper per byte-identical text)
     keepers = (
         docs.select(F.md5(F.col(text_col)).alias("__dg"), F.col(id_col))
@@ -130,6 +135,17 @@ def curate(
         id_col,
         "left_semi",
     )
+    # stage 3b: optional published Gopher rule gates (quality A.1.1 +
+    # repetition A.1.2) — keep only docs passing every rule
+    if gopher:
+        gq = text.gopher_quality_rules(s3, text_col=text_col)
+        keep_q = gq.filter(F.col("gopher_keep")).select(id_col)
+        gr = text.gopher_repetition_rules(s3, id_col, text_col=text_col)
+        keep_r = gr.filter(F.col("gopher_rep_keep")).select(id_col)
+        s3 = (
+            s3.join(keep_q, id_col, "left_semi")
+            .join(keep_r, id_col, "left_semi")
+        )
     # stage 4: optional language allow-list
     s4 = s3.filter(F.col("lang").isin(list(langs))) if langs else s3
 
@@ -144,6 +160,8 @@ def curate(
         .unionByName(_stage("near_dedup", s2))
         .unionByName(_stage("quality", s3))
     )
+    # (with gopher=True the "quality" row already reflects both rule
+    # gates — s3 was narrowed before the stats union)
     if langs:
         stats = stats.unionByName(_stage("lang", s4))
     out = s4

@@ -316,6 +316,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: the Gopher stop-word list (Rae et al. 2021, Appendix A.1.1): a doc
+#: must contain at least two of these to pass the stop-word rule
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
 #: Gopher A.1.2 repetition thresholds: rule name -> (param, max frac)
 GOPHER_REPETITION_THRESHOLDS = {
     "dup_line_frac": 0.30,

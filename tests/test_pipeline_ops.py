@@ -851,6 +851,29 @@ class TestCorpusCuration:
         ).filter(F.col("etext") != F.col("otext")).collect()}
         assert changed == {1, 2}
 
+    def test_gopher_stage_matches_standalone(self, spark):
+        """curate(gopher=True) must keep exactly the docs passing BOTH
+        standalone rule sets."""
+        from dashing_spark.operators import corpus
+
+        # 60 DISTINCT words (no within-doc repetition) incl. stopwords
+        def good(tag):
+            return "the be to of and that have with " + " ".join(
+                f"{tag}word{i}" for i in range(52)
+            )
+
+        rows = [
+            (1, good("a"), "en"),
+            (2, good("b"), "en"),                     # disjoint filler
+            (3, "x y\n" * 20 + good("c"), "en"),      # dup lines -> rep fail
+            (4, ("# " * 40 + good("d")).strip(), "en"),  # symbols -> quality fail
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        kept, stats = corpus.curate(docs, min_quality=0.0, gopher=True)
+        assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+        s = {r["stage"]: r["n_out"] for r in stats.collect()}
+        assert s["quality"] == 2
+
     def test_full_chain_matches_standalone_stages(self, spark, docs):
         from dashing_spark.operators import contamination, corpus
 
