@@ -1404,7 +1404,9 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("top_2gram_char_frac"), 9).alias("max_top2_frac"),
         F.round(F.max("dup_6gram_char_frac"), 9).alias("max_dup6_frac"),
     )
-    return base.join(rep_agg, "lang")
+    # LEFT join: a lang with no docs in the injection window must keep
+    # its base stats row (the rep columns go NULL on both engines)
+    return base.join(rep_agg, "lang", "left")
 
 
 def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3278,7 +3280,7 @@ def oracle_sql() -> dict[str, str]:
                  repq.n_rep_keep,
                  repq.min_dup_line_char_frac, repq.max_dup_line_char_frac,
                  repq.max_top2_frac, repq.max_dup6_frac
-          FROM baseq JOIN (
+          FROM baseq LEFT JOIN (
             WITH rt AS (
                 SELECT doc_id, lang,
                        text || CASE

@@ -136,18 +136,25 @@ def curate(
         "left_semi",
     )
     # stage 3b: optional published Gopher rule gates (quality A.1.1 +
-    # repetition A.1.2) — keep only docs passing every rule
+    # repetition A.1.2) — keep only docs passing every rule. The rules
+    # fan s3 out to ~12 branches (lines/paras/top-gram/pos-gram/token
+    # frames plus the joins); checkpoint so the exact-dedup + LSH +
+    # quality lineage upstream runs once, not per branch (the same
+    # guard stages 1b/1c carry)
+    s3g = s3
     if gopher:
+        if not s3.isStreaming:
+            s3 = s3.localCheckpoint(eager=False)
         gq = text.gopher_quality_rules(s3, text_col=text_col)
         keep_q = gq.filter(F.col("gopher_keep")).select(id_col)
         gr = text.gopher_repetition_rules(s3, id_col, text_col=text_col)
         keep_r = gr.filter(F.col("gopher_rep_keep")).select(id_col)
-        s3 = (
+        s3g = (
             s3.join(keep_q, id_col, "left_semi")
             .join(keep_r, id_col, "left_semi")
         )
     # stage 4: optional language allow-list
-    s4 = s3.filter(F.col("lang").isin(list(langs))) if langs else s3
+    s4 = s3g.filter(F.col("lang").isin(list(langs))) if langs else s3g
 
     def _stage(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count("*").alias("n_out")).select(
@@ -160,8 +167,9 @@ def curate(
         .unionByName(_stage("near_dedup", s2))
         .unionByName(_stage("quality", s3))
     )
-    # (with gopher=True the "quality" row already reflects both rule
-    # gates — s3 was narrowed before the stats union)
+    if gopher:
+        # its own attribution row, like every other optional stage
+        stats = stats.unionByName(_stage("gopher", s3g))
     if langs:
         stats = stats.unionByName(_stage("lang", s4))
     out = s4

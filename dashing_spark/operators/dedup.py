@@ -1066,6 +1066,36 @@ def span_rows(
     return spans
 
 
+def merge_position_islands(
+    pos_df: DataFrame, part_cols: Sequence[str], width
+) -> DataFrame:
+    """Merge covered intervals [__pos, __pos + width - 1] into maximal
+    islands per partition key: (*part_cols, __isl, __start, __len).
+    ``width`` is an int or a per-row Column (e.g. an n-gram width
+    column). The single windowing core shared by every island consumer
+    (cross-doc dup runs, within-doc repetition coverage) — fixed width
+    makes interval ends monotone, so a gap > width between consecutive
+    covered starts begins a new island (pos' <= pos + width
+    overlaps-or-abuts the previous [pos, pos+width-1] cover)."""
+    part_cols = list(part_cols)
+    w = F.lit(width) if isinstance(width, int) else width
+    win = Window.partitionBy(*part_cols).orderBy("__pos")
+    brk = (
+        F.when(F.col("__pos") - F.lag("__pos").over(win) > w, 1)
+        .otherwise(0)
+    )
+    isl = pos_df.withColumn(
+        "__isl",
+        F.sum(brk).over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy(*part_cols, "__isl").agg(
+        F.min("__pos").alias("__start"),
+        (F.max("__pos") - F.min("__pos") + w).alias("__len"),
+    )
+
+
 def dup_islands(
     spans: DataFrame, w: int, key_cols: Sequence[str] = ()
 ) -> DataFrame:
@@ -1090,25 +1120,7 @@ def dup_islands(
         .select("__span")
     )
     dup_pos = spans.join(span_docs, "__span").select("__id", *key_cols, "__pos")
-    # islands: positions sorted per doc; fixed width w makes interval
-    # ends monotone, so a gap > w between consecutive covered starts
-    # begins a new island (pos' <= pos + w overlaps-or-abuts the
-    # previous [pos, pos+w-1] cover)
-    win = Window.partitionBy("__id").orderBy("__pos")
-    brk = (
-        F.when(F.col("__pos") - F.lag("__pos").over(win) > w, 1)
-        .otherwise(0)
-    )
-    isl = dup_pos.withColumn(
-        "__isl",
-        F.sum(brk).over(
-            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return isl.groupBy("__id", *key_cols, "__isl").agg(
-        F.min("__pos").alias("__start"),
-        (F.max("__pos") - F.min("__pos") + w).alias("__len"),
-    )
+    return merge_position_islands(dup_pos, ["__id", *key_cols], w)
 
 
 def remove_duplicate_runs(

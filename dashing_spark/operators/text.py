@@ -342,10 +342,14 @@ def _dup_unit_fracs(df: DataFrame, id_col: str, text_col: str, sep: str, tag: st
     """Per-doc duplicate-(line|paragraph) fractions: occurrences beyond
     the first, as a count fraction and a character fraction (Gopher
     A.1.2 rows 1-4). One (doc, unit) groupBy — linear, skew-free (the
-    key includes the doc id)."""
+    key includes the doc id). ``sep`` is a LITERAL separator (Spark
+    split is regex — quoted like line_dedup so a metachar separator
+    still splits literally and matches the DuckDB string_split twin)."""
+    from dashing_spark.operators.dedup import _regex_quote
+
     units = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), sep, -1)).alias("__u"),
+        F.explode(F.split(F.col(text_col), _regex_quote(sep), -1)).alias("__u"),
     )
     per_unit = units.groupBy("__id", "__u").agg(F.count("*").alias("__c"))
     ln = F.length("__u")
@@ -406,6 +410,12 @@ def gopher_repetition_rules(
         )
         top_grams = g if top_grams is None else top_grams.unionByName(g)
     gcnt = top_grams.groupBy("__id", "__n", "__g").agg(F.count("*").alias("__c"))
+    # count floor 2 is the PUBLISHED behavior: reference
+    # implementations (DataTrove gopher_repetition_filter) guard with
+    # `top_n_gram[1] > 1`, so a once-occurring top gram contributes 0 —
+    # without the floor every short doc fails top-3/4-gram on its first
+    # 4-gram alone. Tie-break by char contribution, deterministic in
+    # both engines.
     top = (
         gcnt.filter(F.col("__c") >= 2)
         .groupBy("__id", "__n")
@@ -441,22 +451,16 @@ def gopher_repetition_rules(
         .filter(F.col("__c") >= 2)
         .select("__id", "__n", F.explode("__ps").alias("__pos"))
     )
-    win = Window.partitionBy("__id", "__n").orderBy("__pos")
-    brk = F.when(
-        F.col("__pos") - F.lag("__pos").over(win) > F.col("__n"), 1
-    ).otherwise(0)
-    isl = dup_g.withColumn(
-        "__isl",
-        F.sum(brk).over(
-            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).groupBy("__id", "__n", "__isl").agg(
-        F.min("__pos").alias("__s"),
-        (F.max("__pos") + F.col("__n").cast("long")).alias("__e1"),
-    )
+    from dashing_spark.operators.dedup import merge_position_islands
+
+    isl = merge_position_islands(dup_g, ["__id", "__n"], F.col("__n"))
     isl = isl.select(
         "__id", "__n", "__isl",
-        F.explode(F.sequence(F.col("__s"), F.col("__e1") - 1)).alias("__pos"),
+        F.explode(
+            F.sequence(
+                F.col("__start"), F.col("__start") + F.col("__len") - 1
+            )
+        ).alias("__pos"),
     )
     cov = isl.join(toks.select("__id", "__pos", "__tlen"), ["__id", "__pos"])
     cov_per = cov.groupBy("__id", "__n").agg(
@@ -502,9 +506,16 @@ def gopher_repetition_rules(
     out = out.withColumn(
         "gopher_rep_keep", reduce(lambda a, b: a & b, rules.values())
     )
-    return df.join(
+    joined = df.join(
         out.withColumnRenamed("__id", id_col).drop("__nchars"), id_col, "left"
     )
+    # a NULL id never matches the id-keyed stat joins (the recurring
+    # equi-join NULL-key class) — such a row cannot be attributed, so
+    # it FAILS CLOSED (flags False) instead of carrying NULL flags
+    # that a .filter() would silently drop
+    fixes = {c: F.coalesce(F.col(c), F.lit(False))
+             for c in [*rules, "gopher_rep_keep"]}
+    return joined.withColumns(fixes)
 
 
 def gopher_quality_rules(

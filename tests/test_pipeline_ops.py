@@ -872,7 +872,7 @@ class TestCorpusCuration:
         kept, stats = corpus.curate(docs, min_quality=0.0, gopher=True)
         assert {r["doc_id"] for r in kept.collect()} == {1, 2}
         s = {r["stage"]: r["n_out"] for r in stats.collect()}
-        assert s["quality"] == 2
+        assert s["quality"] == 4 and s["gopher"] == 2  # attribution split
 
     def test_full_chain_matches_standalone_stages(self, spark, docs):
         from dashing_spark.operators import contamination, corpus
