@@ -1278,7 +1278,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     _, stats = corpus.curate(docs, near_threshold=0.9, min_quality=0.5)
-    ld = dedup.line_dedup(dedup.two_line_split(docs), "doc_id", "t2")
+    two = dedup.two_line_split(docs)
+    ld = dedup.line_dedup(two, "doc_id", "t2")
     extra = (
         ld.agg(
             F.sum("n_lines").alias("a"), F.sum("n_kept").alias("b")
@@ -1299,7 +1300,65 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r.stage", "r.n_out")
     )
-    return stats.unionByName(extra)
+    # C4 rule tier (r6): the Raffel et al. §2.2 line rewrite + doc
+    # booleans over injected terminal/javascript/brace/lorem/extra-
+    # sentence variants of the two-line split (oracle mirrors); kept
+    # lines, rewritten chars and per-rule doc counts gated as stage rows
+    c4_src = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("brace { code\n")).otherwise(
+            F.lit("")
+        ),
+        F.col("t2"),
+        F.lit("."),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nthey use javascript all the time."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nlorem ipsum filler sentence here."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit(
+                "\nOne more good sentence here now."
+                "\nAnd a third full sentence here!"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    c4 = text.c4_rules(two.withColumn("c4_src", c4_src), "c4_src")
+    c4rows = (
+        c4.agg(
+            F.sum("c4_n_lines_kept").alias("a"),
+            F.sum(F.length("c4_text")).alias("b"),
+            F.sum(F.col("c4_brace_ok").cast("long")).alias("c"),
+            F.sum(F.col("c4_lorem_ok").cast("long")).alias("d"),
+            F.sum(F.col("c4_sentences_ok").cast("long")).alias("e"),
+            F.sum(F.col("c4_keep").cast("long")).alias("f"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(nm).alias("stage"),
+                            F.col(al).alias("n_out"),
+                        )
+                        for nm, al in [
+                            ("c4_lines_kept", "a"),
+                            ("c4_text_chars", "b"),
+                            ("c4_brace_ok_docs", "c"),
+                            ("c4_lorem_ok_docs", "d"),
+                            ("c4_sentences_ok_docs", "e"),
+                            ("c4_keep_docs", "f"),
+                        ]
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.stage", "r.n_out")
+    )
+    return stats.unionByName(extra).unionByName(c4rows)
 
 
 def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3722,12 +3781,64 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lr.doc_id FROM lr LEFT JOIN lk USING (line)
                 WHERE lk.kk IS NULL OR row(lr.doc_id, lr.i) = lk.kk
             )
+            , c4i AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'brace { code' || chr(10) ELSE '' END
+                   || t2 || '.'
+                   || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                       'they use javascript all the time.' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                       'lorem ipsum filler sentence here.' ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                       'One more good sentence here now.' || chr(10) ||
+                       'And a third full sentence here!' ELSE '' END AS g
+                FROM two),
+            c4l AS (SELECT doc_id, g,
+                           unnest(range(1,
+                               len(string_split(g, chr(10))) + 1)) AS i,
+                           string_split(g, chr(10)) AS ls
+                    FROM c4i),
+            c4r AS (SELECT doc_id, i, ls[i] AS l FROM c4l),
+            c4k AS (SELECT doc_id, i, l FROM c4r
+                    WHERE (ends_with(l, '.') OR ends_with(l, '!')
+                           OR ends_with(l, '?') OR ends_with(l, '"'))
+                      AND len(list_filter(string_split(l, ' '),
+                              t -> t <> '')) >= 5
+                      AND NOT contains(lower(l), 'javascript')),
+            c4t AS (SELECT c4i.doc_id,
+                           coalesce(t.kn, 0) AS nk,
+                           coalesce(t.txt, '') AS nt
+                    FROM c4i LEFT JOIN (
+                        SELECT doc_id, count(*) AS kn,
+                               string_agg(l, chr(10) ORDER BY i) AS txt
+                        FROM c4k GROUP BY doc_id) t USING (doc_id)),
+            c4b AS (SELECT c4i.doc_id,
+                           NOT contains(c4i.g, '{') AS brace_ok,
+                           NOT contains(lower(c4i.g), 'lorem ipsum')
+                               AS lorem_ok,
+                           (length(c4t.nt)
+                            - length(replace(replace(replace(c4t.nt,
+                                  '.', ''), '!', ''), '?', ''))) >= 3
+                               AS sent_ok,
+                           c4t.nk AS nk, length(c4t.nt) AS ntl
+                    FROM c4i JOIN c4t ON c4t.doc_id = c4i.doc_id)
             SELECT 'input' AS stage, count(*)::BIGINT AS n_out FROM documents
             UNION ALL SELECT 'exact_dedup', count(*)::BIGINT FROM s1
             UNION ALL SELECT 'near_dedup', count(*)::BIGINT FROM s2
             UNION ALL SELECT 'quality', count(*)::BIGINT FROM s3
             UNION ALL SELECT 'line_dedup_lines', count(*)::BIGINT FROM lr
             UNION ALL SELECT 'line_dedup_kept', count(*)::BIGINT FROM kept
+            UNION ALL SELECT 'c4_lines_kept', sum(nk)::BIGINT FROM c4b
+            UNION ALL SELECT 'c4_text_chars', sum(ntl)::BIGINT FROM c4b
+            UNION ALL SELECT 'c4_brace_ok_docs',
+                             sum(brace_ok::INT)::BIGINT FROM c4b
+            UNION ALL SELECT 'c4_lorem_ok_docs',
+                             sum(lorem_ok::INT)::BIGINT FROM c4b
+            UNION ALL SELECT 'c4_sentences_ok_docs',
+                             sum(sent_ok::INT)::BIGINT FROM c4b
+            UNION ALL SELECT 'c4_keep_docs',
+                             sum((brace_ok AND lorem_ok
+                                  AND sent_ok)::INT)::BIGINT FROM c4b
         """,
     }
 

@@ -594,6 +594,89 @@ def gopher_quality_rules(
     )
 
 
+#: terminal punctuation accepted by the C4 line rule (Raffel et al.
+#: 2020 §2.2: period, exclamation, question mark, end quotation mark)
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    badwords: Sequence[str] = (),
+    out_col: str = "c4_text",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as a line-level
+    REWRITE plus document booleans:
+
+    - keep only lines ending in terminal punctuation (``. ! ? "``);
+    - keep only lines with >= ``min_words_per_line`` words;
+    - drop lines containing the word "javascript" (case-insensitive,
+      ASCII lowering — the keyword is ASCII so engine lower() dialects
+      cannot affect it);
+    - ``c4_brace_ok``: no ``{`` anywhere (code page signal);
+    - ``c4_lorem_ok``: no "lorem ipsum";
+    - ``c4_badword_ok``: none of ``badwords`` present (the paper uses
+      the "List of Dirty, Naughty ..." list — supplied by the caller,
+      empty default);
+    - ``c4_sentences_ok``: the REWRITTEN text carries at least
+      ``min_sentences`` sentence terminators (``.!?``) — the paper
+      drops pages with fewer than 3 sentences;
+    - ``c4_keep`` = every doc boolean (line rules affect ``out_col``,
+      not keep/drop).
+
+    Pure JVM lambda/split expressions; rows are never lost (NULL text
+    -> NULL ``out_col``, doc booleans fail closed on the brace/lorem
+    rules only if the text actually trips them — NULL passes)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    from dashing_spark.operators.dedup import _regex_quote
+
+    lines = F.split(txt, _regex_quote(line_sep), -1)
+
+    def _line_ok(l):
+        ends = reduce(
+            lambda a, b: a | b, [l.endswith(t) for t in C4_TERMINALS]
+        )
+        words = F.filter(F.split(l, " ", -1), lambda t: t != "")
+        return (
+            ends
+            & (F.size(words) >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    new_text = F.array_join(kept, line_sep)
+    low = F.lower(txt)
+    # terminator count via length-of-replace (split-on-empty-regex is
+    # engine-quirky; replace is identical in Spark and DuckDB)
+    stripped = new_text
+    for t in (".", "!", "?"):
+        stripped = F.replace(stripped, F.lit(t), F.lit(""))
+    n_sentences = F.length(new_text) - F.length(stripped)
+    rules = {
+        "c4_brace_ok": ~txt.contains("{"),
+        "c4_lorem_ok": ~low.contains("lorem ipsum"),
+        "c4_badword_ok": reduce(
+            lambda a, b: a & b,
+            [~low.contains(w.lower()) for w in badwords],
+            F.lit(True),
+        ),
+        "c4_sentences_ok": n_sentences >= min_sentences,
+    }
+    out = df.withColumns(
+        {
+            out_col: F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(new_text),
+            "c4_n_lines_kept": F.size(kept).cast("long"),
+            **rules,
+        }
+    )
+    return out.withColumn("c4_keep", reduce(lambda a, b: a & b, rules.values()))
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scalar quality score in [0,1]: rewards mid-length docs and a sane
     stopword ratio, penalizes digit soup. Weights are arbitrary but

@@ -612,6 +612,56 @@ class TestGopherRules:
         assert got["g_word_count_ok"] is True
 
 
+class TestC4Rules:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): line rewrite + doc
+    booleans."""
+
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {r["doc_id"]: r.asDict()
+                for r in text.c4_rules(df, **kw).collect()}
+
+    def test_line_rules(self, spark):
+        doc = ("This line has six words total.\n"
+               "short line\n"
+               "Another good line with punctuation here!\n"
+               "uses javascript heavily today right now.")
+        got = self._run(spark, [(1, doc)])[1]
+        assert got["c4_text"] == (
+            "This line has six words total.\n"
+            "Another good line with punctuation here!"
+        )
+        assert got["c4_n_lines_kept"] == 2
+
+    def test_doc_booleans(self, spark):
+        rows = [
+            (1, 'A brace appears right here { now.'),
+            (2, "Sadly lorem ipsum shows up here."),
+            (3, "One good sentence right here today.\n"
+                "Another full sentence is right here!\n"
+                "Third sentence makes the cut now?"),
+        ]
+        got = self._run(spark, rows)
+        assert got[1]["c4_brace_ok"] is False
+        assert got[2]["c4_lorem_ok"] is False
+        assert got[3]["c4_keep"] is True
+        assert got[1]["c4_sentences_ok"] is False  # 1 terminator < 3
+
+    def test_badwords_and_null(self, spark):
+        rows = [(1, "A perfectly ordinary sentence sits here."), (2, None)]
+        got = self._run(spark, rows, badwords=("ordinary",))
+        assert got[1]["c4_badword_ok"] is False
+        assert got[2]["c4_text"] is None and got[2]["c4_keep"] is False
+        assert len(got) == 2  # never-lose-rows
+
+    def test_quote_terminal_and_word_floor(self, spark):
+        doc = ('He said "this line ends with a quote"\n'
+               "Tiny line ends.\n")
+        got = self._run(spark, [(1, doc)])[1]
+        # quote-terminated line kept; 3-word line cut by the 5-word floor
+        assert got["c4_text"] == 'He said "this line ends with a quote"'
+
+
 class TestGopherRepetitionRules:
     """Published Gopher repetition set (A.1.2): one fixture per rule
     family with hand-computable fractions."""
