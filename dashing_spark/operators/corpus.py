@@ -52,6 +52,8 @@ def curate(
     substring_dedup_min_len: int | None = None,
     substring_dedup_w: int = 8,
     gopher: bool = False,
+    c4: bool = False,
+    c4_badwords: tuple = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation pipeline. Returns (kept_docs, stats) where
     stats is a lazy one-row-per-stage frame: (stage, n_out).
@@ -82,7 +84,11 @@ def curate(
     published Gopher quality (A.1.1) or repetition (A.1.2) rules
     (:func:`text.gopher_quality_rules` /
     :func:`text.gopher_repetition_rules`), after the stage-3 scalar
-    quality gate."""
+    quality gate; ``c4=True`` applies the C4 §2.2 rules
+    (:func:`text.c4_rules`) as BOTH a line rewrite (text replaced by
+    the surviving lines) and a doc gate (brace / lorem / badword /
+    3-sentence booleans), before near-dup dedup so signatures see the
+    cleaned text — the order C4 itself uses."""
     # stage 1: exact dedup (min-id keeper per byte-identical text)
     keepers = (
         docs.select(F.md5(F.col(text_col)).alias("__dg"), F.col(id_col))
@@ -117,6 +123,18 @@ def curate(
         )
         s1 = rw.drop(text_col, "n_tokens_removed").withColumnRenamed(
             "text_dedup", text_col
+        )
+    # stage 1d: optional C4 rules — line rewrite + doc gate, before
+    # near-dup dedup so signatures see the cleaned text (C4's own order)
+    if c4:
+        rules = text.c4_rules(s1, text_col=text_col, badwords=c4_badwords)
+        s1 = (
+            rules.filter(F.col("c4_keep"))
+            .drop(
+                text_col, "c4_n_lines_kept", "c4_brace_ok", "c4_lorem_ok",
+                "c4_badword_ok", "c4_sentences_ok", "c4_keep",
+            )
+            .withColumnRenamed("c4_text", text_col)
         )
     # stage 2: near-dup dedup
     pairs = dedup.minhash_lsh_dedup(s1, id_col, text_col, threshold=near_threshold)
@@ -163,7 +181,7 @@ def curate(
 
     stats = (
         _stage("input", docs)
-        .unionByName(_stage("exact_dedup", s1))
+        .unionByName(_stage("exact_dedup" if not c4 else "exact_dedup+c4", s1))
         .unionByName(_stage("near_dedup", s2))
         .unionByName(_stage("quality", s3))
     )

@@ -924,6 +924,25 @@ class TestCorpusCuration:
         s = {r["stage"]: r["n_out"] for r in stats.collect()}
         assert s["quality"] == 4 and s["gopher"] == 2  # attribution split
 
+    def test_c4_stage_rewrites_and_gates(self, spark):
+        from dashing_spark.operators import corpus
+
+        rows = [
+            (1, "First proper sentence sits right here.\n"
+                "no punctuation line\n"
+                "Second full sentence arrives right now!\n"
+                "Third sentence closes the document out."),
+            (2, "Contains a brace { and one sentence here."),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        docs = docs.withColumn("lang", F.lit("en"))
+        kept, _ = corpus.curate(docs, min_quality=0.0, c4=True)
+        out = {r["doc_id"]: r["text"] for r in kept.collect()}
+        assert set(out) == {1}  # brace doc gated out
+        assert out[1] == ("First proper sentence sits right here.\n"
+                          "Second full sentence arrives right now!\n"
+                          "Third sentence closes the document out.")
+
     def test_full_chain_matches_standalone_stages(self, spark, docs):
         from dashing_spark.operators import contamination, corpus
 
