@@ -572,6 +572,34 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--labels", default=None,
                     help="file of row labels, one per line")
 
+    sp = sub.add_parser("curate", help="training-corpus curation pipeline")
+    sp.add_argument("inputs", nargs="*")
+    sp.add_argument("-F", "--paths", help="file listing input paths")
+    sp.add_argument("--fmt", choices=("parquet", "jsonl", "csv"))
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("-o", "--out", required=True,
+                    help="output document-table directory")
+    sp.add_argument("--out-fmt", choices=("parquet", "jsonl", "csv"),
+                    default="parquet")
+    sp.add_argument("--near-threshold", type=float, default=0.9)
+    sp.add_argument("--min-quality", type=float, default=0.5)
+    sp.add_argument("--langs", default=None,
+                    help="comma-separated language allow-list")
+    sp.add_argument("--components", action="store_true",
+                    help="transitive-closure near-dup keeps")
+    sp.add_argument("--line-dedup", action="store_true",
+                    help="C4 corpus-wide duplicate-line rewrite")
+    sp.add_argument("--substring-dedup", type=int, default=None,
+                    metavar="MIN_LEN",
+                    help="ExactSubstr rewrite at this run length")
+    sp.add_argument("--gopher", action="store_true",
+                    help="published Gopher quality + repetition gates")
+    sp.add_argument("--c4", action="store_true",
+                    help="C4 line rewrite + doc gates")
+    sp.add_argument("--max-repetition", type=float, default=None)
+    sp.add_argument("-p", "--nthreads", type=int, default=None)
+
     sp = sub.add_parser("mkdist", help="multi-k distance sweep")
     _add_common(sp)
     sp.add_argument("--ks", required=True,
@@ -768,6 +796,37 @@ def _cmd_printmat(args) -> int:
     return 0
 
 
+def _cmd_curate(spark, args) -> int:
+    from dashing_spark.operators import corpus
+
+    paths = _gather_paths(args)
+    if not paths:
+        raise SystemExit("no input paths; see --help")
+    parts = [_read_doc_table(spark, p, args.fmt) for p in paths]
+    docs = parts[0]
+    for d in parts[1:]:
+        docs = docs.unionByName(d, allowMissingColumns=True)
+    kept, stats = corpus.curate(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        near_threshold=args.near_threshold,
+        min_quality=args.min_quality,
+        langs=args.langs.split(",") if args.langs else None,
+        near_mode="components" if args.components else "keep_first",
+        max_repetition=args.max_repetition,
+        line_dedup_sep="\n" if args.line_dedup else None,
+        substring_dedup_min_len=args.substring_dedup,
+        gopher=args.gopher,
+        c4=args.c4,
+    )
+    tables.write_documents(kept, args.out, fmt=args.out_fmt)
+    for r in stats.collect():  # per-stage survivor counts to stdout
+        print(f"{r['stage']}\t{r['n_out']}")
+    print(args.out)
+    return 0
+
+
 def _cmd_mkdist(spark, args, flatten: bool = False) -> int:
     sets_df = _sets_frame(spark, _gather_paths(args), args)
     ks = [int(k) for k in args.ks.split(",") if k]
@@ -817,6 +876,8 @@ def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None) -
             return _cmd_fold(spark, args)
         if cmd == "view":
             return _cmd_view(spark, args)
+        if cmd == "curate":
+            return _cmd_curate(spark, args)
         if cmd == "mkdist":
             return _cmd_mkdist(spark, args)
         if cmd == "flatten":

@@ -9,6 +9,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from dashing_spark.cli import main
 
@@ -475,3 +476,34 @@ class TestReviewRegressions:
             f.readline()
             est = float(f.readline().strip().split("\t")[1])
         assert abs(est - 50) / 50 < 0.1
+
+
+class TestCurateSubcommand:
+    def test_curate_pipeline_end_to_end(self, spark, tmp_path):
+        docs = tmp_path / "docs.jsonl"
+
+        def three_sentences(i):
+            return (f"Document number {i} has a proper sentence here.\n"
+                    f"Another sentence number {i} follows right along!\n"
+                    f"A third sentence number {i} closes this out?")
+
+        with open(docs, "w") as f:
+            for i in range(6):
+                f.write(json.dumps({"doc_id": i, "text": three_sentences(i),
+                                    "lang": "en"}) + "\n")
+            # byte-identical duplicate of doc 0 under a new id
+            f.write(json.dumps({"doc_id": 99, "text": three_sentences(0),
+                                "lang": "en"}) + "\n")
+        out = str(tmp_path / "curated.parquet")
+        rc = main(
+            ["curate", "--min-quality", "0", "--c4", "-o", out, str(docs)],
+            spark=spark,
+        )
+        assert rc == 0
+        kept = spark.read.parquet(out)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert 99 not in ids  # exact dup dropped (min-id keeper)
+        assert kept.count() >= 1
+        # C4 rewrite preserved all three qualifying lines verbatim
+        t = kept.filter(F.col("doc_id") == 1).first()["text"]
+        assert t == three_sentences(1)
