@@ -244,9 +244,64 @@ def section_b2(spark, family: int, cap: int):
     return out
 
 
+def section_c(spark, replicas: int):
+    """Two-point scaling for the ExactSubstr REWRITE
+    (dedup.remove_duplicate_runs): the injective-rename replication
+    preserves every within-replica duplicated run exactly and creates
+    no cross-replica spans, so removed-token mass must scale EXACTLY
+    R x and the wall exponent log(t_R/t_1)/log(R) pins whether the
+    span shuffle + anti join + rebuild chain stays linear."""
+    from pyspark.sql import functions as F
+
+    from dashing_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # untimed warmup: the first execution of this plan shape pays JVM
+    # JIT + python-worker spin-up that would otherwise invert the
+    # two-point exponent (bench run(warmup=True) convention)
+    dedup.remove_duplicate_runs(
+        docs, "doc_id", w=8, min_len=16, span_key="hash"
+    ).agg(F.sum("n_tokens_removed")).collect()
+    points = []
+    for r in (1, replicas):
+        corpus = replicated_docs(spark, docs, r).cache()
+        n_docs = corpus.count()
+        t0 = time.time()
+        removed = (
+            dedup.remove_duplicate_runs(
+                corpus, "doc_id", w=8, min_len=16, span_key="hash"
+            )
+            .agg(F.sum("n_tokens_removed"))
+            .collect()[0][0]
+        )
+        wall = time.time() - t0
+        corpus.unpersist(blocking=True)
+        points.append(
+            {
+                "replicas": r,
+                "n_docs": n_docs,
+                "tokens_removed": int(removed),
+                "wall_s": round(wall, 2),
+            }
+        )
+    p1, pr = points
+    return {
+        "section": "C_substring_rewrite_scaling",
+        "points": points,
+        "removed_scales_exactly_R": pr["tokens_removed"]
+        == p1["tokens_removed"] * pr["replicas"],
+        "wall_exponent": round(
+            __import__("math").log(pr["wall_s"] / p1["wall_s"])
+            / __import__("math").log(pr["replicas"]),
+            3,
+        ),
+    }
+
+
 def main():
     replicas = 10
     family = 10_000
+    only = ""
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
@@ -256,14 +311,21 @@ def main():
         elif argv[i] == "--family":
             i += 1
             family = int(argv[i])
+        elif argv[i] == "--only":
+            i += 1
+            only = argv[i]
         else:
             raise SystemExit(f"unknown arg {argv[i]}")
         i += 1
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(section_a(spark, replicas)))
-    print(json.dumps(section_b(spark, family)))
-    print(json.dumps(section_b2(spark, 100_000, 256)))
+    if not only or "a" in only:
+        print(json.dumps(section_a(spark, replicas)))
+    if not only or "b" in only:
+        print(json.dumps(section_b(spark, family)))
+        print(json.dumps(section_b2(spark, 100_000, 256)))
+    if not only or "c" in only:
+        print(json.dumps(section_c(spark, replicas)))
     spark.stop()
 
 
