@@ -3813,9 +3813,12 @@ def oracle_sql() -> dict[str, str]:
                                string_agg(l, chr(10) ORDER BY i) AS txt
                         FROM c4k GROUP BY doc_id) t USING (doc_id)),
             c4b AS (SELECT c4i.doc_id,
-                           NOT contains(c4i.g, '{') AS brace_ok,
-                           NOT contains(lower(c4i.g), 'lorem ipsum')
-                               AS lorem_ok,
+                           -- coalesce mirrors c4_rules' NULL->'' so a
+                           -- NULL-text fixture row counts identically
+                           NOT contains(coalesce(c4i.g, ''), '{')
+                               AS brace_ok,
+                           NOT contains(lower(coalesce(c4i.g, '')),
+                               'lorem ipsum') AS lorem_ok,
                            (length(c4t.nt)
                             - length(replace(replace(replace(c4t.nt,
                                   '.', ''), '!', ''), '?', ''))) >= 3

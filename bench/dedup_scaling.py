@@ -284,17 +284,20 @@ def section_c(spark, replicas: int):
                 "wall_s": round(wall, 2),
             }
         )
+    import math
+
     p1, pr = points
+    exponent = None
+    if pr["replicas"] > 1 and p1["wall_s"] > 0 and pr["wall_s"] > 0:
+        exponent = round(
+            math.log(pr["wall_s"] / p1["wall_s"]) / math.log(pr["replicas"]), 3
+        )
     return {
         "section": "C_substring_rewrite_scaling",
         "points": points,
         "removed_scales_exactly_R": pr["tokens_removed"]
         == p1["tokens_removed"] * pr["replicas"],
-        "wall_exponent": round(
-            __import__("math").log(pr["wall_s"] / p1["wall_s"])
-            / __import__("math").log(pr["replicas"]),
-            3,
-        ),
+        "wall_exponent": exponent,
     }
 
 

@@ -597,7 +597,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="published Gopher quality + repetition gates")
     sp.add_argument("--c4", action="store_true",
                     help="C4 line rewrite + doc gates")
+    sp.add_argument("--c4-badwords", default=None,
+                    help="file with one badword/phrase per line")
     sp.add_argument("--max-repetition", type=float, default=None)
+    sp.add_argument("--stats", action="store_true",
+                    help="also print per-stage survivor counts (each "
+                         "stage count replays the pipeline lineage — "
+                         "several extra full executions)")
     sp.add_argument("-p", "--nthreads", type=int, default=None)
 
     sp = sub.add_parser("mkdist", help="multi-k distance sweep")
@@ -806,6 +812,10 @@ def _cmd_curate(spark, args) -> int:
     docs = parts[0]
     for d in parts[1:]:
         docs = docs.unionByName(d, allowMissingColumns=True)
+    badwords = ()
+    if args.c4_badwords:
+        with open(args.c4_badwords) as f:
+            badwords = tuple(ln.strip() for ln in f if ln.strip())
     kept, stats = corpus.curate(
         docs,
         id_col=args.id_col,
@@ -819,10 +829,14 @@ def _cmd_curate(spark, args) -> int:
         substring_dedup_min_len=args.substring_dedup,
         gopher=args.gopher,
         c4=args.c4,
+        c4_badwords=badwords,
     )
     tables.write_documents(kept, args.out, fmt=args.out_fmt)
-    for r in stats.collect():  # per-stage survivor counts to stdout
-        print(f"{r['stage']}\t{r['n_out']}")
+    if args.stats:
+        # each stage row replays its lineage — opt-in because the
+        # write above already ran the pipeline once
+        for r in stats.collect():
+            print(f"{r['stage']}\t{r['n_out']}")
     print(args.out)
     return 0
 

@@ -126,6 +126,7 @@ def curate(
         )
     # stage 1d: optional C4 rules — line rewrite + doc gate, before
     # near-dup dedup so signatures see the cleaned text (C4's own order)
+    s1_pre_c4 = s1
     if c4:
         rules = text.c4_rules(s1, text_col=text_col, badwords=c4_badwords)
         s1 = (
@@ -181,10 +182,13 @@ def curate(
 
     stats = (
         _stage("input", docs)
-        .unionByName(_stage("exact_dedup" if not c4 else "exact_dedup+c4", s1))
+        .unionByName(_stage("exact_dedup", s1_pre_c4))
         .unionByName(_stage("near_dedup", s2))
         .unionByName(_stage("quality", s3))
     )
+    if c4:
+        # own attribution row, inserted in pipeline order semantics
+        stats = stats.unionByName(_stage("c4", s1))
     if gopher:
         # its own attribution row, like every other optional stage
         stats = stats.unionByName(_stage("gopher", s3g))

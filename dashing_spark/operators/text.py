@@ -620,10 +620,14 @@ def c4_rules(
     - ``c4_lorem_ok``: no "lorem ipsum";
     - ``c4_badword_ok``: none of ``badwords`` present (the paper uses
       the "List of Dirty, Naughty ..." list — supplied by the caller,
-      empty default);
+      empty default). Single words match as WHOLE lowercase tokens
+      (substring matching would drop "class" for "ass"); entries
+      containing a space match as substrings (phrases);
     - ``c4_sentences_ok``: the REWRITTEN text carries at least
-      ``min_sentences`` sentence terminators (``.!?``) — the paper
-      drops pages with fewer than 3 sentences;
+      ``min_sentences`` sentence terminators (``.!?``) — a counting
+      APPROXIMATION of the paper's "fewer than 3 sentences" drop
+      (ellipses/decimals inflate the count; a sentence tokenizer is a
+      Python-tier dependency this JVM chain deliberately avoids);
     - ``c4_keep`` = every doc boolean (line rules affect ``out_col``,
       not keep/drop).
 
@@ -649,6 +653,7 @@ def c4_rules(
     kept = F.filter(lines, _line_ok)
     new_text = F.array_join(kept, line_sep)
     low = F.lower(txt)
+    low_toks = F.split(low, " ", -1)
     # terminator count via length-of-replace (split-on-empty-regex is
     # engine-quirky; replace is identical in Spark and DuckDB)
     stripped = new_text
@@ -660,7 +665,12 @@ def c4_rules(
         "c4_lorem_ok": ~low.contains("lorem ipsum"),
         "c4_badword_ok": reduce(
             lambda a, b: a & b,
-            [~low.contains(w.lower()) for w in badwords],
+            [
+                ~low.contains(w.lower())
+                if " " in w
+                else ~F.array_contains(low_toks, w.lower())
+                for w in badwords
+            ],
             F.lit(True),
         ),
         "c4_sentences_ok": n_sentences >= min_sentences,

@@ -654,6 +654,17 @@ class TestC4Rules:
         assert got[2]["c4_text"] is None and got[2]["c4_keep"] is False
         assert len(got) == 2  # never-lose-rows
 
+    def test_badwords_match_whole_tokens_not_substrings(self, spark):
+        rows = [
+            (1, "My class passed the test today."),   # contains 'ass' inside
+            (2, "that ass remark was uncalled for."),  # whole token
+            (3, "a bad phrase appears right here."),   # multi-word entry
+        ]
+        got = self._run(spark, rows, badwords=("ass", "bad phrase"))
+        assert got[1]["c4_badword_ok"] is True   # substrings must NOT trip
+        assert got[2]["c4_badword_ok"] is False
+        assert got[3]["c4_badword_ok"] is False  # phrases match as substring
+
     def test_quote_terminal_and_word_floor(self, spark):
         doc = ('He said "this line ends with a quote"\n'
                "Tiny line ends.\n")
