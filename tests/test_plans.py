@@ -344,3 +344,62 @@ class TestPairStrategyDispatch:
         stream = spark.readStream.format("rate").load()
         assert stream.isStreaming
         assert dist.pick_pair_strategy(stream) is None
+
+
+class TestRound6PlanPins:
+    def test_substring_rewrite_no_cartesian_no_python(self, spark, docs):
+        """The ExactSubstr rewrite must stay a linear chain: no pair
+        table (CartesianProduct/NestedLoop over data) and no Python
+        nodes — the whole plan is JVM expressions."""
+        from dashing_spark.operators import dedup
+
+        out = dedup.remove_duplicate_runs(docs, "doc_id", w=8, min_len=16)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "InPandas" not in plan and "PythonUDF" not in plan
+        # both windows are doc-partitioned (never a global window)
+        assert "windowspecdefinition(__id" in plan
+
+    def test_gopher_repetition_no_cartesian_no_python(self, spark, docs):
+        from dashing_spark.operators import text as _text
+
+        out = _text.gopher_repetition_rules(docs, "doc_id")
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "InPandas" not in plan and "PythonUDF" not in plan
+
+    def test_c4_rules_is_single_projection(self, spark, docs):
+        """c4_rules is row-local: zero exchanges — one projection over
+        the scan."""
+        from dashing_spark.operators import text as _text
+
+        out = _text.c4_rules(docs)
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "InPandas" not in plan and "PythonUDF" not in plan
+
+    def test_gopher_quality_rules_is_single_projection(self, spark, docs):
+        from dashing_spark.operators import text as _text
+
+        out = _text.gopher_quality_rules(docs)
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "InPandas" not in plan and "PythonUDF" not in plan
+
+    def test_ivfpq_candidate_join_ships_codes_not_vectors(self, spark):
+        """Pre-rerank, the neighbor side of the IVFPQ candidate join
+        must carry PQ codes, never the full embedding vector — the
+        memory story of the compressed tier."""
+        from dashing_spark.operators import similarity
+        from dashing_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        out = similarity.ivfpq_topk(
+            emb, k=2, n_centroids=8, nprobe=2, m=8, k_codes=16, rerank=0
+        )
+        plan = _optimized(out)
+        # the ADC scorer consumes q_vec (query side) and codes
+        # (neighbor side); an n_vec reference before rerank would mean
+        # full vectors ride the candidate join
+        assert "codes" in plan
+        assert "n_vec" not in plan
