@@ -620,6 +620,157 @@ def ivfpq_topk(
     )
 
 
+def build_ann_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 32,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an IVF+PQ index: coarse centroids + PQ codebooks (tiny
+    numpy arrays, base64 in the snapshot properties) and the per-vector
+    (id, list_id, codes) table as a snapshot-log table
+    (plans/snapshots.py — atomic commits, time travel, crash-safe).
+    Build once, :func:`query_ann_index` many — the production ANN shape
+    (the self-top-k operators retrain per call by design).
+
+    Returns {"version", "n_vectors"}."""
+    import base64
+    import io
+
+    from dashing_spark.plans import snapshots
+
+    cent = train_ivf_centroids(
+        embeddings, n_centroids, seed=seed, vec_col=vec_col
+    )
+    books = train_pq_codebooks(
+        embeddings, m=m, k_codes=k_codes, seed=seed, vec_col=vec_col
+    )
+    assign = ivf_assignments(
+        embeddings, cent, nprobe=1, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    rows = assign.join(codes, id_col)
+
+    def _b64(arr: np.ndarray) -> str:
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    version = snapshots.commit(
+        index_dir,
+        rows,
+        op="overwrite",
+        properties={
+            "kind": "ivfpq_index",
+            "id_col": id_col,
+            "centroids_npy_b64": _b64(cent),
+            "codebooks_npy_b64": _b64(books),
+        },
+    )
+    return {"version": version, "n_vectors": rows.count()}
+
+
+def _load_ann_index(spark, index_dir: str, version: int | None = None):
+    import base64
+    import io
+
+    from dashing_spark.plans import snapshots
+
+    v = snapshots.current_version(index_dir) if version is None else version
+    meta = snapshots.history(index_dir)
+    props = next(h for h in meta if h["version"] == v)["properties"]
+    if props.get("kind") != "ivfpq_index":
+        raise ValueError(f"{index_dir} is not an ivfpq_index snapshot table")
+
+    def _arr(key):
+        return np.load(io.BytesIO(base64.b64decode(props[key])))
+
+    rows = snapshots.read_table(spark, index_dir, version=v)
+    return _arr("centroids_npy_b64"), _arr("codebooks_npy_b64"), rows, props
+
+
+def query_ann_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    rerank: int = 0,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k neighbors of NEW query vectors against a persisted
+    :func:`build_ann_index` table (optionally at a time-travel
+    ``version``): queries are assigned to their ``nprobe`` nearest
+    lists, candidates meet in ONE equi-join on list_id (the index side
+    carries only its m-byte codes), ranking by ADC. ``rerank`` > 0
+    re-scores the top k*rerank exactly and requires
+    ``index_embeddings`` (the full-vector table the index was built
+    from — the index itself deliberately stores no vectors)."""
+    cent, books, rows, props = _load_ann_index(spark, index_dir, version)
+    idx_id = props["id_col"]
+    qry = ivf_assignments(
+        queries, cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    )
+    cand = (
+        qry.select(F.col(id_col).alias("q_id"), "list_id")
+        .join(
+            rows.select(F.col(idx_id).alias("n_id"), "list_id", "codes"),
+            "list_id",
+        )
+        .select("q_id", "n_id", "codes")
+        .distinct()
+    )
+    pairs = cand.join(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id",
+    ).withColumn("adc", _adc_score_expr(books)(F.col("q_vec"), F.col("codes")))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id").asc())
+    if not rerank:
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", F.col("adc").alias("score"), "rank")
+        )
+    if index_embeddings is None:
+        raise ValueError("rerank > 0 requires index_embeddings")
+    short = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank)
+        .select("q_id", "q_vec", "n_id")
+    )
+    e = _vec_with_norm(index_embeddings, idx_id, vec_col)
+    refined = (
+        short.join(
+            e.select(
+                F.col(idx_id).alias("n_id"), F.col("v").alias("n_vec"),
+                F.col("nv").alias("n_nv"),
+            ),
+            "n_id",
+        )
+        .withColumn("qv", F.col("q_vec").cast("array<double>"))
+        .withColumn(
+            "score",
+            _dot_expr(F.col("qv"), F.col("n_vec"))
+            / (_norm_expr(F.col("qv")) * F.col("n_nv")),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("n_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "score", "rank")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.98,

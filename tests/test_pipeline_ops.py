@@ -810,6 +810,57 @@ class TestPQ:
             similarity.train_pq_codebooks(emb, m=7)
 
 
+class TestPersistedANNIndex:
+    def test_build_query_roundtrip_and_recall(self, spark, emb, tmp_path):
+        idx = str(tmp_path / "ann_index")
+        info = similarity.build_ann_index(
+            emb, idx, n_centroids=16, m=16, k_codes=64
+        )
+        assert info["version"] == 0 and info["n_vectors"] == emb.count()
+        # self-query through the PERSISTED index with exact rerank must
+        # match the recall of the in-memory ivfpq operator
+        out = similarity.query_ann_index(
+            spark, idx, emb, k=4, nprobe=4, rerank=8, index_embeddings=emb
+        ).filter(F.col("q_id") != F.col("n_id")).filter(F.col("rank") <= 3)
+        exact = {
+            (r["q_id"], r["n_id"])
+            for r in similarity.cosine_topk_exact(emb, emb, k=3).collect()
+        }
+        got = {(r["q_id"], r["n_id"]) for r in out.collect()}
+        assert len(exact & got) / len(exact) >= 0.4
+
+    def test_adc_only_query_and_new_vectors(self, spark, emb, tmp_path):
+        idx = str(tmp_path / "ann_index2")
+        similarity.build_ann_index(emb, idx, n_centroids=8, m=8, k_codes=16)
+        # brand-new query vectors (ids disjoint from the index)
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        q = spark.createDataFrame(
+            [(10_000 + i, rng.standard_normal(64).tolist()) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+        out = similarity.query_ann_index(spark, idx, q, k=3, nprobe=2)
+        per = {r["q_id"] for r in out.collect()}
+        assert per == {10_000 + i for i in range(5)}  # every query answered
+        assert out.groupBy("q_id").count().agg(F.max("count")).first()[0] <= 3
+
+    def test_time_travel_and_rerank_requires_vectors(self, spark, emb, tmp_path):
+        idx = str(tmp_path / "ann_index3")
+        similarity.build_ann_index(emb, idx, n_centroids=8, m=8, k_codes=16)
+        half = emb.filter(F.col("vec_id") % 2 == 0)
+        similarity.build_ann_index(half, idx, n_centroids=8, m=8, k_codes=16)
+        q = emb.limit(3)
+        # current version only knows the half corpus
+        now = similarity.query_ann_index(spark, idx, q, k=5, nprobe=8)
+        assert all(r["n_id"] % 2 == 0 for r in now.collect())
+        # version 0 still answers from the full corpus (time travel)
+        v0 = similarity.query_ann_index(spark, idx, q, k=5, nprobe=8, version=0)
+        assert any(r["n_id"] % 2 == 1 for r in v0.collect())
+        with pytest.raises(ValueError):
+            similarity.query_ann_index(spark, idx, q, k=3, rerank=4)
+
+
 class TestCorpusCuration:
     def test_stages_monotone_and_deterministic(self, spark, docs):
         from dashing_spark.operators import corpus
