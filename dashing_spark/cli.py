@@ -606,6 +606,25 @@ def build_parser() -> argparse.ArgumentParser:
                          "several extra full executions)")
     sp.add_argument("-p", "--nthreads", type=int, default=None)
 
+    sp = sub.add_parser("dedup", help="near-duplicate mining to parquet")
+    sp.add_argument("inputs", nargs="*")
+    sp.add_argument("-F", "--paths", help="file listing input paths")
+    sp.add_argument("--fmt", choices=("parquet", "jsonl", "csv"))
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--method", choices=("minhash", "simhash", "exact"),
+                    default="minhash")
+    sp.add_argument("--threshold", type=float, default=0.9,
+                    help="Jaccard threshold (minhash)")
+    sp.add_argument("--max-hamming", type=int, default=3,
+                    help="bit distance (simhash)")
+    sp.add_argument("--clusters", action="store_true",
+                    help="emit connected-component cluster labels "
+                         "instead of pairs")
+    sp.add_argument("-o", "--out", required=True,
+                    help="output parquet directory")
+    sp.add_argument("-p", "--nthreads", type=int, default=None)
+
     sp = sub.add_parser("mkdist", help="multi-k distance sweep")
     _add_common(sp)
     sp.add_argument("--ks", required=True,
@@ -802,6 +821,38 @@ def _cmd_printmat(args) -> int:
     return 0
 
 
+def _cmd_dedup(spark, args) -> int:
+    from dashing_spark.operators import dedup
+
+    paths = _gather_paths(args)
+    if not paths:
+        raise SystemExit("no input paths; see --help")
+    parts = [_read_doc_table(spark, p, args.fmt) for p in paths]
+    docs = parts[0]
+    for d in parts[1:]:
+        docs = docs.unionByName(d, allowMissingColumns=True)
+    if args.method == "exact":
+        out = dedup.exact_dup_clusters(docs, args.id_col, args.text_col)
+        out.write.mode("overwrite").parquet(args.out)
+        print(args.out)
+        return 0
+    if args.method == "minhash":
+        pairs = dedup.minhash_lsh_dedup(
+            docs, args.id_col, args.text_col, threshold=args.threshold
+        )
+    else:
+        pairs = dedup.simhash_near_dups(
+            docs, args.id_col, args.text_col, max_hamming=args.max_hamming
+        )
+    if args.clusters:
+        out = dedup.connected_components(pairs)
+    else:
+        out = pairs
+    out.write.mode("overwrite").parquet(args.out)
+    print(args.out)
+    return 0
+
+
 def _cmd_curate(spark, args) -> int:
     from dashing_spark.operators import corpus
 
@@ -890,6 +941,8 @@ def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None) -
             return _cmd_fold(spark, args)
         if cmd == "view":
             return _cmd_view(spark, args)
+        if cmd == "dedup":
+            return _cmd_dedup(spark, args)
         if cmd == "curate":
             return _cmd_curate(spark, args)
         if cmd == "mkdist":

@@ -507,3 +507,39 @@ class TestCurateSubcommand:
         # C4 rewrite preserved all three qualifying lines verbatim
         t = kept.filter(F.col("doc_id") == 1).first()["text"]
         assert t == three_sentences(1)
+
+
+class TestDedupSubcommand:
+    def test_minhash_pairs_and_clusters(self, spark, tmp_path):
+        docs = tmp_path / "docs.jsonl"
+        base = " ".join(f"w{i}" for i in range(40))
+        with open(docs, "w") as f:
+            for i, text in enumerate([base, base + " extra", base + " other",
+                                      " ".join(f"z{i}" for i in range(40))]):
+                f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+        pairs_out = str(tmp_path / "pairs.parquet")
+        rc = main(["dedup", "--threshold", "0.9", "-o", pairs_out, str(docs)],
+                  spark=spark)
+        assert rc == 0
+        pairs = {(r["a_id"], r["b_id"])
+                 for r in spark.read.parquet(pairs_out).collect()}
+        assert pairs == {(0, 1), (0, 2), (1, 2)}  # the three near-dups
+        cl_out = str(tmp_path / "clusters.parquet")
+        rc = main(["dedup", "--clusters", "-o", cl_out, str(docs)], spark=spark)
+        assert rc == 0
+        comp = {r["id"]: r["comp"]
+                for r in spark.read.parquet(cl_out).collect()}
+        assert comp == {0: 0, 1: 0, 2: 0}  # one cluster, min-id label
+
+    def test_exact_mode(self, spark, tmp_path):
+        docs = tmp_path / "docs.jsonl"
+        with open(docs, "w") as f:
+            for i, t in enumerate(["same text here", "same text here", "unique"]):
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        out = str(tmp_path / "exact.parquet")
+        rc = main(["dedup", "--method", "exact", "-o", out, str(docs)],
+                  spark=spark)
+        assert rc == 0
+        rows = {r["keeper_id"]: r["n_docs"]
+                for r in spark.read.parquet(out).collect()}
+        assert rows == {0: 2, 2: 1}
