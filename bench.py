@@ -262,6 +262,24 @@ def main() -> None:
             text.lang_id_predict(docs).groupBy("pred_lang").count().count(),
         ),
     )
+    # q11b: the published rule sets (Gopher A.1.1 + A.1.2 + C4 §2.2)
+    # over the full docs table — quality/C4 are zero-exchange
+    # projections; repetition adds the doc-keyed gram groupBys + one
+    # window
+    run(
+        "q11b_published_rule_sets",
+        lambda: (
+            text.gopher_quality_rules(docs).agg(
+                F.sum(F.col("gopher_keep").cast("int"))
+            ).collect(),
+            text.gopher_repetition_rules(docs, "doc_id").agg(
+                F.sum(F.col("gopher_rep_keep").cast("int"))
+            ).collect(),
+            text.c4_rules(docs).agg(
+                F.sum(F.col("c4_keep").cast("int"))
+            ).collect(),
+        ),
+    )
     # q12: simhash near-dup pairs
     run(
         "q12_simhash_near_dups",
