@@ -821,17 +821,38 @@ def _cmd_printmat(args) -> int:
     return 0
 
 
-def _cmd_dedup(spark, args) -> int:
-    from dashing_spark.operators import dedup
-
+def _read_union_docs(spark, args, required_cols) -> DataFrame:
+    """Read and union the input document tables, validating that EVERY
+    input carries the required columns — a missing column filled with
+    NULLs by allowMissingColumns would silently corrupt dedup/curate
+    semantics (NULL digests collapse into one exact-dup group; NULL
+    text drops docs from near-dup scans)."""
     paths = _gather_paths(args)
     if not paths:
         raise SystemExit("no input paths; see --help")
-    parts = [_read_doc_table(spark, p, args.fmt) for p in paths]
+    parts = []
+    for p in paths:
+        d = _read_doc_table(spark, p, args.fmt)
+        missing = [c for c in required_cols if c not in d.columns]
+        if missing:
+            raise SystemExit(f"{p}: missing column(s) {missing}")
+        parts.append(d)
     docs = parts[0]
     for d in parts[1:]:
         docs = docs.unionByName(d, allowMissingColumns=True)
+    return docs
+
+
+def _cmd_dedup(spark, args) -> int:
+    from dashing_spark.operators import dedup
+
+    docs = _read_union_docs(spark, args, (args.id_col, args.text_col))
     if args.method == "exact":
+        if args.clusters:
+            raise SystemExit(
+                "--clusters applies to near-dup methods; --method exact "
+                "already emits one group row per duplicate set"
+            )
         out = dedup.exact_dup_clusters(docs, args.id_col, args.text_col)
         out.write.mode("overwrite").parquet(args.out)
         print(args.out)
@@ -856,13 +877,7 @@ def _cmd_dedup(spark, args) -> int:
 def _cmd_curate(spark, args) -> int:
     from dashing_spark.operators import corpus
 
-    paths = _gather_paths(args)
-    if not paths:
-        raise SystemExit("no input paths; see --help")
-    parts = [_read_doc_table(spark, p, args.fmt) for p in paths]
-    docs = parts[0]
-    for d in parts[1:]:
-        docs = docs.unionByName(d, allowMissingColumns=True)
+    docs = _read_union_docs(spark, args, (args.id_col, args.text_col))
     badwords = ()
     if args.c4_badwords:
         with open(args.c4_badwords) as f:

@@ -594,6 +594,15 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k * rerank)
         .select("q_id", "q_vec", "n_id")
     )
+    return _exact_rerank(short, embeddings, id_col, vec_col, k)
+
+
+def _exact_rerank(
+    short: DataFrame, embeddings: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of an ADC shortlist (q_id, q_vec, n_id) —
+    the IVFADC+R refinement shared by :func:`ivfpq_topk` and
+    :func:`query_ann_index`."""
     e = _vec_with_norm(embeddings, id_col, vec_col)
     refined = (
         short.join(
@@ -667,11 +676,17 @@ def build_ann_index(
         properties={
             "kind": "ivfpq_index",
             "id_col": id_col,
+            "vec_col": vec_col,
             "centroids_npy_b64": _b64(cent),
             "codebooks_npy_b64": _b64(books),
         },
     )
-    return {"version": version, "n_vectors": rows.count()}
+    # count the COMMITTED table (parquet metadata scan) — re-counting
+    # `rows` would re-execute both mapInPandas passes over the corpus
+    n = snapshots.read_table(
+        embeddings.sparkSession, index_dir, version=version
+    ).count()
+    return {"version": version, "n_vectors": n}
 
 
 def _load_ann_index(spark, index_dir: str, version: int | None = None):
@@ -680,16 +695,17 @@ def _load_ann_index(spark, index_dir: str, version: int | None = None):
 
     from dashing_spark.plans import snapshots
 
-    v = snapshots.current_version(index_dir) if version is None else version
-    meta = snapshots.history(index_dir)
-    props = next(h for h in meta if h["version"] == v)["properties"]
+    # O(1) single-version metadata read; missing dir/version raises a
+    # clear FileNotFoundError (history() would be O(versions x blob)
+    # and a next() over it died with a bare StopIteration)
+    props = snapshots.snapshot_properties(index_dir, version)
     if props.get("kind") != "ivfpq_index":
         raise ValueError(f"{index_dir} is not an ivfpq_index snapshot table")
 
     def _arr(key):
         return np.load(io.BytesIO(base64.b64decode(props[key])))
 
-    rows = snapshots.read_table(spark, index_dir, version=v)
+    rows = snapshots.read_table(spark, index_dir, version=version)
     return _arr("centroids_npy_b64"), _arr("codebooks_npy_b64"), rows, props
 
 
@@ -718,6 +734,10 @@ def query_ann_index(
     qry = ivf_assignments(
         queries, cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
+    # no distinct needed: index vectors were assigned with nprobe=1 at
+    # build time, so each n_id lives in exactly one list and a
+    # (q_id, n_id) pair can appear at most once after the list join —
+    # a distinct here would shuffle every candidate's codes for nothing
     cand = (
         qry.select(F.col(id_col).alias("q_id"), "list_id")
         .join(
@@ -725,7 +745,6 @@ def query_ann_index(
             "list_id",
         )
         .select("q_id", "n_id", "codes")
-        .distinct()
     )
     pairs = cand.join(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
@@ -745,29 +764,10 @@ def query_ann_index(
         .filter(F.col("rank") <= k * rerank)
         .select("q_id", "q_vec", "n_id")
     )
-    e = _vec_with_norm(index_embeddings, idx_id, vec_col)
-    refined = (
-        short.join(
-            e.select(
-                F.col(idx_id).alias("n_id"), F.col("v").alias("n_vec"),
-                F.col("nv").alias("n_nv"),
-            ),
-            "n_id",
-        )
-        .withColumn("qv", F.col("q_vec").cast("array<double>"))
-        .withColumn(
-            "score",
-            _dot_expr(F.col("qv"), F.col("n_vec"))
-            / (_norm_expr(F.col("qv")) * F.col("n_nv")),
-        )
-    )
-    w2 = Window.partitionBy("q_id").orderBy(
-        F.col("score").desc(), F.col("n_id").asc()
-    )
-    return (
-        refined.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "score", "rank")
+    # the index side's column names come from the persisted properties
+    # (the query frame's id_col/vec_col params apply to queries only)
+    return _exact_rerank(
+        short, index_embeddings, idx_id, props.get("vec_col", vec_col), k
     )
 
 

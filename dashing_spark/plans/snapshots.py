@@ -157,6 +157,19 @@ def read_table(
     return spark.read.parquet(*[os.path.join(table_dir, p) for p in meta["paths"]])
 
 
+def snapshot_properties(table_dir: str, version: int | None = None) -> dict:
+    """Properties of one snapshot version — an O(1) single-file read
+    (history() parses EVERY version's metadata, which for tables whose
+    properties carry payload blobs is O(versions x blob)). Raises
+    FileNotFoundError like read_table for a missing dir/version."""
+    v = current_version(table_dir) if version is None else version
+    if v is None or not os.path.exists(_meta_path(table_dir, v)):
+        raise FileNotFoundError(
+            f"no committed snapshot v{version} in {table_dir}"
+        )
+    return _load_meta(table_dir, v)["properties"]
+
+
 def history(table_dir: str) -> list[dict]:
     """The snapshot log, oldest first — (version, parent, op,
     committed_at, properties), the audit trail resume decisions read."""
