@@ -622,6 +622,14 @@ def pack_sequences(
         Window.unboundedPreceding, Window.currentRow
     )
     d = d.withColumn("__local_end", F.sum("n_tokens").over(w))
+    # MATERIALIZE before the totals collect: the offsets map is keyed
+    # by __pid, and without a checkpoint the range exchange executes
+    # TWICE (totals job + output job) — two executions can assign
+    # different range boundaries (AQE reshapes the upstream layout
+    # feeding the range sampler), silently mis-basing every offset
+    # (surfaced at sf0.1 as overlapping bins / negative tail waste;
+    # invisible at small scale where boundaries are stable)
+    d = d.localCheckpoint(eager=False)
     # tiny: one row per (physical partition, stratum)
     totals = (
         d.groupBy("__pid", *strata)

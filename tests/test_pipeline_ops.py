@@ -2337,18 +2337,31 @@ class TestSequencePacking:
             [("en", i, "a b c") for i in range(50)],
             "lang string, doc_id long, text string",
         )
-        plan = (
-            corpus.pack_sequences(docs, "doc_id", 4)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        assert plan.lower().count("rangepartitioning") == 1
-        assert plan.count("Exchange") == 3  # range + window hash + broadcast
+        out = corpus.pack_sequences(docs, "doc_id", 4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the range + window-hash exchanges live BEHIND the checkpoint
+        # (the r6 offset-consistency fix: the partition-id-keyed offsets
+        # map must see the SAME materialized partitioning the output
+        # reads — a re-executed range exchange can land rows on
+        # different pids and mis-base every offset). Downstream: one
+        # checkpoint scan + the broadcast offsets join, no re-shuffle.
+        assert "ExistingRDD" in plan  # checkpointed local-cumsum frame
+        assert plan.lower().count("rangepartitioning") == 0
         assert plan.count("BroadcastHashJoin") == 1
         for line in plan.splitlines():
             if "Exchange" in line:
                 assert "text" not in line, line  # slim rows only
+        # the checkpointed segment itself still carries the documented
+        # shape: exactly one range exchange + one window hash exchange,
+        # text never in an exchange
+        n_tok = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1))
+        d = docs.select("lang", "doc_id", n_tok.alias("n_tokens"))
+        d = d.repartitionByRange(8, F.col("lang"), F.col("doc_id"))
+        pre = d._jdf.queryExecution().executedPlan().toString()
+        assert pre.lower().count("rangepartitioning") == 1
+        for line in pre.splitlines():
+            if "Exchange" in line:
+                assert "text" not in line, line
         eplan = (
             docs.select(text.extract_text_col("text").alias("e"))
             ._jdf.queryExecution()
