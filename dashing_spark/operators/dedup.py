@@ -166,6 +166,40 @@ def pick_lsh_bands(n_hashes: int, threshold: float, max_miss: float = 1e-8) -> i
     )
 
 
+def pick_lsh_banding(
+    n_hashes: int, threshold: float, max_miss: float = 1e-8
+) -> tuple[int, int]:
+    """(bands, n_hashes_used): same rows-per-band r and miss contract
+    as :func:`pick_lsh_bands`, but the FEWEST bands meeting the bound
+    instead of every band the full signature affords, banding only the
+    first ``bands * r`` signature components.
+
+    :func:`pick_lsh_bands` must return ``n_hashes // r`` (its callers
+    band the whole signature), so at t=0.9/n=128 it emits 32 bands
+    where 18 already hold the documented miss <= 1.05 x 1e-8 (miss at
+    b=18 is 0.3439^18 ~ 4.5e-9). Every band beyond the bound adds a
+    full copy of the true-duplicate pair mass to the candidate join's
+    output — on a near-dup-heavy corpus that is the dominant row count
+    of the whole dedup (guide section 2.3: shuffle fewer bytes) — and
+    adds nothing but recall the bound already guarantees. Candidate
+    recall at JI >= threshold is unchanged within the documented miss
+    budget; an exact downstream verify therefore returns the identical
+    pair set. Fewer components also shrink the signature kernel's
+    per-permutation pass proportionally."""
+    import math
+
+    target = math.log(max_miss) + 0.05  # same 5% log-scale slack
+    for r in (8, 4, 2, 1):
+        b_min = max(1, math.ceil(target / math.log1p(-(threshold**r))))
+        if b_min * r <= n_hashes:
+            return b_min, b_min * r
+    need = math.ceil(math.log(max_miss) / math.log1p(-threshold))
+    raise ValueError(
+        f"no banding of {n_hashes} hashes meets miss <= {max_miss:g} at "
+        f"threshold {threshold}; use n_hashes >= {need} or relax max_miss"
+    )
+
+
 def lsh_band_rows(
     signatures: DataFrame, id_col: str, *, n_hashes: int = 128, bands: int = 32
 ) -> DataFrame:
@@ -284,9 +318,19 @@ def capped_band_join(
     preemptible executors pass False to keep full lineage at the cost
     of re-running the count agg per branch.
 
+    Columns beyond the required (id, band, bhash) triple ride through
+    the join untouched and appear on the output (e.g. a per-row set
+    size for an exact size-ratio prefilter) — they are ignored by the
+    sizing/routing machinery, so the candidate pair multiset is
+    unchanged; they just widen the rows. Extra column names must not
+    collide between ``a`` and ``b``.
+
     ``bucket_cap=None`` restores the uncapped single-join plan."""
+    extra_a = [c for c in a.columns if c not in ("a_id", "band", "bhash")]
+    extra_b = [c for c in b.columns if c not in ("b_id", "band", "bhash")]
+    out_cols = ["a_id", "b_id", *extra_a, *extra_b]
     if bucket_cap is None:
-        return a.join(b, ["band", "bhash"]).select("a_id", "b_id")
+        return a.join(b, ["band", "bhash"]).select(*out_cols)
     cap = int(bucket_cap)
     if cap < 1:
         raise ValueError(f"bucket_cap must be >= 1 or None, got {bucket_cap}")
@@ -333,14 +377,14 @@ def capped_band_join(
     # broadcasts a small size table and shuffles a big one.
     cold = (
         at.filter(~F.col("__hot"))
-        .select("a_id", "band", "bhash")
+        .select("a_id", "band", "bhash", *extra_a)
         .join(
             bt.filter(~F.col("__hot"))
-            .select("b_id", "band", "bhash")
+            .select("b_id", "band", "bhash", *extra_b)
             .hint("merge"),
             ["band", "bhash"],
         )
-        .select("a_id", "b_id")
+        .select(*out_cols)
     )
     # hot: block a-rows by ka = h(a_id) mod Ga, b-rows by kb = h(b_id)
     # mod Gb; replicate each row across the other axis so block pair
@@ -362,6 +406,7 @@ def capped_band_join(
         "a_id",
         "band",
         "bhash",
+        *extra_a,
         grid_block_key("a_id", "__ga").alias("__ka"),
         F.explode(F.sequence(F.lit(0), F.col("__gb") - 1)).alias("__kb"),
     ).repartition(n_part, *keys)
@@ -369,11 +414,35 @@ def capped_band_join(
         "b_id",
         "band",
         "bhash",
+        *extra_b,
         F.explode(F.sequence(F.lit(0), F.col("__ga") - 1)).alias("__ka"),
         grid_block_key("b_id", "__gb").alias("__kb"),
     ).repartition(n_part, *keys)
-    hot = ah.join(bh.hint("merge"), keys).select("a_id", "b_id")
+    hot = ah.join(bh.hint("merge"), keys).select(*out_cols)
     return cold.unionByName(hot)
+
+
+def distinct_pairs(df: DataFrame, cols: Sequence[str] = ("a_id", "b_id")) -> DataFrame:
+    """Distinct over a band-join's candidate pair rows, shaped for the
+    one property plain ``.distinct()`` cannot see: duplicates are
+    CROSS-partition only. The join's output partitions are keyed by
+    (band, bhash[, grid cell]) and a pair is emitted at most once per
+    band, so the map-side partial aggregation a plain distinct inserts
+    hashes billions of rows and removes ~nothing (measured: 2.18e9
+    in -> 2.18e9 out at sf1.0). An explicit hash repartition on the
+    pair key followed by dropDuplicates satisfies the aggregation's
+    required distribution, so Spark plans ONE complete hash aggregate
+    after the exchange and skips the partial pass entirely; the
+    explicit partition count (8x defaultParallelism, scale-adaptive to
+    the cluster, exempt from AQE coalescing) keeps the per-task hash
+    map small enough to stay in memory where the frozen
+    spark.sql.shuffle.partitions would concentrate hundreds of
+    millions of keys on a handful of reducers (guide section 2.2 /
+    5)."""
+    cols = list(cols)
+    spark = df.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism * 8, 16)
+    return df.select(*cols).repartition(n_part, *cols).dropDuplicates()
 
 
 def lsh_candidate_pairs(
@@ -384,6 +453,9 @@ def lsh_candidate_pairs(
     bands: int = 32,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     materialize: bool = True,
+    sizes: DataFrame | None = None,
+    size_ratio: float | None = None,
+    size_slack: int = 0,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of their signature become a
     candidate pair. Pure DataFrame plan: explode band hashes, self-join
@@ -417,19 +489,56 @@ def lsh_candidate_pairs(
     cache). The storage is executor-local and NON-fault-tolerant — an
     executor loss after materialization fails the (idempotent) job
     rather than recomputing. On clusters with preemptible executors
-    pass False: full lineage is kept and each branch recomputes."""
+    pass False: full lineage is kept and each branch recomputes.
+
+    ``sizes`` + ``size_ratio`` enable the EXACT size-ratio prefilter:
+    JI(A,B) <= min(|A|,|B|)/max(|A|,|B|) for any sets, so when the
+    caller will verify candidates against ``threshold``, pairs with
+    least(na, nb) + size_slack < greatest(na, nb) * size_ratio can
+    never pass and are dropped BEFORE the distinct — on a
+    near-dup-heavy corpus this halves the pair mass the distinct must
+    shuffle (guide section 2.3: shuffle fewer bytes). ``sizes`` must
+    be (id_col, __nsz) with the per-doc distinct item-set size;
+    ``size_slack`` absorbs a bounded count discrepancy between the
+    caller's size column and the verifier's hashed-set size (64-bit
+    in-set hash collisions shrink the hashed size by at most the
+    collision count — slack 2 makes the filter conservative at any
+    realistic scale). Candidate RECALL is unchanged; only
+    provably-sub-threshold candidates disappear, so a downstream
+    exact verify returns the identical pair set."""
     banded = lsh_band_rows(signatures, id_col, n_hashes=n_hashes, bands=bands)
     if materialize and bucket_cap is not None and not banded.isStreaming:
         banded = banded.localCheckpoint(eager=False)
+    if sizes is not None and size_ratio is not None:
+        banded = banded.join(
+            sizes.select(F.col(id_col), F.col("__nsz")), id_col
+        )
+        a = banded.select(
+            F.col(id_col).alias("a_id"), "band", "bhash",
+            F.col("__nsz").alias("__na"),
+        )
+        b = banded.select(
+            F.col(id_col).alias("b_id"), "band", "bhash",
+            F.col("__nsz").alias("__nb"),
+        )
+        raw = capped_band_join(
+            a, b, bucket_cap=bucket_cap, symmetric=True,
+            materialize=materialize,
+        ).filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                F.least("__na", "__nb") + F.lit(int(size_slack))
+                >= F.greatest("__na", "__nb") * F.lit(float(size_ratio))
+            )
+        )
+        return distinct_pairs(raw)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
-    return (
+    return distinct_pairs(
         capped_band_join(
             a, b, bucket_cap=bucket_cap, symmetric=True,
             materialize=materialize,
-        )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .distinct()
+        ).filter(F.col("a_id") < F.col("b_id"))
     )
 
 
@@ -579,14 +688,30 @@ def minhash_lsh_dedup(
     if threshold > 1.0:
         intra = intra.filter(F.lit(False))
     # LSH + exact verify over one representative per distinct set
-    reps = sets.groupBy("__sk").agg(F.min("__id").alias("rep_id"))
+    # every member of a cluster shares the item set, so any member's
+    # __nitems is the rep's size — carried here for the prefilter below
+    reps = sets.groupBy("__sk").agg(
+        F.min("__id").alias("rep_id"), F.first("__nitems").alias("__nsz")
+    )
     rep_docs = df.join(reps, df[id_col] == reps["rep_id"], "left_semi")
+    if bands is None:
+        # minimal banding: same r and miss bound as pick_lsh_bands but
+        # no bands beyond the bound — each surplus band re-emits the
+        # whole true-duplicate pair mass into the candidate join
+        bands, n_hashes = pick_lsh_banding(n_hashes, threshold)
     sigs = minhash_signatures(
         rep_docs, id_col, text_col, n_hashes, shingle_w, char_n=char_n
     )
-    if bands is None:
-        bands = pick_lsh_bands(n_hashes, threshold)
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes=n_hashes, bands=bands)
+    # exact size-ratio prefilter: JI <= min/max set size, so pairs
+    # failing the ratio at `threshold` can never survive the verify
+    # (slack 2 absorbs any in-set 64-bit hash collisions in the
+    # verifier's hashed sizes); measured 2x less candidate pair mass
+    # through the distinct on the sf1.0 near-dup corpus
+    rep_sizes = reps.select(F.col("rep_id").alias(id_col), "__nsz")
+    cands = lsh_candidate_pairs(
+        sigs, id_col, n_hashes=n_hashes, bands=bands,
+        sizes=rep_sizes, size_ratio=threshold, size_slack=2,
+    )
     rep_pairs = exact_ji_for_pairs(
         rep_docs, cands, id_col, text_col, shingle_w, char_n=char_n
     ).filter(F.col("ji") >= threshold)
@@ -694,13 +819,11 @@ def simhash_near_dups(
     )
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
-    cands = (
+    cands = distinct_pairs(
         capped_band_join(
             a, b, bucket_cap=bucket_cap, symmetric=True,
             materialize=materialize,
-        )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .distinct()
+        ).filter(F.col("a_id") < F.col("b_id"))
     )
     sh = fps.select(F.col(id_col).alias("__jid"), "simhash")
     pairs = (
@@ -791,9 +914,10 @@ def ngram_jaccard_pairs(
         return minhash_lsh_dedup(
             df, id_col, text_col, threshold, n_hashes, char_n=n
         )
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, char_n=n)
+    bands_n, n_used = pick_lsh_banding(n_hashes, threshold)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_used, char_n=n)
     cands = lsh_candidate_pairs(
-        sigs, id_col, n_hashes=n_hashes, bands=pick_lsh_bands(n_hashes, threshold)
+        sigs, id_col, n_hashes=n_used, bands=bands_n
     )
     if block_cols:
         keys = df.select(F.col(id_col).alias("__bid"), *block_cols)

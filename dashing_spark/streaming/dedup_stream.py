@@ -162,7 +162,11 @@ def apply_dedup_batch(
             f"{state_dir}: state_dir/checkpoint_dir mismatch"
         )
     spark = batch_df.sparkSession
-    bands_n = dedup.pick_lsh_bands(n_hashes, threshold)
+    # minimal banding (same r / miss bound as pick_lsh_bands, fewest
+    # bands): deterministic in (n_hashes, threshold), so every epoch of
+    # a state_dir bands identically and cross-epoch collisions keep the
+    # batch-run equivalence the module docstring pins
+    bands_n, n_hashes = dedup.pick_lsh_banding(n_hashes, threshold)
 
     sigs = dedup.minhash_signatures(
         batch_df, id_col, text_col, n_hashes=n_hashes,
@@ -204,27 +208,50 @@ def apply_dedup_batch(
     # skew-safe capped band join (dedup.capped_band_join): a template
     # family arriving in one batch — or accreting in the index — would
     # otherwise pile O(B²) pairs onto whichever reducer owns its hot
-    # (band, bhash) bucket
-    a = new_bands.select(F.col("id").alias("a_id"), "band", "bhash")
-    b = new_bands.select(F.col("id").alias("b_id"), "band", "bhash")
-    cand = dedup.capped_band_join(a, b, symmetric=True).filter(
-        F.col("a_id") < F.col("b_id")
+    # (band, bhash) bucket. Band rows carry the doc's item-set size so
+    # the EXACT size-ratio bound (JI <= min/max size) drops
+    # provably-sub-threshold pairs BEFORE the distinct — sizes come
+    # from the very arrays the verify below intersects, so no slack is
+    # needed and the verified pair set is bit-identical.
+    ratio_keep = F.least("__na", "__nb") >= F.greatest("__na", "__nb") * F.lit(
+        float(threshold)
     )
+    new_keyed = new_bands.join(
+        new_docs.select("id", F.size("items").alias("__nsz")), "id"
+    )
+    a = new_keyed.select(
+        F.col("id").alias("a_id"), "band", "bhash", F.col("__nsz").alias("__na")
+    )
+    b = new_keyed.select(
+        F.col("id").alias("b_id"), "band", "bhash", F.col("__nsz").alias("__nb")
+    )
+    cand = dedup.capped_band_join(a, b, symmetric=True).filter(
+        (F.col("a_id") < F.col("b_id")) & ratio_keep
+    ).select("a_id", "b_id")
     # … plus batch-vs-index candidates, normalized to (min, max) ids so
     # the emitted pair set is order-independent
     old_bands = _epoch_union(spark, state_dir, "bands", tokens)
     if old_bands is not None:
+        old_keyed = old_bands.join(
+            old_docs_pre.select("id", F.size("items").alias("__nsz")), "id"
+        )
         cross = dedup.capped_band_join(
-            old_bands.select(F.col("id").alias("a_id"), "band", "bhash"),
-            new_bands.select(F.col("id").alias("b_id"), "band", "bhash"),
+            old_keyed.select(
+                F.col("id").alias("a_id"), "band", "bhash",
+                F.col("__nsz").alias("__na"),
+            ),
+            new_keyed.select(
+                F.col("id").alias("b_id"), "band", "bhash",
+                F.col("__nsz").alias("__nb"),
+            ),
         )
         cand = cand.unionByName(
-            cross.filter(F.col("a_id") != F.col("b_id")).select(
+            cross.filter((F.col("a_id") != F.col("b_id")) & ratio_keep).select(
                 F.least("a_id", "b_id").alias("a_id"),
                 F.greatest("a_id", "b_id").alias("b_id"),
             )
         )
-    cand = cand.distinct()
+    cand = dedup.distinct_pairs(cand)
 
     # verify on stored item arrays (index docs ∪ this batch)
     old_docs = old_docs_pre
