@@ -400,38 +400,65 @@ def hll_joint_triple_batch(
         den = np.maximum(-np.expm1(-wv), 1e-300)
         return np.where(sat, r * e / den, r * (2.0 * e - 1.0) / den)
 
-    def dll(la, lb, lx, ci):
+    def dll(la, lb, lx, ci, act=None):
         """Per-row ∂logL/∂λ_ci, assembled from the analytic per-branch
-        derivatives of the stable cell-probability forms."""
-        contrib = np.zeros(len(s))
+        derivatives of the stable cell-probability forms.
+
+        ``act`` (bool per row, or None = all) restricts evaluation to
+        the rows whose bracket is still moving: per-row sums are each
+        accumulated over that row's own cells in unchanged cell order
+        (boolean gather preserves relative order), so an active row's
+        derivative is BIT-IDENTICAL to the full-width evaluation and
+        the bisection trajectory is unchanged — inactive rows return 0
+        and are never read by the gated updates. Rows converge at very
+        different speeds, so skipping the settled ones cuts the
+        exp/expm1 volume several-fold late in each bracket."""
+        if act is None:
+            mc = np.ones(len(s), dtype=bool)
+        else:
+            mc = act[rows]
+        pos = np.cumsum(mc) - 1  # cell id -> index in compressed array
+        contrib = np.zeros(int(mc.sum()))
+        rows_c = rows[mc]
+        w_c = w[mc]
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            sg = mc[i_gt]
+            rg = rows_gt[sg]
             if ci == 0:
-                d_gt = _dlog_pair_factor(la[rows_gt] * rs_gt, rs_gt, sat_s_gt)
+                d_gt = _dlog_pair_factor(
+                    la[rg] * rs_gt[sg], rs_gt[sg], sat_s_gt[sg]
+                )
             else:  # λb and λx enter the s>t branch only via (λb+λx)·r_t
                 d_gt = np.where(
-                    tzero_gt,
-                    -rt_gt,
+                    tzero_gt[sg],
+                    -rt_gt[sg],
                     _dlog_pair_factor(
-                        (lb[rows_gt] + lx[rows_gt]) * rt_gt, rt_gt, False
+                        (lb[rg] + lx[rg]) * rt_gt[sg], rt_gt[sg], False
                     ),
                 )
-            contrib[i_gt] = d_gt
+            contrib[pos[i_gt[sg]]] = d_gt
+            sl = mc[i_lt]
+            rl = rows_lt[sl]
             if ci == 1:
-                d_lt = _dlog_pair_factor(lb[rows_lt] * rt_lt, rt_lt, sat_t_lt)
+                d_lt = _dlog_pair_factor(
+                    lb[rl] * rt_lt[sl], rt_lt[sl], sat_t_lt[sl]
+                )
             else:  # λa and λx enter the s<t branch only via (λa+λx)·r_s
                 d_lt = np.where(
-                    szero_lt,
-                    -rs_lt,
+                    szero_lt[sl],
+                    -rs_lt[sl],
                     _dlog_pair_factor(
-                        (la[rows_lt] + lx[rows_lt]) * rs_lt, rs_lt, False
+                        (la[rl] + lx[rl]) * rs_lt[sl], rs_lt[sl], False
                     ),
                 )
-            contrib[i_lt] = d_lt
+            contrib[pos[i_lt[sl]]] = d_lt
             # s == t == 0: P = exp(−(λa+λb+λx)/m), same dlog for all coords
-            contrib[i_eq0] = -1.0 / m
+            contrib[pos[i_eq0[mc[i_eq0]]]] = -1.0 / m
             # s == t == k ≥ 1 (r_k = r_s = r_t here)
-            lar, lbr, lxr = la[rows_eqk], lb[rows_eqk], lx[rows_eqk]
-            r_s_k = rs_eqk
+            sk_ = mc[i_eqk]
+            rk_ = rows_eqk[sk_]
+            lar, lbr, lxr = la[rk_], lb[rk_], lx[rk_]
+            r_s_k = rs_eqk[sk_]
             u = (lar + lxr) * r_s_k
             v = (lbr + lxr) * r_s_k
             xi = lxr * r_s_k
@@ -448,31 +475,37 @@ def hll_joint_triple_batch(
                 dnum = di_dv
             else:
                 dnum = di_du + di_dv + np.exp(xi - u - v)
-            lead = np.where(eq_sat, 0.0, -r_s_k)  # d(−g)/dλ; absent at q+1
-            contrib[i_eqk] = lead + r_s_k * dnum / inner
-        return np.bincount(rows, weights=w * contrib, minlength=n)
+            lead = np.where(eq_sat[sk_], 0.0, -r_s_k)  # d(−g)/dλ; absent at q+1
+            contrib[pos[i_eqk[sk_]]] = lead + r_s_k * dnum / inner
+        return np.bincount(rows_c, weights=w_c * contrib, minlength=n)
 
     params = [la0, lb0, lx0]
     for _ in range(n_cycles):  # coordinate cycles
         for ci in range(3):
-            def d_at(lam, _ci=ci):
+            def d_at(lam, act=None, _ci=ci):
                 vals = list(params)
                 vals[_ci] = lam
-                return dll(*vals, _ci)
+                return dll(*vals, _ci, act=act)
 
             lo = params[ci].copy()
             hi = params[ci].copy()
-            # expand from the seed: derivative > 0 means the peak is right
+            # expand from the seed: derivative > 0 means the peak is
+            # right. A row that stops needing expansion never needs it
+            # again (its bracket endpoint no longer moves), so each
+            # pass evaluates the derivative only at still-needing rows
+            # — values at those rows are bit-identical to full-width.
+            need = d_at(lo) <= 0.0
             for _ in range(80):
-                need = d_at(lo) <= 0.0
                 if not need.any():
                     break
                 lo[need] *= 0.5
+                need = need & (d_at(lo, act=need) <= 0.0)
+            need = d_at(hi) >= 0.0
             for _ in range(80):
-                need = d_at(hi) >= 0.0
                 if not need.any():
                     break
                 hi[need] *= 2.0
+                need = need & (d_at(hi, act=need) >= 0.0)
             # per-row gated: a converged row's bracket never moves again,
             # so every row's trajectory depends only on its own cells —
             # results are independent of batch composition (which makes
@@ -482,7 +515,7 @@ def hll_joint_triple_batch(
                 if not act.any():
                     break
                 mid = 0.5 * (lo + hi)
-                gt = d_at(mid) > 0.0
+                gt = d_at(mid, act=act) > 0.0
                 lo = np.where(act & gt, mid, lo)
                 hi = np.where(act & ~gt, mid, hi)
             params[ci] = 0.5 * (lo + hi)

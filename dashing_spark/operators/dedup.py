@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from dashing_spark.functions import hashing
 from dashing_spark.functions.simhash import simhash_batch
-from dashing_spark.operators.ship import ensure_shipped
+from dashing_spark.operators.ship import ensure_shipped, widen_if_narrow
 
 
 def _set_digest_expr(sorted_arr):
@@ -95,6 +95,9 @@ def minhash_signatures(
         src = df.select(id_col, token_hashes_col(text_col).alias("__th"))
     else:
         src = df.select(id_col, F.col(text_col).alias("__txt"))
+    # small inputs arrive as 1-2 scan splits; the signature kernel is
+    # the dominant per-doc cost, so widen it to cluster width
+    src = widen_if_narrow(src)
     id_field = [f for f in df.schema.fields if f.name == id_col][0]
     schema = T.StructType(
         [id_field, T.StructField("signature", T.ArrayType(T.LongType()), False)]
@@ -200,6 +203,26 @@ def pick_lsh_banding(
     )
 
 
+def band_hash_array(n_hashes: int, bands: int, sig_col: str = "signature"):
+    """The array<long> of banded-LSH keys of a signature column — the
+    single definition :func:`lsh_band_rows` explodes and
+    :func:`first_collision_only` compares, so both always agree."""
+    if bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
+    rows_per_band = n_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_band_rows(
     signatures: DataFrame, id_col: str, *, n_hashes: int = 128, bands: int = 32
 ) -> DataFrame:
@@ -207,19 +230,47 @@ def lsh_band_rows(
     table. Deterministic in the signature alone, so band keys computed
     in different batches/epochs collide iff they would in one batch
     (the property the streaming dedup index relies on)."""
-    if bands > n_hashes or n_hashes % bands:
-        raise ValueError(
-            f"bands ({bands}) must divide n_hashes ({n_hashes})"
-        )
-    rows_per_band = n_hashes // bands
-    band_exprs = [
-        F.xxhash64(
-            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-        ).alias(f"__b{b}")
-        for b in range(bands)
-    ]
     return signatures.select(
-        F.col(id_col), F.posexplode(F.array(*band_exprs)).alias("band", "bhash")
+        F.col(id_col),
+        F.posexplode(band_hash_array(n_hashes, bands)).alias("band", "bhash"),
+    )
+
+
+def first_collision_only(
+    pairs: DataFrame, bands_tbl: DataFrame, band_col: str = "band"
+) -> DataFrame:
+    """Keep each candidate pair only in its FIRST colliding band — an
+    exchange-free global dedup of a band join's duplicate emissions.
+
+    ``pairs`` must carry (a_id, b_id, band); ``bands_tbl`` maps id ->
+    bands_arr (from :func:`band_hash_array`) and must be small enough
+    to broadcast (caller decides). A near-threshold pair collides in
+    b*t^r expected bands (~14 of 33 at t=0.9/r=8) and every copy costs
+    an exchange row (distinct-first) or an item intersect (fused
+    verify); the band-prefix test (no earlier band j < band with
+    a_arr[j] == b_arr[j]) keeps exactly one deterministic copy per
+    pair with an O(bands) long-compare instead — cross-reducer
+    correct, because which copy survives depends only on the pair's
+    band arrays, not on placement. Output still contains one row per
+    DISTINCT colliding (a, b) per join; callers joining several band
+    tables (the streaming self + cross joins) dedupe the verified
+    survivors (tiny) instead of the candidate mass."""
+    ba = F.broadcast(
+        bands_tbl.select(
+            F.col("id").alias("a_id"), F.col("bands_arr").alias("__ba")
+        )
+    )
+    bb = F.broadcast(
+        bands_tbl.select(
+            F.col("id").alias("b_id"), F.col("bands_arr").alias("__bb")
+        )
+    )
+    eq = F.zip_with("__ba", "__bb", lambda x, y: x == y)
+    return (
+        pairs.join(ba, "a_id")
+        .join(bb, "b_id")
+        .filter(~F.exists(F.slice(eq, 1, F.col(band_col)), lambda v: v))
+        .drop("__ba", "__bb", band_col)
     )
 
 
@@ -246,6 +297,38 @@ def grid_block_key(id_col, g_col):
 #: its (band, bhash) key
 DEFAULT_BUCKET_CAP = 1024
 
+#: default MinHash hash BUDGET for the near-dup operators. 264 (not
+#: 128) so that pick_lsh_banding can afford r=8 rows/band at high
+#: thresholds: at t=0.9 the same 1e-8 miss bound is met by r=8/b=33
+#: (264 hashes, miss 8.5e-9) and by r=4/b=18 (72 hashes), but a
+#: sub-threshold pair at JI=0.7 collides in 18*0.7^4 = 4.3 expected
+#: bands at r=4 vs 33*0.7^8 = 1.9 at r=8 — on a near-dup-heavy corpus
+#: the candidate join's output mass drops ~5-8x (measured 2.5e9 -> ~4e8
+#: raw pair rows at 50k docs, tools/probe_q7_fused.py), which dwarfs
+#: the 3.7x larger signature kernel over the (collapsed) rep docs. At
+#: thresholds <= 0.6 the binding r stays <= 4 and the chosen banding is
+#: unchanged from the 128 budget. Verified output is banding-invariant
+#: within the miss contract, so results are identical.
+DEFAULT_LSH_HASH_BUDGET = 264
+
+#: per-relation size cap (estimated bytes) under which the exact
+#: verify joins broadcast the rep item-set table and run BEFORE the
+#: candidate distinct (see minhash_lsh_dedup) — beyond it, the
+#: distinct-first plan is kept because attaching items to the raw
+#: candidate stream would shuffle it by id.
+FUSED_VERIFY_BROADCAST_BYTES = 128 << 20
+
+#: fuse the verify before the distinct only when the AVERAGE item-set
+#: size is at most this: each raw candidate emission then pays an
+#: O(avg_size) intersect instead of a ~16-byte exchange row, which is
+#: a win for small sets (word sets, ~30 items: measured 229 s -> 58 s
+#: at 50k docs) and a large loss for big ones (char-3-gram sets, ~300
+#: items: measured 64 s -> 375 s on the same corpus slice, where the
+#: distinct removes ~10x duplicate emissions BEFORE the expensive
+#: intersects). 64 items ~ the break-even where one intersect costs
+#: about one exchanged+aggregated row.
+FUSED_VERIFY_MAX_AVG_ITEMS = 64
+
 
 def capped_band_join(
     a: DataFrame,
@@ -254,6 +337,7 @@ def capped_band_join(
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     symmetric: bool = False,
     materialize: bool = True,
+    keep_band: bool = False,
 ) -> DataFrame:
     """Skew-safe equi-join of two band-row tables on (band, bhash) —
     the shared candidate-generation kernel for batch LSH dedup, n-gram
@@ -329,6 +413,10 @@ def capped_band_join(
     extra_a = [c for c in a.columns if c not in ("a_id", "band", "bhash")]
     extra_b = [c for c in b.columns if c not in ("b_id", "band", "bhash")]
     out_cols = ["a_id", "b_id", *extra_a, *extra_b]
+    if keep_band:
+        # ``band`` is a join key, identical on both sides — exposed for
+        # first_collision_only's band-prefix dedup
+        out_cols.append("band")
     if bucket_cap is None:
         return a.join(b, ["band", "bhash"]).select(*out_cols)
     cap = int(bucket_cap)
@@ -386,6 +474,12 @@ def capped_band_join(
         )
         .select(*out_cols)
     )
+    spark = a.sparkSession
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        shuffle_n = 0  # "auto" (non-numeric) — fall back to parallelism
+    n_part = max(spark.sparkContext.defaultParallelism * 2, shuffle_n)
     # hot: block a-rows by ka = h(a_id) mod Ga, b-rows by kb = h(b_id)
     # mod Gb; replicate each row across the other axis so block pair
     # (ka, kb) meets on exactly one reducer. The sides are repartitioned
@@ -395,12 +489,6 @@ def capped_band_join(
     # see quadratic join output) — measured 10.5 s vs 5.2 s on a
     # 2000-doc family, and unboundedly worse as buckets grow. An
     # explicit count is exempt from AQE coalescing.
-    spark = a.sparkSession
-    try:
-        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        shuffle_n = 0  # "auto" (non-numeric) — fall back to parallelism
-    n_part = max(spark.sparkContext.defaultParallelism * 2, shuffle_n)
     keys = ["band", "bhash", "__ka", "__kb"]
     ah = at.filter(F.col("__hot")).select(
         "a_id",
@@ -456,6 +544,7 @@ def lsh_candidate_pairs(
     sizes: DataFrame | None = None,
     size_ratio: float | None = None,
     size_slack: int = 0,
+    raw: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of their signature become a
     candidate pair. Pure DataFrame plan: explode band hashes, self-join
@@ -505,7 +594,15 @@ def lsh_candidate_pairs(
     collision count — slack 2 makes the filter conservative at any
     realistic scale). Candidate RECALL is unchanged; only
     provably-sub-threshold candidates disappear, so a downstream
-    exact verify returns the identical pair set."""
+    exact verify returns the identical pair set.
+
+    ``raw=True`` skips the distinct and returns the (a_id, b_id)
+    candidate stream with its per-band duplicate emissions — for
+    callers that fuse an exact verify into the join stage (the verify
+    filter leaves so few survivors that deduplicating THEM is far
+    cheaper than exchanging the full candidate mass; see
+    minhash_lsh_dedup). The multiset's distinct support is identical
+    either way."""
     banded = lsh_band_rows(signatures, id_col, n_hashes=n_hashes, bands=bands)
     if materialize and bucket_cap is not None and not banded.isStreaming:
         banded = banded.localCheckpoint(eager=False)
@@ -521,25 +618,26 @@ def lsh_candidate_pairs(
             F.col(id_col).alias("b_id"), "band", "bhash",
             F.col("__nsz").alias("__nb"),
         )
-        raw = capped_band_join(
+        cand = capped_band_join(
             a, b, bucket_cap=bucket_cap, symmetric=True,
-            materialize=materialize,
+            materialize=materialize, keep_band=raw,
         ).filter(
             (F.col("a_id") < F.col("b_id"))
             & (
                 F.least("__na", "__nb") + F.lit(int(size_slack))
                 >= F.greatest("__na", "__nb") * F.lit(float(size_ratio))
             )
-        )
-        return distinct_pairs(raw)
+        ).select("a_id", "b_id", *(["band"] if raw else []))
+        return cand if raw else distinct_pairs(cand)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
-    return distinct_pairs(
-        capped_band_join(
-            a, b, bucket_cap=bucket_cap, symmetric=True,
-            materialize=materialize,
-        ).filter(F.col("a_id") < F.col("b_id"))
+    cand = capped_band_join(
+        a, b, bucket_cap=bucket_cap, symmetric=True,
+        materialize=materialize, keep_band=raw,
+    ).filter(F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id", *(["band"] if raw else [])
     )
+    return cand if raw else distinct_pairs(cand)
 
 
 def _shingle_set_expr(text_col: str, shingle_w: int):
@@ -640,12 +738,45 @@ def exact_ji_for_pairs(
     return out.select("a_id", "b_id", "ji")
 
 
+def verify_ji_broadcast(
+    pairs: DataFrame, items: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-JI verify of a (a_id, b_id) pair stream against a
+    BROADCAST (id, items) table: attach both item arrays by hash probe
+    (no shuffle of the pair stream), intersect JVM-side, keep
+    ji >= threshold. Built for fusing into a candidate join's reduce
+    stage — the pair stream may carry per-band duplicate emissions;
+    every copy computes the identical ji, so the caller dedupes the
+    (few) SURVIVORS instead of the full candidate mass. Only correct
+    to broadcast when ``items`` is bounded (caller decides — see
+    FUSED_VERIFY_BROADCAST_BYTES)."""
+    ia = F.broadcast(
+        items.select(F.col("id").alias("a_id"), F.col("items").alias("a_items"))
+    )
+    ib = F.broadcast(
+        items.select(F.col("id").alias("b_id"), F.col("items").alias("b_items"))
+    )
+    return (
+        pairs.select("a_id", "b_id")
+        .join(ia, "a_id")
+        .join(ib, "b_id")
+        .withColumn("t2", F.size(F.array_intersect("a_items", "b_items")))
+        .withColumn(
+            "ji",
+            F.col("t2").cast("double")
+            / (F.size("a_items") + F.size("b_items") - F.col("t2")),
+        )
+        .filter(F.col("ji") >= threshold)
+        .select("a_id", "b_id", "ji")
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     threshold: float = 0.9,
-    n_hashes: int = 128,
+    n_hashes: int = DEFAULT_LSH_HASH_BUDGET,
     bands: int | None = None,
     shingle_w: int = 1,
     char_n: int | None = None,
@@ -666,7 +797,19 @@ def minhash_lsh_dedup(
 
     ``char_n`` switches the item universe from word w-shingles to
     character n-grams (the `ngram_jaccard_pairs` path rides this same
-    clustered pipeline)."""
+    clustered pipeline).
+
+    Verify placement adapts to the rep-item-table size (one tiny agg
+    action at plan-build time): when the (rep_id, items) table fits
+    FUSED_VERIFY_BROADCAST_BYTES it is broadcast and the exact verify
+    runs INSIDE the candidate join's reduce stage, BEFORE any distinct
+    — the candidate mass (dominated by sub-threshold pairs that
+    collide in some band) then never crosses an exchange; only the few
+    verified survivors are deduplicated. Measured 229 s -> 58 s on the
+    candidate+verify core at 50k docs (tools/probe_q7_fused.py).
+    Beyond the cap the scale-safe distinct-first plan is kept (the
+    attach joins would otherwise shuffle the full candidate stream by
+    id)."""
     item_set = (
         _char_gram_set_expr(text_col, char_n)
         if char_n is not None
@@ -677,6 +820,10 @@ def minhash_lsh_dedup(
         _set_digest_expr(F.sort_array(item_set)).alias("__sk"),
         F.size(item_set).alias("__nitems"),
     ).filter(F.col("__nitems") > 0)  # empty-set docs have undefined JI
+    if not sets.isStreaming:
+        # consumed by intra (x2), reps, and the member expansion (x2) —
+        # one digest scan instead of five
+        sets = sets.localCheckpoint(eager=False)
     # intra-cluster pairs: identical shingle sets ⇒ JI exactly 1
     s_a = sets.select(F.col("__id").alias("a_id"), "__sk")
     s_b = sets.select(F.col("__id").alias("b_id"), "__sk")
@@ -702,19 +849,45 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(
         rep_docs, id_col, text_col, n_hashes, shingle_w, char_n=char_n
     )
+    if not sigs.isStreaming:
+        # consumed by the band rows AND (fused path) the band-array
+        # broadcast — one signature kernel pass, not two
+        sigs = sigs.localCheckpoint(eager=False)
     # exact size-ratio prefilter: JI <= min/max set size, so pairs
     # failing the ratio at `threshold` can never survive the verify
     # (slack 2 absorbs any in-set 64-bit hash collisions in the
     # verifier's hashed sizes); measured 2x less candidate pair mass
     # through the distinct on the sf1.0 near-dup corpus
     rep_sizes = reps.select(F.col("rep_id").alias(id_col), "__nsz")
-    cands = lsh_candidate_pairs(
-        sigs, id_col, n_hashes=n_hashes, bands=bands,
-        sizes=rep_sizes, size_ratio=threshold, size_slack=2,
+    # verify placement: broadcast-fused when the rep item table is
+    # small (estimate: 24 B/row + 8 B/item, from the same agg that
+    # seeds the prefilter sizes), distinct-first otherwise
+    n_reps, sum_sz = reps.agg(
+        F.count("*"), F.coalesce(F.sum("__nsz"), F.lit(0))
+    ).first()
+    fused = (24 * n_reps + 8 * sum_sz) <= FUSED_VERIFY_BROADCAST_BYTES and (
+        sum_sz <= FUSED_VERIFY_MAX_AVG_ITEMS * max(n_reps, 1)
     )
-    rep_pairs = exact_ji_for_pairs(
-        rep_docs, cands, id_col, text_col, shingle_w, char_n=char_n
-    ).filter(F.col("ji") >= threshold)
+    if fused:
+        raw_cands = lsh_candidate_pairs(
+            sigs, id_col, n_hashes=n_hashes, bands=bands,
+            sizes=rep_sizes, size_ratio=threshold, size_slack=2, raw=True,
+        )
+        rep_items = hashed_item_sets(
+            rep_docs, id_col, text_col=text_col,
+            shingle_w=shingle_w, char_n=char_n,
+        )
+        rep_pairs = verify_ji_broadcast(
+            raw_cands, rep_items, threshold
+        ).dropDuplicates(["a_id", "b_id"])
+    else:
+        cands = lsh_candidate_pairs(
+            sigs, id_col, n_hashes=n_hashes, bands=bands,
+            sizes=rep_sizes, size_ratio=threshold, size_slack=2,
+        )
+        rep_pairs = exact_ji_for_pairs(
+            rep_docs, cands, id_col, text_col, shingle_w, char_n=char_n
+        ).filter(F.col("ji") >= threshold)
     # expand representative pairs to all member pairs (clusters disjoint,
     # so no overlap with intra and no duplicates)
     rk = reps.select(F.col("rep_id"), F.col("__sk"))
@@ -744,7 +917,9 @@ def simhash_fingerprints(
     from dashing_spark.operators.agg import token_hashes_col
 
     ensure_shipped(df.sparkSession)
-    src = df.select(id_col, token_hashes_col(text_col, seed=seed).alias("__th"))
+    src = widen_if_narrow(
+        df.select(id_col, token_hashes_col(text_col, seed=seed).alias("__th"))
+    )
     id_field = [f for f in df.schema.fields if f.name == id_col][0]
     schema = T.StructType([id_field, T.StructField("simhash", T.LongType(), False)])
 
@@ -916,8 +1091,19 @@ def ngram_jaccard_pairs(
         )
     bands_n, n_used = pick_lsh_banding(n_hashes, threshold)
     sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_used, char_n=n)
+    if not sigs.isStreaming:
+        sigs = sigs.localCheckpoint(eager=False)
+    # fused-verify dispatch (as in minhash_lsh_dedup): the char-gram
+    # set size is bounded by the text length, so one cheap scan bounds
+    # the item-table bytes without building the gram sets twice
+    n_docs, sum_len = df.agg(
+        F.count("*"), F.coalesce(F.sum(F.length(text_col)), F.lit(0))
+    ).first()
+    fused = (24 * n_docs + 8 * sum_len) <= FUSED_VERIFY_BROADCAST_BYTES and (
+        sum_len <= FUSED_VERIFY_MAX_AVG_ITEMS * max(n_docs, 1)
+    )
     cands = lsh_candidate_pairs(
-        sigs, id_col, n_hashes=n_used, bands=bands_n
+        sigs, id_col, n_hashes=n_used, bands=bands_n, raw=fused
     )
     if block_cols:
         keys = df.select(F.col(id_col).alias("__bid"), *block_cols)
@@ -927,10 +1113,17 @@ def ngram_jaccard_pairs(
         b_keys = keys.select(
             F.col("__bid").alias("b_id"), *[F.col(c).alias(f"__b_{c}") for c in block_cols]
         )
+        if fused:
+            a_keys, b_keys = F.broadcast(a_keys), F.broadcast(b_keys)
         cands = cands.join(a_keys, "a_id").join(b_keys, "b_id")
         for c in block_cols:
             cands = cands.filter(F.col(f"__a_{c}") == F.col(f"__b_{c}"))
         cands = cands.select("a_id", "b_id")
+    if fused:
+        items = hashed_item_sets(df, id_col, text_col=text_col, char_n=n)
+        return verify_ji_broadcast(cands, items, threshold).dropDuplicates(
+            ["a_id", "b_id"]
+        )
     ji = exact_ji_for_pairs(df, cands, id_col, text_col, char_n=n)
     return ji.filter(F.col("ji") >= threshold)
 
@@ -1233,6 +1426,10 @@ def dup_islands(
     corpus tokens, no pair table), one join back to position rows, ONE
     window partitioned by document — per-doc data, no global sort."""
     key_cols = list(key_cols)
+    if not spans.isStreaming:
+        # spans feed BOTH the distinct->count chain and the join back
+        # to position rows — one explode pass, not two
+        spans = spans.localCheckpoint(eager=False)
     # span -> distinct-doc count (distinct (doc, span) first, as in
     # duplicate_span_stats); dup spans join back to POSITION rows
     span_docs = (
@@ -1306,6 +1503,10 @@ def remove_duplicate_runs(
         elif span_key != "text":
             raise ValueError(f"span_key must be 'text' or 'hash', got {span_key!r}")
     islands = dup_islands(spans, w).filter(F.col("__len") >= min_len)
+    if not islands.isStreaming:
+        # three consumers (cov, the affected semi-join, the affected
+        # attach) — one span-pipeline pass, not three
+        islands = islands.localCheckpoint(eager=False)
     cov = islands.select(
         "__id",
         F.explode(
@@ -1314,12 +1515,23 @@ def remove_duplicate_runs(
             )
         ).alias("__pos"),
     )
+    # only AFFECTED docs (>= 1 qualifying island) are exploded into
+    # token rows and re-aggregated; an untouched doc's rewrite is
+    # byte-identical to its input (split-on-space + rejoin-with-space
+    # is lossless — pinned by test), so it rides through as a plain
+    # column expression. On real corpora most docs have no qualifying
+    # duplicated run, which drops the dominant token explode +
+    # collect_list rebuild from O(corpus tokens) to O(affected tokens)
+    # (guide §2.3: don't shuffle what you can decide without moving).
+    affected = islands.select("__id").distinct().withColumn(
+        "__aff", F.lit(True)
+    )
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), " ", -1)).alias(
             "__pos", "__tok"
         ),
-    )
+    ).join(affected.select("__id"), "__id", "left_semi")
     kept = toks.join(cov, ["__id", "__pos"], "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
@@ -1333,14 +1545,20 @@ def remove_duplicate_runs(
     )
     n_toks = F.size(F.split(F.col(text_col), " ", -1))
     out = df.join(
-        rebuilt, df[id_col] == rebuilt["__id"], "left"
+        affected, df[id_col] == affected["__id"], "left"
+    ).drop("__id")
+    out = out.join(
+        rebuilt, out[id_col] == rebuilt["__id"], "left"
     ).drop("__id")
     return out.select(
         *df.columns,
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("__aff").isNull(), F.col(text_col))
         .otherwise(F.coalesce("__newtext", F.lit("")))
         .alias(out_col),
-        F.when(F.col(text_col).isNull(), F.lit(0))
+        F.when(
+            F.col(text_col).isNull() | F.col("__aff").isNull(), F.lit(0)
+        )
         .otherwise(n_toks - F.coalesce("__kept", F.lit(0)))
         .cast("long")
         .alias("n_tokens_removed"),

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from dashing_spark.functions import hashing
 from dashing_spark.functions.hll import HLL
-from dashing_spark.operators.ship import ensure_shipped
+from dashing_spark.operators.ship import ensure_shipped, widen_if_narrow
 
 
 def containment_scores(
@@ -43,6 +43,10 @@ def containment_scores(
         # higher-variance inclusion–exclusion path
         raise ValueError(f"unknown containment estimator: {estimator!r}")
     ensure_shipped(df.sparkSession)
+    # a small scan is 1-2 input splits; the per-row estimator kernel
+    # below would run on 1-2 cores (guide §2: the narrow-input variant
+    # of skew) — widen provably-small inputs to cluster width
+    df = widen_if_narrow(df)
     ref = HLL.from_bytes(bytes(reference_blob))
     if ref.p != p:
         ref = ref.fold(p) if ref.p > p else ref

@@ -55,3 +55,37 @@ def ensure_shipped(spark) -> None:
         # e.g. same zip added twice across sessions sharing a context
         pass
     _shipped.add(key)
+
+
+def widen_if_narrow(df, target: int | None = None, max_bytes: int = 256 << 20):
+    """Repartition a provably-SMALL DataFrame to cluster width before a
+    per-partition Python kernel (mapInArrow/mapInPandas).
+
+    A small parquet scan yields one or two input splits (128 MB
+    maxPartitionBytes), so a heavyweight per-row kernel downstream runs
+    on 1-2 cores while the rest of the cluster idles — measured 22 s
+    for the per-doc joint-MLE containment pass on a 6 MB / 50k-doc
+    scan that takes ~1.5 s at proper width. The decision reads the
+    optimizer's size ESTIMATE (driver-side, no job): inputs above
+    ``max_bytes`` are left exactly as planned — repartitioning a large
+    scan would ADD a full shuffle of the payload, and a large scan is
+    already wide. Kernels this guards are per-row pure, so row
+    placement cannot change results. Streaming frames are returned
+    unchanged (no estimate available mid-plan)."""
+    if df.isStreaming:
+        return df
+    try:
+        est = int(
+            str(
+                df._jdf.queryExecution()  # noqa: SLF001
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return df
+    if est > max_bytes:
+        return df
+    spark = df.sparkSession
+    return df.repartition(target or spark.sparkContext.defaultParallelism * 2)

@@ -4,18 +4,36 @@ Continuous corpus ingestion needs near-dup detection AT ARRIVAL TIME —
 batch `minhash_lsh_dedup` (operators/dedup.py) answers "which pairs in
 this corpus", this module answers "which earlier docs does each arriving
 doc duplicate" without ever recomparing the accumulated corpus to
-itself. The state is the standard streaming dedup index:
+itself. The state is a streaming dedup index keyed by DISTINCT ITEM
+SET, not by document (r7): Jaccard depends only on the item set, so
+every doc with the same set is equivalent for matching — the quadratic
+candidate/verify machinery runs once per distinct set and member pairs
+are reconstructed by output-bound equi-joins (the same exact-then-near
+collapse the batch operator uses, which on boilerplate-heavy corpora
+shrinks the pair mass quadratically: measured 104.6e6 member pairs from
+274e3 set pairs at 50k docs). Per epoch:
 
-- ``docs_epoch_{id}``:  (id, signature array<long>, items array<long>)
-  — each NEW doc's MinHash signature and hashed distinct item set;
-- ``bands_epoch_{id}``: (id, band, bhash) — its banded-LSH keys;
-- ``pairs_epoch_{id}``: (a_id, b_id, ji) — pairs found this epoch.
+- ``sets_epoch_{id}``:    (sk, signature array<long>, items
+  array<long>, nsz) — one row per distinct item set among this epoch's
+  NEW docs (sk = md5 over the sorted item hashes). A set with new
+  members in several epochs appears in each — deliberate redundancy
+  that makes every epoch self-contained, so TTL expiry of whole epochs
+  keeps exact per-DOC window semantics (a set stays matchable exactly
+  while some live epoch carries a member of it);
+- ``members_epoch_{id}``: (id, sk) — this epoch's new docs;
+- ``bands_epoch_{id}``:   (sk, band, bhash, nsz) — the distinct sets'
+  banded-LSH keys (+ set size for the exact ratio prefilter);
+- ``pairs_epoch_{id}``:   (a_id, b_id, ji) — pairs found this epoch.
 
-Per micro-batch the work is: signatures/items/bands for the batch docs
-(O(batch)), a band-key equi-join of batch bands against the committed
-band index (shuffle bounded by colliding keys, the LSH guarantee), the
-batch's internal candidate self-join, then the exact item-array verify
-on candidates only. Nothing is ever rewritten — state grows append-only
+Per micro-batch the work is: signatures/items/sk for the batch docs
+(O(batch)), a band-key equi-join of the batch's distinct-set bands
+against the committed band index (shuffle bounded by colliding keys,
+the LSH guarantee), the batch's internal set-level self-join, the exact
+item-array verify on SET pairs only, then member expansion joins whose
+output is exactly the emitted pair rows. Cross-epoch duplicate set/band
+rows only add candidate emissions (removed by the set-level distinct or
+recomputed-identical verify rows) and are deduplicated by ``sk`` before
+any item attach. Nothing is ever rewritten — state grows append-only
 by one epoch directory per batch, so per-epoch cost is independent of
 corpus age (at 100 TB the band index would be a bucketed table on
 (band, bhash) so the join prunes to matching buckets).
@@ -45,6 +63,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dashing_spark.operators import dedup
 
 _MANIFEST = "_EPOCHS"
+
+
+def _dbg_t():
+    import time
+
+    return time.time()
+
+
+def _dbg(epoch_id, stage, t0):
+    """Per-stage epoch timing on stderr when SPARK_GRAFT_DD_DEBUG=1 —
+    measurement aid (guide §1), no cost when unset."""
+    if os.environ.get("SPARK_GRAFT_DD_DEBUG") == "1":
+        import sys
+        import time
+
+        now = time.time()
+        print(
+            f"[dd epoch {epoch_id}] {stage}: {now - t0:.2f}s (at {now % 10000:.2f})",
+            file=sys.stderr,
+            flush=True,
+        )
 
 
 def _manifest_tokens(state_dir: str) -> list[str]:
@@ -102,7 +141,7 @@ def apply_dedup_batch(
     state_dir: str,
     text_col: str = "text",
     threshold: float = 0.9,
-    n_hashes: int = 128,
+    n_hashes: int = dedup.DEFAULT_LSH_HASH_BUDGET,
     shingle_w: int = 1,
     char_n: int | None = None,
     max_segments: int | None = None,
@@ -136,6 +175,7 @@ def apply_dedup_batch(
         raise ValueError(f"ttl_epochs must be >= 1, got {ttl_epochs}")
     if max_segments is not None and max_segments < 2:
         raise ValueError(f"max_segments must be >= 2, got {max_segments}")
+    t_entry = _dbg_t()
     if batch_df.isEmpty():
         # an empty epoch still advances the TTL horizon: docs older
         # than the window must stop matching (and their pair files age
@@ -176,117 +216,228 @@ def apply_dedup_batch(
         batch_df, id_col, text_col=text_col, shingle_w=shingle_w, char_n=char_n
     )
     # empty item sets carry the all-sentinel signature and would collide
-    # pairwise in every band — same filter as the batch operator
+    # pairwise in every band — same filter as the batch operator.
+    # sk: md5 over the sorted item hashes — identical sets (hence
+    # identical signatures: a MinHash is a pure function of the set)
+    # collapse to one matching unit
     new_docs = (
         sigs.join(items, "id")
         .filter(F.size("items") > 0)
-        .select("id", "signature", "items")
+        .select(
+            "id",
+            "signature",
+            "items",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array("items"), lambda x: x.cast("string")
+                    ),
+                )
+            ).alias("sk"),
+        )
         # at-least-once sources can redeliver a document: within the
         # batch keep one row per id, and drop ids the index already
-        # holds — re-indexing would emit self-pairs and row-multiply
-        # every later verify join against all_items
+        # holds — re-indexing would emit self-pairs and duplicate rows
+        # in every later expansion join
         .dropDuplicates(["id"])
     )
-    old_docs_pre = _epoch_union(spark, state_dir, "docs", tokens)
-    if old_docs_pre is not None:
+    old_members = _epoch_union(spark, state_dir, "members", tokens)
+    if old_members is not None:
         new_docs = new_docs.join(
-            old_docs_pre.select("id"), "id", "left_anti"
+            old_members.select("id"), "id", "left_anti"
         )
-    docs_out = os.path.join(state_dir, f"docs_epoch_{epoch_id}")
-    new_docs.write.mode("overwrite").parquet(docs_out)
-    new_docs = spark.read.parquet(docs_out)  # cut lineage; reuse below
+    # the signature/items kernel feeds both the sets and the members
+    # write — checkpoint so it runs once per epoch, not twice
+    new_docs = new_docs.localCheckpoint(eager=False)
+    # one distinct-set row per sk (any member's signature/items — all
+    # identical by construction); written EVERY epoch the set gains
+    # members, so each epoch dir is self-contained under TTL expiry
+    new_sets = new_docs.select(
+        "sk", "signature", "items", F.size("items").alias("nsz")
+    ).dropDuplicates(["sk"])
+    sets_out = os.path.join(state_dir, f"sets_epoch_{epoch_id}")
+    t0 = _dbg_t()
+    new_sets.write.mode("overwrite").parquet(sets_out)
+    new_sets = spark.read.parquet(sets_out)  # cut lineage; reuse below
+    _dbg(epoch_id, "write sets", t0)
+    members_out = os.path.join(state_dir, f"members_epoch_{epoch_id}")
+    t0 = _dbg_t()
+    new_docs.select("id", "sk").write.mode("overwrite").parquet(members_out)
+    new_members = spark.read.parquet(members_out)
+    _dbg(epoch_id, "write members", t0)
 
     new_bands = dedup.lsh_band_rows(
-        new_docs.select("id", "signature"), "id",
+        new_sets.select("sk", "signature"), "sk",
         n_hashes=n_hashes, bands=bands_n,
-    )
+    ).join(new_sets.select("sk", "nsz"), "sk")
     bands_out = os.path.join(state_dir, f"bands_epoch_{epoch_id}")
+    t0 = _dbg_t()
     new_bands.write.mode("overwrite").parquet(bands_out)
     new_bands = spark.read.parquet(bands_out)
+    _dbg(epoch_id, "write bands", t0)
 
-    # candidates within the batch (a < b) … both joins go through the
-    # skew-safe capped band join (dedup.capped_band_join): a template
-    # family arriving in one batch — or accreting in the index — would
-    # otherwise pile O(B²) pairs onto whichever reducer owns its hot
-    # (band, bhash) bucket. Band rows carry the doc's item-set size so
-    # the EXACT size-ratio bound (JI <= min/max size) drops
-    # provably-sub-threshold pairs BEFORE the distinct — sizes come
-    # from the very arrays the verify below intersects, so no slack is
-    # needed and the verified pair set is bit-identical.
+    # set-level candidates: batch sets vs (batch ∪ index) sets, both
+    # joins through the skew-safe capped band join (a template family
+    # — many DISTINCT near-identical sets — still piles onto one
+    # (band, bhash) bucket; identical sets no longer contribute at
+    # all). Band rows carry the set size so the EXACT ratio bound
+    # (JI <= min/max size) drops provably-sub-threshold pairs before
+    # the distinct; sizes come from the very arrays the verify
+    # intersects, so no slack is needed.
     ratio_keep = F.least("__na", "__nb") >= F.greatest("__na", "__nb") * F.lit(
         float(threshold)
     )
-    new_keyed = new_bands.join(
-        new_docs.select("id", F.size("items").alias("__nsz")), "id"
+    a = new_bands.select(
+        F.col("sk").alias("a_id"), "band", "bhash", F.col("nsz").alias("__na")
     )
-    a = new_keyed.select(
-        F.col("id").alias("a_id"), "band", "bhash", F.col("__nsz").alias("__na")
+    b = new_bands.select(
+        F.col("sk").alias("b_id"), "band", "bhash", F.col("nsz").alias("__nb")
     )
-    b = new_keyed.select(
-        F.col("id").alias("b_id"), "band", "bhash", F.col("__nsz").alias("__nb")
-    )
-    cand = dedup.capped_band_join(a, b, symmetric=True).filter(
+    cand = dedup.capped_band_join(a, b, symmetric=True, keep_band=True).filter(
         (F.col("a_id") < F.col("b_id")) & ratio_keep
-    ).select("a_id", "b_id")
-    # … plus batch-vs-index candidates, normalized to (min, max) ids so
-    # the emitted pair set is order-independent
+    ).select("a_id", "b_id", "band")
     old_bands = _epoch_union(spark, state_dir, "bands", tokens)
+    old_sets = _epoch_union(spark, state_dir, "sets", tokens)
     if old_bands is not None:
-        old_keyed = old_bands.join(
-            old_docs_pre.select("id", F.size("items").alias("__nsz")), "id"
-        )
         cross = dedup.capped_band_join(
-            old_keyed.select(
-                F.col("id").alias("a_id"), "band", "bhash",
-                F.col("__nsz").alias("__na"),
+            old_bands.select(
+                F.col("sk").alias("a_id"), "band", "bhash",
+                F.col("nsz").alias("__na"),
             ),
-            new_keyed.select(
-                F.col("id").alias("b_id"), "band", "bhash",
-                F.col("__nsz").alias("__nb"),
-            ),
+            b,
+            keep_band=True,
         )
         cand = cand.unionByName(
             cross.filter((F.col("a_id") != F.col("b_id")) & ratio_keep).select(
                 F.least("a_id", "b_id").alias("a_id"),
                 F.greatest("a_id", "b_id").alias("b_id"),
+                "band",
             )
         )
-    cand = dedup.distinct_pairs(cand)
 
-    # verify on stored item arrays (index docs ∪ this batch)
-    old_docs = old_docs_pre
-    all_items = (
-        new_docs.select("id", "items")
-        if old_docs is None
-        else new_docs.select("id", "items").unionByName(
-            old_docs.select("id", "items")
+    # exact verify on SET pairs (item arrays attached by sk; the union
+    # is deduplicated — a set re-written by several epochs must attach
+    # exactly one items row). Verify placement follows the batch
+    # operator's dispatch: broadcast-fused when the set table is small
+    # with small sets — then the band-prefix filter
+    # (dedup.first_collision_only) keeps each pair's first colliding
+    # band only, so the intersect runs once per distinct pair and no
+    # candidate-mass exchange exists; distinct-first otherwise. The
+    # surviving set pairs are deduplicated either way: a set living in
+    # both the index and this batch meets its partners through BOTH
+    # the self- and the cross-join.
+    all_sets = (
+        new_sets
+        if old_sets is None
+        else new_sets.unionByName(old_sets).dropDuplicates(["sk"])
+    ).select(F.col("sk").alias("id"), "signature", "items", "nsz")
+    t0 = _dbg_t()
+    n_sets, sum_sz = all_sets.agg(
+        F.count("*"), F.coalesce(F.sum("nsz"), F.lit(0))
+    ).first()
+    _dbg(epoch_id, "sets size agg", t0)
+    fused = (
+        24 * n_sets + 8 * sum_sz
+    ) <= dedup.FUSED_VERIFY_BROADCAST_BYTES and (
+        sum_sz <= dedup.FUSED_VERIFY_MAX_AVG_ITEMS * max(n_sets, 1)
+    )
+    if fused:
+        set_pairs = dedup.verify_ji_broadcast(
+            cand, all_sets, threshold
+        ).dropDuplicates(["a_id", "b_id"])
+    else:
+        set_pairs = (
+            dedup.distinct_pairs(cand)
+            .join(
+                all_sets.select(
+                    F.col("id").alias("a_id"), F.col("items").alias("a_items")
+                ),
+                "a_id",
+            )
+            .join(
+                all_sets.select(
+                    F.col("id").alias("b_id"), F.col("items").alias("b_items")
+                ),
+                "b_id",
+            )
+            .withColumn("t2", F.size(F.array_intersect("a_items", "b_items")))
+            .withColumn(
+                "ji",
+                F.col("t2").cast("double")
+                / (F.size("a_items") + F.size("b_items") - F.col("t2")),
+            )
+            .filter(F.col("ji") >= threshold)
+            .select("a_id", "b_id", "ji")
+        )
+    set_pairs = set_pairs.select(
+        F.col("a_id").alias("sk_a"), F.col("b_id").alias("sk_b"), "ji"
+    )
+    # the expansion below references set_pairs three times (direct +
+    # both vsym orientations) — checkpoint so the candidate join +
+    # verify execute ONCE per epoch, not once per consumer
+    set_pairs = set_pairs.localCheckpoint(eager=False)
+
+    # member expansion — output-bound equi-joins reconstructing exactly
+    # the per-doc pair emissions this epoch's arrivals cause:
+    #   same set:  new × old members (ji = 1.0) + new × new (a < b)
+    #   cross set: new(X) × old(Y) via both orientations + new × new
+    #              once via the canonical (sk_a < sk_b) orientation
+    mn = new_members.select(F.col("id").alias("__nid"), F.col("sk"))
+    mo = (
+        old_members.select(F.col("id").alias("__oid"), F.col("sk"))
+        if old_members is not None
+        else None
+    )
+    pair = lambda x, y, ji: [  # noqa: E731
+        F.least(x, y).alias("a_id"), F.greatest(x, y).alias("b_id"),
+        ji.alias("ji"),
+    ]
+    emitted = mn.alias("x").join(mn.alias("y"), "sk").filter(
+        F.col("x.__nid") < F.col("y.__nid")
+    ).select(*pair(F.col("x.__nid"), F.col("y.__nid"), F.lit(1.0)))
+    if mo is not None:
+        emitted = emitted.unionByName(
+            mn.join(mo, "sk").select(
+                *pair(F.col("__nid"), F.col("__oid"), F.lit(1.0))
+            )
+        )
+    vsym = set_pairs.unionByName(
+        set_pairs.select(
+            F.col("sk_b").alias("sk_a"), F.col("sk_a").alias("sk_b"), "ji"
         )
     )
-    verified = (
-        cand.join(
-            all_items.select(
-                F.col("id").alias("a_id"), F.col("items").alias("a_items")
-            ),
-            "a_id",
-        )
-        .join(
-            all_items.select(
-                F.col("id").alias("b_id"), F.col("items").alias("b_items")
-            ),
-            "b_id",
-        )
-        .withColumn("t2", F.size(F.array_intersect("a_items", "b_items")))
-        .withColumn(
-            "ji",
-            F.col("t2").cast("double")
-            / (F.size("a_items") + F.size("b_items") - F.col("t2")),
-        )
-        .filter(F.col("ji") >= threshold)
-        .select("a_id", "b_id", "ji")
+    emitted = emitted.unionByName(
+        mn.withColumnRenamed("sk", "sk_a")
+        .join(set_pairs, "sk_a")
+        .join(mn.withColumnRenamed("sk", "sk_b").withColumnRenamed("__nid", "__mid"), "sk_b")
+        .select(*pair(F.col("__nid"), F.col("__mid"), F.col("ji")))
     )
-    verified.write.mode("overwrite").parquet(
+    if mo is not None:
+        emitted = emitted.unionByName(
+            mn.withColumnRenamed("sk", "sk_a")
+            .join(vsym, "sk_a")
+            .join(mo.withColumnRenamed("sk", "sk_b"), "sk_b")
+            .select(*pair(F.col("__nid"), F.col("__oid"), F.col("ji")))
+        )
+    _dbg(epoch_id, "plan build (since entry)", t_entry)
+    explain_dir = os.environ.get("SPARK_GRAFT_DD_EXPLAIN")
+    if explain_dir:
+        # measurement aid: dump this epoch's emitted-pairs physical plan
+        # (the real plan, not a reconstruction) for plans/r07 evidence
+        with open(
+            os.path.join(explain_dir, f"dd_epoch_{epoch_id}_plan.txt"), "w"
+        ) as fh:
+            fh.write(
+                emitted._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                    emitted._jdf.queryExecution(), "formatted"
+                )
+            )
+    t0 = _dbg_t()
+    emitted.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"pairs_epoch_{epoch_id}")
     )
+    _dbg(epoch_id, "verify+expand+write pairs", t0)
     _commit_epoch(state_dir, epoch_id)
     if ttl_epochs is not None:
         expire_epochs(state_dir, min_epoch=epoch_id - ttl_epochs + 1)
@@ -294,12 +445,14 @@ def apply_dedup_batch(
         # with a TTL active, never re-absorb existing segments: folding
         # a segment forward re-stamps its docs with a newer max epoch,
         # so it would never age past the horizon (see compact_index)
+        t0 = _dbg_t()
         compact_index(
             spark,
             state_dir,
             keep_last=max_segments // 2,
             absorb_compacted=ttl_epochs is None,
         )
+        _dbg(epoch_id, "compact_index", t0)
 
 
 def incremental_dedup_query(
@@ -310,7 +463,7 @@ def incremental_dedup_query(
     checkpoint_dir: str,
     text_col: str = "text",
     threshold: float = 0.9,
-    n_hashes: int = 128,
+    n_hashes: int = dedup.DEFAULT_LSH_HASH_BUDGET,
     shingle_w: int = 1,
     char_n: int | None = None,
     trigger_available_now: bool = True,
@@ -408,11 +561,19 @@ def compact_index(
         raise ValueError(
             f"compacted segment {target} already exists in {tokens}"
         )
-    for prefix in ("docs", "bands", "pairs"):
+    for prefix in ("sets", "members", "bands", "pairs"):
         merged = _epoch_union(spark, state_dir, prefix, merge)
         out = os.path.join(state_dir, f"{prefix}_epoch_{target}")
         if merged is None:
             continue
+        # a set re-written by several absorbed epochs needs only one
+        # row in the merged segment (the per-epoch redundancy exists
+        # for TTL self-containment, which the segment now provides as
+        # a unit) — identical content, so any row is the right one
+        if prefix == "sets":
+            merged = merged.dropDuplicates(["sk"])
+        elif prefix == "bands":
+            merged = merged.dropDuplicates(["sk", "band"])
         # A crashed prior attempt may have left this exact target dir on
         # disk (written but never committed to the manifest) — clear it so
         # the promised re-run actually completes instead of failing with
@@ -426,7 +587,7 @@ def compact_index(
     # the new one: every epoch they cover precedes the merge set's
     _write_manifest(state_dir, retained_c + [target] + kept)
     for t in merge:  # best-effort: unreferenced after the atomic rewrite
-        for prefix in ("docs", "bands", "pairs"):
+        for prefix in ("sets", "members", "bands", "pairs"):
             shutil.rmtree(
                 os.path.join(state_dir, f"{prefix}_epoch_{t}"),
                 ignore_errors=True,
@@ -451,7 +612,7 @@ def expire_epochs(state_dir: str, min_epoch: int) -> list[str]:
         return []
     _write_manifest(state_dir, [t for t in tokens if t not in dropped])
     for t in dropped:  # best-effort: unreferenced after the rewrite
-        for prefix in ("docs", "bands", "pairs"):
+        for prefix in ("sets", "members", "bands", "pairs"):
             shutil.rmtree(
                 os.path.join(state_dir, f"{prefix}_epoch_{t}"),
                 ignore_errors=True,

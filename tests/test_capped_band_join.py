@@ -229,7 +229,9 @@ class TestAdviceRegressions:
             )
         # simulate the torn first attempt: the target segment dir exists
         # (with garbage) but the manifest still lists the raw epochs
-        orphan = os.path.join(state, "docs_epoch_c1")
+        # (r7: the set-keyed state layout renamed docs_epoch_* to
+        # sets_epoch_* — the torn-dir scenario is unchanged)
+        orphan = os.path.join(state, "sets_epoch_c1")
         os.makedirs(orphan, exist_ok=True)
         with open(os.path.join(orphan, "junk"), "w") as fh:
             fh.write("partial")
