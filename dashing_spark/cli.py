@@ -678,6 +678,13 @@ def _cmd_dist(spark, args, by_seq: bool = False) -> int:
     elif nb == "none":
         nb = None
 
+    if args.exact_sets and args.presketched:
+        # silently serving sketch ESTIMATES to a user who asked for
+        # exact ground truth is the worst failure mode (r6 ADVICE #5)
+        raise SystemExit(
+            "--use-full-khash-sets requires document inputs (it rebuilds "
+            "exact item sets) and is incompatible with -H/--presketched"
+        )
     if args.exact_sets and not args.presketched:
         # ground-truth mode: exact set triples from raw item rows
         # (--use-full-khash-sets, /root/reference/src/khset64.h:129-156),

@@ -638,7 +638,12 @@ def pack_sequences(
     )
     offsets = {}  # (pid, *strata) -> exclusive base offset
     running: dict[tuple, int] = {}
-    for r in sorted(totals, key=lambda r: tuple([r[c] for c in strata] + [r["__pid"]])):
+    # sort by __pid ALONE: repartitionByRange already guarantees pid
+    # order equals (strata, id) order within each stratum, so the
+    # per-stratum running sum below is identical — and a NULL stratum
+    # value no longer crashes the tuple comparison (NoneType vs str,
+    # r6 ADVICE #3)
+    for r in sorted(totals, key=lambda r: r["__pid"]):
         key = tuple(r[c] for c in strata)
         offsets[(r["__pid"],) + key] = running.get(key, 0)
         running[key] = running.get(key, 0) + r["t"]

@@ -204,9 +204,8 @@ def pick_lsh_banding(
 
 
 def band_hash_array(n_hashes: int, bands: int, sig_col: str = "signature"):
-    """The array<long> of banded-LSH keys of a signature column — the
-    single definition :func:`lsh_band_rows` explodes and
-    :func:`first_collision_only` compares, so both always agree."""
+    """The array<long> of banded-LSH keys of a signature column,
+    exploded by :func:`lsh_band_rows`."""
     if bands > n_hashes or n_hashes % bands:
         raise ValueError(
             f"bands ({bands}) must divide n_hashes ({n_hashes})"
@@ -233,44 +232,6 @@ def lsh_band_rows(
     return signatures.select(
         F.col(id_col),
         F.posexplode(band_hash_array(n_hashes, bands)).alias("band", "bhash"),
-    )
-
-
-def first_collision_only(
-    pairs: DataFrame, bands_tbl: DataFrame, band_col: str = "band"
-) -> DataFrame:
-    """Keep each candidate pair only in its FIRST colliding band — an
-    exchange-free global dedup of a band join's duplicate emissions.
-
-    ``pairs`` must carry (a_id, b_id, band); ``bands_tbl`` maps id ->
-    bands_arr (from :func:`band_hash_array`) and must be small enough
-    to broadcast (caller decides). A near-threshold pair collides in
-    b*t^r expected bands (~14 of 33 at t=0.9/r=8) and every copy costs
-    an exchange row (distinct-first) or an item intersect (fused
-    verify); the band-prefix test (no earlier band j < band with
-    a_arr[j] == b_arr[j]) keeps exactly one deterministic copy per
-    pair with an O(bands) long-compare instead — cross-reducer
-    correct, because which copy survives depends only on the pair's
-    band arrays, not on placement. Output still contains one row per
-    DISTINCT colliding (a, b) per join; callers joining several band
-    tables (the streaming self + cross joins) dedupe the verified
-    survivors (tiny) instead of the candidate mass."""
-    ba = F.broadcast(
-        bands_tbl.select(
-            F.col("id").alias("a_id"), F.col("bands_arr").alias("__ba")
-        )
-    )
-    bb = F.broadcast(
-        bands_tbl.select(
-            F.col("id").alias("b_id"), F.col("bands_arr").alias("__bb")
-        )
-    )
-    eq = F.zip_with("__ba", "__bb", lambda x, y: x == y)
-    return (
-        pairs.join(ba, "a_id")
-        .join(bb, "b_id")
-        .filter(~F.exists(F.slice(eq, 1, F.col(band_col)), lambda v: v))
-        .drop("__ba", "__bb", band_col)
     )
 
 
@@ -337,7 +298,6 @@ def capped_band_join(
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     symmetric: bool = False,
     materialize: bool = True,
-    keep_band: bool = False,
 ) -> DataFrame:
     """Skew-safe equi-join of two band-row tables on (band, bhash) —
     the shared candidate-generation kernel for batch LSH dedup, n-gram
@@ -413,10 +373,6 @@ def capped_band_join(
     extra_a = [c for c in a.columns if c not in ("a_id", "band", "bhash")]
     extra_b = [c for c in b.columns if c not in ("b_id", "band", "bhash")]
     out_cols = ["a_id", "b_id", *extra_a, *extra_b]
-    if keep_band:
-        # ``band`` is a join key, identical on both sides — exposed for
-        # first_collision_only's band-prefix dedup
-        out_cols.append("band")
     if bucket_cap is None:
         return a.join(b, ["band", "bhash"]).select(*out_cols)
     cap = int(bucket_cap)
@@ -620,23 +576,21 @@ def lsh_candidate_pairs(
         )
         cand = capped_band_join(
             a, b, bucket_cap=bucket_cap, symmetric=True,
-            materialize=materialize, keep_band=raw,
+            materialize=materialize,
         ).filter(
             (F.col("a_id") < F.col("b_id"))
             & (
                 F.least("__na", "__nb") + F.lit(int(size_slack))
                 >= F.greatest("__na", "__nb") * F.lit(float(size_ratio))
             )
-        ).select("a_id", "b_id", *(["band"] if raw else []))
+        ).select("a_id", "b_id")
         return cand if raw else distinct_pairs(cand)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bhash")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bhash")
     cand = capped_band_join(
         a, b, bucket_cap=bucket_cap, symmetric=True,
-        materialize=materialize, keep_band=raw,
-    ).filter(F.col("a_id") < F.col("b_id")).select(
-        "a_id", "b_id", *(["band"] if raw else [])
-    )
+        materialize=materialize,
+    ).filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
     return cand if raw else distinct_pairs(cand)
 
 

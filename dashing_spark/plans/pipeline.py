@@ -174,11 +174,18 @@ def build_or_resume_sketch_table(
     # version exists; legacy pre-r6 checkpoints (bare parquet dir with
     # _SUCCESS) stay readable
     legacy = _fs_exists(spark, os.path.join(snap, "_SUCCESS"))
-    if not force and (snapshots.current_version(snap) is not None or legacy):
+    committed = snapshots.current_version(snap) is not None
+    if not force and (committed or legacy):
+        # a committed snapshot WINS over leftover legacy files: a
+        # force=True rebuild over a pre-r6 legacy dir commits its data
+        # under data/ but leaves the stale top-level part-files and
+        # _SUCCESS in place — reading the bare dir would serve stale
+        # pre-force rows (or fail on the mixed layout) forever
+        # (r6 ADVICE #2)
         sketches = (
-            spark.read.parquet(snap)
-            if legacy
-            else snapshots.read_table(spark, snap)
+            snapshots.read_table(spark, snap)
+            if committed
+            else spark.read.parquet(snap)
         )
         m = RunMetrics(
             rows_in=0,

@@ -132,11 +132,19 @@ def commit(
         f.flush()
         os.fsync(f.fileno())
     final = _meta_path(table_dir, version)
-    if os.path.exists(final):  # lost the race: our data dir is garbage
-        os.unlink(tmp)
+    # THE commit point: os.link is create-if-absent (EEXIST when the
+    # destination exists), unlike rename, whose POSIX semantics SILENTLY
+    # REPLACE an existing destination — an exists() check before a
+    # rename is TOCTOU and two racing committers of the same version
+    # could both "succeed", one snapshot's metadata silently overwritten
+    # and its data dir later reaped as an orphan (r6 ADVICE #1)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)  # lost the race: our data dir is garbage
         shutil.rmtree(data_dir, ignore_errors=True)
         raise CommitConflict(f"version {version} already committed")
-    os.rename(tmp, final)  # THE commit point (atomic)
+    os.unlink(tmp)
     # hint is best-effort: written via tmp+rename so it is never torn
     hint_tmp = os.path.join(table_dir, _HINT + ".tmp")
     with open(hint_tmp, "w") as f:
@@ -188,8 +196,12 @@ def rollback(table_dir: str, to_version: int) -> int:
     """Commit a NEW version whose visible file-set is snapshot
     ``to_version``'s — history is never rewritten (Iceberg semantics),
     so the rolled-back-over snapshots stay time-travelable."""
-    src = _load_meta(table_dir, to_version)
     parent = current_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(
+            f"no committed snapshot to roll back from in {table_dir}"
+        )
+    src = _load_meta(table_dir, to_version)
     version = parent + 1
     meta = {
         "version": version,
@@ -203,11 +215,15 @@ def rollback(table_dir: str, to_version: int) -> int:
     tmp = _meta_path(table_dir, version) + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(meta, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())  # same crash-durability as commit()
     final = _meta_path(table_dir, version)
-    if os.path.exists(final):
+    try:
+        os.link(tmp, final)  # create-if-absent commit point (ADVICE #1)
+    except FileExistsError:
         os.unlink(tmp)
         raise CommitConflict(f"version {version} already committed")
-    os.rename(tmp, final)
+    os.unlink(tmp)
     return version
 
 

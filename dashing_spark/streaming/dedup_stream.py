@@ -13,17 +13,19 @@ collapse the batch operator uses, which on boilerplate-heavy corpora
 shrinks the pair mass quadratically: measured 104.6e6 member pairs from
 274e3 set pairs at 50k docs). Per epoch:
 
-- ``sets_epoch_{id}``:    (sk, signature array<long>, items
-  array<long>, nsz) — one row per distinct item set among this epoch's
-  NEW docs (sk = md5 over the sorted item hashes). A set with new
-  members in several epochs appears in each — deliberate redundancy
-  that makes every epoch self-contained, so TTL expiry of whole epochs
-  keeps exact per-DOC window semantics (a set stays matchable exactly
-  while some live epoch carries a member of it);
-- ``members_epoch_{id}``: (id, sk) — this epoch's new docs;
-- ``bands_epoch_{id}``:   (sk, band, bhash, nsz) — the distinct sets'
-  banded-LSH keys (+ set size for the exact ratio prefilter);
-- ``pairs_epoch_{id}``:   (a_id, b_id, ji) — pairs found this epoch.
+- ``sets_epoch_{id}``: (sk, signature array<long>, items array<long>,
+  nsz, member_ids array<long>) — one row per distinct item set among
+  this epoch's NEW docs (sk = md5 over the sorted item hashes), with
+  the epoch's member doc ids inline. A set with new members in several
+  epochs appears in each, carrying THAT epoch's members — so each
+  epoch dir is self-contained and TTL expiry of whole epochs keeps
+  exact per-DOC window semantics (a set stays matchable exactly while
+  some live epoch carries a member of it);
+- ``pairs_epoch_{id}``: (a_id, b_id, ji) — pairs found this epoch.
+
+Member rows and band rows are DERIVED (explode / 33 deterministic
+xxhash64 per set), never stored: one state write+read per epoch beside
+the pairs, and the index scan reads one pre-collapsed table.
 
 Per micro-batch the work is: signatures/items/sk for the batch docs
 (O(batch)), a band-key equi-join of the batch's distinct-set bands
@@ -88,8 +90,8 @@ def _dbg(epoch_id, stage, t0):
 
 def _manifest_tokens(state_dir: str) -> list[str]:
     """Raw manifest entries, oldest first. Two token shapes: ``"7"`` is
-    a live epoch dir (``docs_epoch_7``); ``"c7"`` is a COMPACTED
-    segment (``docs_epoch_c7``) holding the merged state of every epoch
+    a live epoch dir (``sets_epoch_7`` etc.); ``"c7"`` is a COMPACTED
+    segment (``sets_epoch_c7`` etc.) holding the merged state of every epoch
     up to 7 (see :func:`compact_index`)."""
     path = os.path.join(state_dir, _MANIFEST)
     if not os.path.exists(path):
@@ -242,41 +244,45 @@ def apply_dedup_batch(
         # in every later expansion join
         .dropDuplicates(["id"])
     )
-    old_members = _epoch_union(spark, state_dir, "members", tokens)
+    old_sets_pre = _epoch_union(spark, state_dir, "sets", tokens)
+    _members = lambda sets_df: sets_df.select(  # noqa: E731
+        F.explode("member_ids").alias("id"), "sk"
+    )
+    old_members = None if old_sets_pre is None else _members(old_sets_pre)
     if old_members is not None:
         new_docs = new_docs.join(
             old_members.select("id"), "id", "left_anti"
         )
-    # the signature/items kernel feeds both the sets and the members
-    # write — checkpoint so it runs once per epoch, not twice
-    new_docs = new_docs.localCheckpoint(eager=False)
-    # one distinct-set row per sk (any member's signature/items — all
-    # identical by construction); written EVERY epoch the set gains
-    # members, so each epoch dir is self-contained under TTL expiry
-    new_sets = new_docs.select(
-        "sk", "signature", "items", F.size("items").alias("nsz")
-    ).dropDuplicates(["sk"])
+    # one row per distinct set (any member's signature/items — all
+    # identical by construction) with the epoch's member ids inline;
+    # written EVERY epoch the set gains members, so each epoch dir is
+    # self-contained under TTL expiry. ONE state write per epoch.
+    new_sets = new_docs.groupBy("sk").agg(
+        F.first("signature").alias("signature"),
+        F.first("items").alias("items"),
+        F.size(F.first("items")).alias("nsz"),
+        F.collect_list("id").alias("member_ids"),
+    )
     sets_out = os.path.join(state_dir, f"sets_epoch_{epoch_id}")
     t0 = _dbg_t()
     new_sets.write.mode("overwrite").parquet(sets_out)
     new_sets = spark.read.parquet(sets_out)  # cut lineage; reuse below
     _dbg(epoch_id, "write sets", t0)
-    members_out = os.path.join(state_dir, f"members_epoch_{epoch_id}")
-    t0 = _dbg_t()
-    new_docs.select("id", "sk").write.mode("overwrite").parquet(members_out)
-    new_members = spark.read.parquet(members_out)
-    _dbg(epoch_id, "write members", t0)
+    new_members = _members(new_sets)
 
-    new_bands = dedup.lsh_band_rows(
-        new_sets.select("sk", "signature"), "sk",
-        n_hashes=n_hashes, bands=bands_n,
-    ).join(new_sets.select("sk", "nsz"), "sk")
-    bands_out = os.path.join(state_dir, f"bands_epoch_{epoch_id}")
-    t0 = _dbg_t()
-    new_bands.write.mode("overwrite").parquet(bands_out)
-    new_bands = spark.read.parquet(bands_out)
-    _dbg(epoch_id, "write bands", t0)
+    # band rows are DERIVED from the sets tables (33 xxhash64 per set
+    # row), never stored: the index scan reads one pre-collapsed table
+    # per epoch and the per-epoch bands write+read of the first r7 cut
+    # (one more file pair per epoch, pure overhead at small batches) is
+    # gone. lsh_band_rows is deterministic in the signature, so derived
+    # band keys collide across epochs exactly like stored ones did.
+    def _bands_of(sets_df):
+        return dedup.lsh_band_rows(
+            sets_df.select("sk", "signature"), "sk",
+            n_hashes=n_hashes, bands=bands_n,
+        ).join(sets_df.select("sk", "nsz"), "sk")
 
+    new_bands = _bands_of(new_sets)
     # set-level candidates: batch sets vs (batch ∪ index) sets, both
     # joins through the skew-safe capped band join (a template family
     # — many DISTINCT near-identical sets — still piles onto one
@@ -294,36 +300,30 @@ def apply_dedup_batch(
     b = new_bands.select(
         F.col("sk").alias("b_id"), "band", "bhash", F.col("nsz").alias("__nb")
     )
-    cand = dedup.capped_band_join(a, b, symmetric=True, keep_band=True).filter(
+    cand = dedup.capped_band_join(a, b, symmetric=True).filter(
         (F.col("a_id") < F.col("b_id")) & ratio_keep
-    ).select("a_id", "b_id", "band")
-    old_bands = _epoch_union(spark, state_dir, "bands", tokens)
-    old_sets = _epoch_union(spark, state_dir, "sets", tokens)
-    if old_bands is not None:
+    ).select("a_id", "b_id")
+    old_sets = old_sets_pre
+    if old_sets is not None:
         cross = dedup.capped_band_join(
-            old_bands.select(
+            _bands_of(old_sets).select(
                 F.col("sk").alias("a_id"), "band", "bhash",
                 F.col("nsz").alias("__na"),
             ),
             b,
-            keep_band=True,
         )
         cand = cand.unionByName(
             cross.filter((F.col("a_id") != F.col("b_id")) & ratio_keep).select(
                 F.least("a_id", "b_id").alias("a_id"),
                 F.greatest("a_id", "b_id").alias("b_id"),
-                "band",
             )
         )
 
     # exact verify on SET pairs (item arrays attached by sk; the union
     # is deduplicated — a set re-written by several epochs must attach
     # exactly one items row). Verify placement follows the batch
-    # operator's dispatch: broadcast-fused when the set table is small
-    # with small sets — then the band-prefix filter
-    # (dedup.first_collision_only) keeps each pair's first colliding
-    # band only, so the intersect runs once per distinct pair and no
-    # candidate-mass exchange exists; distinct-first otherwise. The
+    # operator's dispatch: broadcast-fused before any distinct when the
+    # set table is small with small sets, distinct-first otherwise. The
     # surviving set pairs are deduplicated either way: a set living in
     # both the index and this batch meets its partners through BOTH
     # the self- and the cross-join.
@@ -331,7 +331,7 @@ def apply_dedup_batch(
         new_sets
         if old_sets is None
         else new_sets.unionByName(old_sets).dropDuplicates(["sk"])
-    ).select(F.col("sk").alias("id"), "signature", "items", "nsz")
+    ).select(F.col("sk").alias("id"), "items", "nsz")
     t0 = _dbg_t()
     n_sets, sum_sz = all_sets.agg(
         F.count("*"), F.coalesce(F.sum("nsz"), F.lit(0))
@@ -378,48 +378,52 @@ def apply_dedup_batch(
     # verify execute ONCE per epoch, not once per consumer
     set_pairs = set_pairs.localCheckpoint(eager=False)
 
-    # member expansion — output-bound equi-joins reconstructing exactly
-    # the per-doc pair emissions this epoch's arrivals cause:
-    #   same set:  new × old members (ji = 1.0) + new × new (a < b)
-    #   cross set: new(X) × old(Y) via both orientations + new × new
-    #              once via the canonical (sk_a < sk_b) orientation
+    # member expansion — ONE pair of output-bound equi-joins
+    # reconstructing exactly the per-doc pair emissions this epoch's
+    # arrivals cause. Partner relation = both orientations of the
+    # verified set pairs PLUS the identity (sk, sk, ji=1.0) of each
+    # batch set; the other side holds old ∪ new members tagged. A pair
+    # (x new, y) is emitted when y is old (always — the cross/同-set
+    # channel of earlier epochs), or when y is also new and (sk, id)
+    # is canonically ordered — so a both-new pair, reachable through
+    # both orientations, is emitted exactly once.
     mn = new_members.select(F.col("id").alias("__nid"), F.col("sk"))
-    mo = (
-        old_members.select(F.col("id").alias("__oid"), F.col("sk"))
-        if old_members is not None
-        else None
-    )
-    pair = lambda x, y, ji: [  # noqa: E731
-        F.least(x, y).alias("a_id"), F.greatest(x, y).alias("b_id"),
-        ji.alias("ji"),
-    ]
-    emitted = mn.alias("x").join(mn.alias("y"), "sk").filter(
-        F.col("x.__nid") < F.col("y.__nid")
-    ).select(*pair(F.col("x.__nid"), F.col("y.__nid"), F.lit(1.0)))
-    if mo is not None:
-        emitted = emitted.unionByName(
-            mn.join(mo, "sk").select(
-                *pair(F.col("__nid"), F.col("__oid"), F.lit(1.0))
-            )
-        )
     vsym = set_pairs.unionByName(
         set_pairs.select(
             F.col("sk_b").alias("sk_a"), F.col("sk_a").alias("sk_b"), "ji"
         )
     )
-    emitted = emitted.unionByName(
-        mn.withColumnRenamed("sk", "sk_a")
-        .join(set_pairs, "sk_a")
-        .join(mn.withColumnRenamed("sk", "sk_b").withColumnRenamed("__nid", "__mid"), "sk_b")
-        .select(*pair(F.col("__nid"), F.col("__mid"), F.col("ji")))
-    )
-    if mo is not None:
-        emitted = emitted.unionByName(
-            mn.withColumnRenamed("sk", "sk_a")
-            .join(vsym, "sk_a")
-            .join(mo.withColumnRenamed("sk", "sk_b"), "sk_b")
-            .select(*pair(F.col("__nid"), F.col("__oid"), F.col("ji")))
+    vplus = vsym.unionByName(
+        new_sets.select(
+            F.col("sk").alias("sk_a"), F.col("sk").alias("sk_b"),
+            F.lit(1.0).alias("ji"),
         )
+    )
+    m_all = new_members.select("id", "sk", F.lit(True).alias("__new"))
+    if old_members is not None:
+        m_all = m_all.unionByName(
+            old_members.select("id", "sk", F.lit(False).alias("__new"))
+        )
+    emitted = (
+        mn.withColumnRenamed("sk", "sk_a")
+        .join(vplus, "sk_a")
+        .join(
+            m_all.select(
+                F.col("id").alias("__mid"), F.col("sk").alias("sk_b"), "__new"
+            ),
+            "sk_b",
+        )
+        .filter(
+            (~F.col("__new"))
+            | (F.col("sk_a") < F.col("sk_b"))
+            | ((F.col("sk_a") == F.col("sk_b")) & (F.col("__nid") < F.col("__mid")))
+        )
+        .select(
+            F.least("__nid", "__mid").alias("a_id"),
+            F.greatest("__nid", "__mid").alias("b_id"),
+            "ji",
+        )
+    )
     _dbg(epoch_id, "plan build (since entry)", t_entry)
     explain_dir = os.environ.get("SPARK_GRAFT_DD_EXPLAIN")
     if explain_dir:
@@ -561,19 +565,23 @@ def compact_index(
         raise ValueError(
             f"compacted segment {target} already exists in {tokens}"
         )
-    for prefix in ("sets", "members", "bands", "pairs"):
+    for prefix in ("sets", "members", "pairs"):
         merged = _epoch_union(spark, state_dir, prefix, merge)
         out = os.path.join(state_dir, f"{prefix}_epoch_{target}")
         if merged is None:
             continue
-        # a set re-written by several absorbed epochs needs only one
+        # a set re-written by several absorbed epochs collapses to one
         # row in the merged segment (the per-epoch redundancy exists
         # for TTL self-containment, which the segment now provides as
-        # a unit) — identical content, so any row is the right one
+        # a unit) — signature/items identical on every copy, member
+        # lists concatenated so no membership is lost
         if prefix == "sets":
-            merged = merged.dropDuplicates(["sk"])
-        elif prefix == "bands":
-            merged = merged.dropDuplicates(["sk", "band"])
+            merged = merged.groupBy("sk").agg(
+                F.first("signature").alias("signature"),
+                F.first("items").alias("items"),
+                F.first("nsz").alias("nsz"),
+                F.flatten(F.collect_list("member_ids")).alias("member_ids"),
+            )
         # A crashed prior attempt may have left this exact target dir on
         # disk (written but never committed to the manifest) — clear it so
         # the promised re-run actually completes instead of failing with
@@ -587,7 +595,7 @@ def compact_index(
     # the new one: every epoch they cover precedes the merge set's
     _write_manifest(state_dir, retained_c + [target] + kept)
     for t in merge:  # best-effort: unreferenced after the atomic rewrite
-        for prefix in ("sets", "members", "bands", "pairs"):
+        for prefix in ("sets", "members", "pairs"):
             shutil.rmtree(
                 os.path.join(state_dir, f"{prefix}_epoch_{t}"),
                 ignore_errors=True,
@@ -612,7 +620,7 @@ def expire_epochs(state_dir: str, min_epoch: int) -> list[str]:
         return []
     _write_manifest(state_dir, [t for t in tokens if t not in dropped])
     for t in dropped:  # best-effort: unreferenced after the rewrite
-        for prefix in ("sets", "members", "bands", "pairs"):
+        for prefix in ("sets", "members", "pairs"):
             shutil.rmtree(
                 os.path.join(state_dir, f"{prefix}_epoch_{t}"),
                 ignore_errors=True,

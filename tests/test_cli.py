@@ -64,6 +64,17 @@ class TestDist:
         for pair, exact in JI_EXACT.items():
             assert abs(got[pair] - exact) < 0.05, (pair, got[pair], exact)
 
+    def test_exact_sets_with_presketched_refuses(self, spark, tmp_path):
+        # r6 ADVICE #5: --use-full-khash-sets needs document inputs to
+        # rebuild exact sets; with -H it silently served sketch
+        # ESTIMATES while the user believed they got ground truth
+        with pytest.raises(SystemExit, match="incompatible"):
+            main(
+                ["dist", "--use-full-khash-sets", "-H", "-O",
+                 str(tmp_path / "x.tsv"), str(tmp_path / "nope")],
+                spark=spark,
+            )
+
     def test_exact_sets_mode_is_exact(self, spark, doc_dir, tmp_path):
         out = str(tmp_path / "exact.tsv")
         rc = main(

@@ -357,8 +357,14 @@ class TestRound6PlanPins:
         plan = _plan(out)
         assert "CartesianProduct" not in plan
         assert "InPandas" not in plan and "PythonUDF" not in plan
-        # both windows are doc-partitioned (never a global window)
-        assert "windowspecdefinition(__id" in plan
+        # the island window is doc-partitioned (never a global window) —
+        # pinned on the island subtree directly, because r7's
+        # localCheckpoint of the islands frame (three consumers, one
+        # span-pipeline pass) truncates it out of the full plan string
+        spans = dedup.span_rows(docs, "doc_id", [], "text", 8, "text")
+        isl_plan = _plan(dedup.dup_islands(spans, 8))
+        assert "windowspecdefinition(__id" in isl_plan
+        assert "CartesianProduct" not in isl_plan
 
     def test_gopher_repetition_no_cartesian_no_python(self, spark, docs):
         from dashing_spark.operators import text as _text

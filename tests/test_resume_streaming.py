@@ -491,9 +491,9 @@ class TestIndexCompaction:
 
         state = str(tmp_path / "state")
         self._ingest_epochs(spark, docs, state, n_epochs=3)
-        n_before = len([d for d in os.listdir(state) if d.startswith("bands_")])
+        n_before = len([d for d in os.listdir(state) if d.startswith("sets_")])
         assert dedup_stream.compact_index(spark, state, keep_last=1)
-        n_after = len([d for d in os.listdir(state) if d.startswith("bands_")])
+        n_after = len([d for d in os.listdir(state) if d.startswith("sets_")])
         assert n_after < n_before
         assert dedup_stream._manifest_tokens(state) == ["c1", "2"]
 

@@ -185,3 +185,82 @@ class TestPipelineOnSnapshots:
             docs, ["lang"], lambda: HLL.empty(12), ckpt
         )
         assert m2.resumed
+
+
+class TestAdviceR7Regressions:
+    """r6 ADVICE fixes: create-if-absent commit point, rollback guards,
+    snapshot-over-legacy read priority."""
+
+    def test_commit_point_never_replaces_existing_metadata(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The commit point must be create-if-absent (os.link), not
+        rename: POSIX rename silently REPLACES an existing destination,
+        so an exists()-then-rename race would let two committers of the
+        same version both 'succeed' and one snapshot vanish. Simulate
+        the worst-case interleaving: the winner's metadata lands AFTER
+        the loser's exists() check would have run (here: it is already
+        on disk, and we force both writers to compute the same
+        version). The winner's metadata bytes must survive verbatim."""
+        t = str(tmp_path / "t")
+        S.commit(t, _df(spark, [1]), op="overwrite")
+        S.commit(t, _df(spark, [5]), op="overwrite")  # winner owns v1
+        winner_meta = open(S._meta_path(t, 1)).read()
+        monkeypatch.setattr(S, "current_version", lambda d: 0)
+        with pytest.raises(S.CommitConflict):
+            S.commit(t, _df(spark, [2]), op="overwrite")
+        assert open(S._meta_path(t, 1)).read() == winner_meta
+        # no tmp litter from the loser
+        assert not [f for f in os.listdir(t) if ".tmp." in f]
+
+    def test_rollback_without_commits_raises_cleanly(self, spark, tmp_path):
+        t = str(tmp_path / "t_empty")
+        os.makedirs(t, exist_ok=True)
+        with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+            S.rollback(t, 0)
+
+    def test_rollback_conflict_does_not_replace_metadata(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "t")
+        S.commit(t, _df(spark, [1]), op="overwrite")
+        S.commit(t, _df(spark, [2]), op="overwrite")
+        S.rollback(t, 0)  # v2
+        v2_meta = open(S._meta_path(t, 2)).read()
+        monkeypatch.setattr(S, "current_version", lambda d: 1)
+        with pytest.raises(S.CommitConflict):
+            S.rollback(t, 0)  # loser also targets v2
+        assert open(S._meta_path(t, 2)).read() == v2_meta
+
+    def test_committed_snapshot_wins_over_legacy_success_marker(
+        self, spark, tmp_path
+    ):
+        """A force=True rebuild over a legacy bare-parquet checkpoint
+        leaves the stale part-files + _SUCCESS in place next to the new
+        committed snapshot; every later resume must read the SNAPSHOT,
+        not the stale legacy files (r6 ADVICE #2)."""
+        ckpt = str(tmp_path / "ck")
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} tok{i+1} tok{i+2}", "en") for i in range(60)],
+            ["doc_id", "text", "lang"],
+        )
+        sk1, m1 = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(10), ckpt
+        )
+        sk1.count()
+        snap_dir = m1.checkpoint
+        # fabricate the legacy layout IN the same dir: bare parquet +
+        # _SUCCESS at top level (what a pre-r6 build left behind)
+        legacy_df = spark.createDataFrame([("STALE",)], "lang string")
+        legacy_tmp = str(tmp_path / "legacy_tmp")
+        legacy_df.write.mode("overwrite").parquet(legacy_tmp)
+        for f in os.listdir(legacy_tmp):
+            if f.startswith("part-") or f == "_SUCCESS":
+                shutil.copy(
+                    os.path.join(legacy_tmp, f), os.path.join(snap_dir, f)
+                )
+        sk2, m2 = build_or_resume_sketch_table(
+            docs, ["lang"], lambda: HLL.empty(10), ckpt
+        )
+        assert m2.resumed
+        assert "STALE" not in {r["lang"] for r in sk2.select("lang").collect()}
